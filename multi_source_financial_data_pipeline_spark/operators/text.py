@@ -1,0 +1,80 @@
+"""Text-analysis operators for a training-data pipeline (north-star scope:
+BASELINE.json — language ID, quality scoring, token counting, fingerprinting).
+
+All JVM-side expressions (split/transform/filter/md5) — no Python UDFs — so
+the hot path stays inside whole-stage codegen and scales linearly with the
+document count. Token arrays use 1-indexed ``element_at`` so the DuckDB
+oracles can mirror the expressions verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Tiny English stopword list for the n-gram/stopword language heuristic.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the BPE-ish regex path would swap the pattern
+    here; whitespace matches the synthetic corpus)."""
+    return F.split(text, r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc token counting + type-token ratio."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    return df.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars_text"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        (n_distinct / n_tokens).alias("type_token_ratio"),
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    quoted = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    toks = tokens(text)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    _ = quoted  # mirror string kept for oracle builders
+    return n_stop / F.size(toks)
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: stopword-hit ratio against a per-language
+    function-word list (here only the English list — the synthetic corpus is
+    English-ish regardless of its `lang` label)."""
+    ratio = stopword_ratio(F.col(text_col))
+    return df.select(
+        "doc_id",
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_guess"),
+    )
+
+
+def doc_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring from cheap structural signals: length band, lexical
+    diversity, mean token length. Deterministic double arithmetic only."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n_tokens
+    mean_tok_len = (F.length(text_col) - (n_tokens - 1)) / n_tokens
+    length_score = F.when(n_tokens >= 50, F.lit(1.0)).otherwise(n_tokens / 50.0)
+    quality = length_score * 0.5 + ttr * 0.3 + F.least(mean_tok_len / 10.0, F.lit(1.0)) * 0.2
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        ttr.alias("type_token_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        quality.alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the whitespace-normalized, lowercased
+    text — the exact-dedup key."""
+    normalized = F.concat_ws(" ", tokens(F.lower(F.col(text_col))))
+    return df.withColumn("fingerprint", F.md5(normalized))

@@ -1,0 +1,77 @@
+"""Per-key time-series features as native window frames (SURVEY.md §2.6).
+
+Reference semantics (pandas, /root/reference/src/pipeline.py:60-84):
+sort by (Ticker, date), then per ticker
+  - W1 daily return: ``close.pct_change()`` → close/lag(close) - 1, first row
+    per key null (src/pipeline.py:61,81)
+  - W2/W3 moving averages: ``rolling(n).mean()`` with the min_periods=n
+    default → null until the n-th row (src/pipeline.py:82-83)
+  - W4 rolling volatility: ``rolling(20).std()`` over the return column,
+    sample std ddof=1 (src/pipeline.py:84)
+
+Idiomatic Spark is a native window frame, NOT applyInPandas: the whole
+feature set is one shuffle on the partition key followed by a single in-memory
+sort per partition, all inside whole-stage codegen. The pandas min_periods
+behavior is reproduced with a ``count(x) over frame == n`` guard (count skips
+nulls, exactly like pandas' non-NaN observation count).
+
+Scale note: one hash-exchange on `key` covers every feature column; with
+~100 TB and a high-cardinality key this parallelizes perfectly and spills per
+partition. A low-cardinality key (few tickers, huge history) is the skew case:
+AQE skew-join/partition splitting does not help a window sort, so for that
+shape pre-bucket the table by key (`df.write.bucketBy(key)`) so the exchange
+disappears entirely on re-use.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def pct_change(value: Column, w) -> Column:
+    """pandas ``Series.pct_change()`` over an ordered window: x/lag(x) - 1.
+
+    Note pandas divides by the *previous non-null* only positionally — lag(1)
+    matches because the reference never has interior nulls after validate().
+    A zero previous value yields null (not pandas' inf): ANSI-safe and
+    identical in Spark and DuckDB (`nullif` divisor on both sides).
+    """
+    prev = F.lag(value, 1).over(w)
+    return value / F.nullif(prev, F.lit(0.0)) - F.lit(1.0)
+
+
+def rolling_mean(value: Column, w_frame, n: int) -> Column:
+    """pandas ``rolling(n).mean()`` (min_periods=n): null until the frame
+    holds n non-null observations."""
+    return F.when(F.count(value).over(w_frame) == n, F.avg(value).over(w_frame))
+
+
+def rolling_std(value: Column, w_frame, n: int) -> Column:
+    """pandas ``rolling(n).std()`` (ddof=1, min_periods=n)."""
+    return F.when(F.count(value).over(w_frame) == n, F.stddev_samp(value).over(w_frame))
+
+
+def timeseries_features(
+    df: DataFrame,
+    key: str = "ticker",
+    order: Sequence[str] = ("date",),
+    value: str = "close",
+    ma_windows: Sequence[int] = (20, 50),
+    vol_window: int = 20,
+    ret_col: str = "ret",
+) -> DataFrame:
+    """transform() parity (src/pipeline.py:78-91): return + moving averages +
+    rolling volatility per key, ordered by `order` (pass a tiebreaker column
+    for deterministic results when the order key can repeat)."""
+    w = Window.partitionBy(key).orderBy(*order)
+    out = df.withColumn(ret_col, pct_change(F.col(value), w))
+    for n in ma_windows:
+        frame = w.rowsBetween(-(n - 1), 0)
+        out = out.withColumn(f"ma{n}", rolling_mean(F.col(value), frame, n))
+    vol_frame = w.rowsBetween(-(vol_window - 1), 0)
+    out = out.withColumn(
+        f"vol{vol_window}", rolling_std(F.col(ret_col), vol_frame, vol_window)
+    )
+    return out

@@ -1,0 +1,525 @@
+"""Financial-pipeline parity queries (SURVEY.md §2) over the driver's
+synthetic tables, each with a DuckDB oracle.
+
+Table stand-ins (FIXTURES.md mapping): `events` plays the per-ticker OHLCV
+time series (key=user_id, order=ts, metric=value); `orders` vs per-order
+lineitem revenue plays the two-source close comparison; `orders` plays the
+request ledger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from multi_source_financial_data_pipeline_spark.operators import crossval, series_stats, validation
+from multi_source_financial_data_pipeline_spark.operators.timeseries import timeseries_features
+from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
+from multi_source_financial_data_pipeline_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # session-timezone independence: date casts below must agree with the
+    # (timezone-naive) DuckDB oracle regardless of the driver's session tz
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, name)
+
+
+# --- W1-W4: flagship time-series feature query ------------------------------
+
+def q_ts_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    feat = timeseries_features(
+        ev,
+        key="user_id",
+        order=("ts", "event_id"),
+        value="value",
+        ma_windows=(20, 50),
+        vol_window=20,
+    )
+    return feat.select(
+        "event_id",
+        "user_id",
+        "value",
+        "ret",
+        F.round("ma20", 6).alias("ma20"),
+        F.round("ma50", 6).alias("ma50"),
+        F.round("vol20", 6).alias("vol20"),
+    )
+
+
+SQL_TS_FEATURES = """
+WITH base AS (
+  SELECT event_id, user_id, ts, value,
+         value / nullif(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) - 1 AS ret
+  FROM events
+)
+SELECT event_id, user_id, value, ret,
+       round(CASE WHEN count(value) OVER w20 = 20 THEN avg(value) OVER w20 END, 6) AS ma20,
+       round(CASE WHEN count(value) OVER w50 = 50 THEN avg(value) OVER w50 END, 6) AS ma50,
+       round(CASE WHEN count(ret)   OVER w20 = 20 THEN stddev_samp(ret) OVER w20 END, 6) AS vol20
+FROM base
+WINDOW
+  w20 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+  w50 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- A1/A3/P5: null + predicate counts --------------------------------------
+
+def q_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    total = F.count(F.lit(1))
+    return ev.agg(
+        total.alias("n_rows"),
+        (total - F.count("value")).alias("nulls_value"),
+        (total - F.count("props")).alias("nulls_props"),
+        validation.count_where(F.col("value") <= 0, "n_nonpositive_value"),
+        validation.count_where(F.col("value") > 300, "n_extreme_value"),
+    )
+
+
+SQL_VALIDATION_COUNTS = """
+SELECT count(*) AS n_rows,
+       count(*) - count(value) AS nulls_value,
+       count(*) - count(props) AS nulls_props,
+       count(CASE WHEN value <= 0 THEN 1 END) AS n_nonpositive_value,
+       count(CASE WHEN value > 300 THEN 1 END) AS n_extreme_value
+FROM events
+"""
+
+
+# --- A2: duplicate stats + keep-last dedup ----------------------------------
+
+def q_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    return validation.duplicate_stats(ev, ["user_id", "event_date"])
+
+
+SQL_DUP_STATS = """
+WITH sizes AS (
+  SELECT user_id, CAST(ts AS DATE) AS event_date, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS dup_rows,
+       count(*) AS dup_groups
+FROM sizes WHERE n > 1
+"""
+
+
+def q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    out = validation.dedup_keep_last(ev, ["user_id", "event_date"], "event_id")
+    return out.select("event_id", "user_id", "event_date", "value")
+
+
+SQL_DEDUP_KEEP_LAST = """
+SELECT event_id, user_id, event_date, value
+FROM (
+  SELECT event_id, user_id, CAST(ts AS DATE) AS event_date, value,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --- A4: pooled z-score outliers --------------------------------------------
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value", 1).over(w)
+    ret = ev.withColumn("ret", F.col("value") / F.nullif(prev, F.lit(0.0)) - 1)
+    return validation.pooled_zscore_outliers(ret, "ret", threshold=3.0)
+
+
+SQL_ZSCORE_OUTLIERS = """
+WITH base AS (
+  SELECT value / nullif(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) - 1 AS ret
+  FROM events
+)
+SELECT count(CASE WHEN abs((ret - (SELECT avg(ret) FROM base))
+                           / (SELECT stddev_samp(ret) FROM base)) > 3.0 THEN 1 END) AS n_outliers,
+       count(ret) AS n_total
+FROM base
+"""
+
+
+# --- A5/F5: missing business days -------------------------------------------
+
+def q_missing_bdays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    return validation.missing_business_days(ev, "user_id", "date")
+
+
+SQL_MISSING_BDAYS = """
+WITH obs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS obs_date FROM events
+), bounds AS (
+  SELECT user_id, min(obs_date) AS min_date, max(obs_date) AS max_date
+  FROM obs GROUP BY user_id
+), cal AS (
+  SELECT user_id, CAST(unnest(generate_series(min_date, max_date, INTERVAL 1 DAY)) AS DATE) AS cal_date
+  FROM bounds
+), bdays AS (
+  SELECT user_id, cal_date FROM cal WHERE dayofweek(cal_date) NOT IN (0, 6)
+)
+SELECT b.user_id,
+       CAST(count(CASE WHEN o.obs_date IS NULL THEN 1 END) AS BIGINT) AS missing_bdays
+FROM bounds bo
+JOIN bdays b ON b.user_id = bo.user_id
+LEFT JOIN obs o ON o.user_id = b.user_id AND o.obs_date = b.cal_date
+GROUP BY b.user_id
+"""
+
+
+# --- A8/A9: per-series + global summaries -----------------------------------
+
+def q_series_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    return series_stats.per_series_summary(
+        ev, series_col="event_type", date_col="date", value_col="value"
+    )
+
+
+SQL_SERIES_SUMMARY = """
+SELECT event_type,
+       count(*) AS record_count,
+       count(*) - count(value) AS null_values,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       min(CAST(ts AS DATE)) AS first_date,
+       max(CAST(ts AS DATE)) AS last_date
+FROM events GROUP BY event_type
+"""
+
+
+def q_global_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    return series_stats.global_summary(
+        ev, series_col="event_type", date_col="date", value_col="value"
+    )
+
+
+SQL_GLOBAL_SUMMARY = """
+SELECT count(*) AS total_records,
+       count(DISTINCT event_type) AS unique_series,
+       min(CAST(ts AS DATE)) AS first_date,
+       max(CAST(ts AS DATE)) AS last_date,
+       count(*) - count(value) AS null_values
+FROM events
+"""
+
+
+# --- S7/A7: table stats ------------------------------------------------------
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.min(F.to_date("l_shipdate")).alias("first_ship"),
+        F.max(F.to_date("l_shipdate")).alias("last_ship"),
+    )
+
+
+SQL_TABLE_STATS = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT l_orderkey) AS n_orders,
+       min(CAST(l_shipdate AS DATE)) AS first_ship,
+       max(CAST(l_shipdate AS DATE)) AS last_ship
+FROM lineitem
+"""
+
+
+# --- J1/F1/P3/F2: cross-source comparison -----------------------------------
+
+CROSS_TOLERANCE_PCT = 0.5
+
+
+def _order_sources(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    primary = orders.select("o_orderkey", F.col("o_totalprice").alias("yahoo_close"))
+    secondary = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("alpha_close")
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    return primary, secondary
+
+
+def q_cross_source_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    primary, secondary = _order_sources(spark, sf_dir)
+    out = crossval.compare_sources(
+        primary,
+        secondary,
+        on=["o_orderkey"],
+        tolerance_pct=CROSS_TOLERANCE_PCT,
+    )
+    return out.select(
+        "o_orderkey",
+        "yahoo_close",
+        "alpha_close",
+        "price_diff",
+        "diff_pct",
+        "resolved_close",
+        "resolved_as",
+    )
+
+
+SQL_CROSS_SOURCE_COMPARE = f"""
+WITH alpha AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS alpha_close
+  FROM lineitem GROUP BY l_orderkey
+), joined AS (
+  SELECT o.o_orderkey, o.o_totalprice AS yahoo_close, a.alpha_close
+  FROM orders o JOIN alpha a USING (o_orderkey)
+  WHERE o.o_totalprice IS NOT NULL AND a.alpha_close IS NOT NULL
+)
+SELECT o_orderkey, yahoo_close, alpha_close,
+       yahoo_close - alpha_close AS price_diff,
+       abs((yahoo_close - alpha_close) / nullif(yahoo_close, 0) * 100) AS diff_pct,
+       yahoo_close AS resolved_close,
+       'Yahoo' AS resolved_as
+FROM joined
+WHERE abs((yahoo_close - alpha_close) / nullif(yahoo_close, 0) * 100) > {CROSS_TOLERANCE_PCT}
+"""
+
+
+# --- J2/P7: discrepancy flag merge-back -------------------------------------
+
+def q_discrepancy_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    primary, secondary = _order_sources(spark, sf_dir)
+    disc = crossval.compare_sources(
+        primary, secondary, on=["o_orderkey"], tolerance_pct=CROSS_TOLERANCE_PCT
+    )
+    base = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = crossval.merge_discrepancy_flags(base, disc, on=["o_orderkey"])
+    return out.select("o_orderkey", "o_totalprice", "discrepancy_flag")
+
+
+SQL_DISCREPANCY_FLAGS = f"""
+WITH alpha AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS alpha_close
+  FROM lineitem GROUP BY l_orderkey
+), disc AS (
+  SELECT o.o_orderkey
+  FROM orders o JOIN alpha a USING (o_orderkey)
+  WHERE o.o_totalprice IS NOT NULL AND a.alpha_close IS NOT NULL
+    AND abs((o.o_totalprice - a.alpha_close) / nullif(o.o_totalprice, 0) * 100) > {CROSS_TOLERANCE_PCT}
+)
+SELECT o.o_orderkey, o.o_totalprice,
+       (d.o_orderkey IS NOT NULL) AS discrepancy_flag
+FROM orders o LEFT JOIN disc d ON o.o_orderkey = d.o_orderkey
+"""
+
+
+# --- K2/J3: first-request-wins anti-join ------------------------------------
+
+def q_first_request_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    incoming = ev.filter(F.col("event_id") % 2 == 1)
+    existing = ev.filter(F.col("event_id") % 2 == 0)
+    kept = crossval.first_request_wins(incoming, existing, ["user_id", "event_date"])
+    return kept.select("event_id", "user_id", "event_date", "value")
+
+
+SQL_FIRST_REQUEST_WINS = """
+WITH incoming AS (
+  SELECT event_id, user_id, CAST(ts AS DATE) AS event_date, value
+  FROM events WHERE event_id % 2 = 1
+), existing AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_date
+  FROM events WHERE event_id % 2 = 0
+)
+SELECT i.event_id, i.user_id, i.event_date, i.value
+FROM incoming i
+WHERE NOT EXISTS (
+  SELECT 1 FROM existing e
+  WHERE e.user_id = i.user_id AND e.event_date = i.event_date
+)
+"""
+
+
+# --- K6: ledger latest-status view ------------------------------------------
+
+def q_ledger_latest_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.to_date("o_orderdate")
+    )
+    latest = series_stats.latest_per_key(
+        orders, "o_custkey", ["o_orderdate", "o_orderkey"]
+    )
+    return latest.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.col("o_orderstatus").alias("latest_status"),
+        F.col("o_orderdate").alias("latest_date"),
+    )
+
+
+SQL_LEDGER_LATEST_STATUS = """
+SELECT o_custkey,
+       o_orderkey AS latest_orderkey,
+       o_orderstatus AS latest_status,
+       CAST(o_orderdate AS DATE) AS latest_date
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey
+    ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# --- F9: quality scoring -----------------------------------------------------
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score arithmetic (src/output_manager.py:149-190) with the
+    reference's dead-branch wiring fixed (SURVEY.md §4): inputs are this
+    engine's own validation aggregates."""
+    ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    nulls = ev.agg((F.count(F.lit(1)) - F.count("value")).alias("total_nulls"))
+    sizes = ev.groupBy("user_id", "event_date").agg(F.count(F.lit(1)).alias("n"))
+    dups = sizes.filter(F.col("n") > 1).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("dup_rows")
+    )
+    nonpos = ev.agg(validation.count_where(F.col("value") <= 0, "n_nonpositive"))
+    primary, secondary = _order_sources(spark, sf_dir)
+    joined = primary.join(secondary, ["o_orderkey"], "inner").na.drop(
+        subset=["yahoo_close", "alpha_close"]
+    )
+    diff_pct = F.abs(
+        (F.col("yahoo_close") - F.col("alpha_close")) / F.col("yahoo_close") * 100
+    )
+    comp = joined.agg(
+        F.count(F.lit(1)).alias("comparisons"),
+        validation.count_where(diff_pct > CROSS_TOLERANCE_PCT, "discrepancies"),
+    )
+    row = nulls.join(dups).join(nonpos).join(comp)
+    issues = F.col("dup_rows") + F.col("n_nonpositive")
+    basic = F.greatest(
+        F.lit(0.0), F.lit(100.0) - (issues + F.col("total_nulls") / 10.0) * 5.0
+    )
+    reliability = F.greatest(
+        F.lit(0.0),
+        F.lit(100.0) - F.col("discrepancies") / F.col("comparisons") * 100.0,
+    )
+    return row.select(
+        basic.alias("basic_quality_score"),
+        reliability.alias("reliability_score"),
+        (basic * 0.7 + reliability * 0.3).alias("overall_score"),
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+WITH nulls AS (
+  SELECT count(*) - count(value) AS total_nulls FROM events
+), sizes AS (
+  SELECT user_id, CAST(ts AS DATE) AS event_date, count(*) AS n
+  FROM events GROUP BY 1, 2
+), dups AS (
+  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS dup_rows FROM sizes WHERE n > 1
+), nonpos AS (
+  SELECT count(CASE WHEN value <= 0 THEN 1 END) AS n_nonpositive FROM events
+), alpha AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS alpha_close
+  FROM lineitem GROUP BY l_orderkey
+), comp AS (
+  SELECT count(*) AS comparisons,
+         count(CASE WHEN abs((o.o_totalprice - a.alpha_close) / nullif(o.o_totalprice, 0) * 100)
+                         > {CROSS_TOLERANCE_PCT} THEN 1 END) AS discrepancies
+  FROM orders o JOIN alpha a USING (o_orderkey)
+  WHERE o.o_totalprice IS NOT NULL AND a.alpha_close IS NOT NULL
+), scores AS (
+  SELECT greatest(0.0, 100.0 - ((dup_rows + n_nonpositive) + total_nulls / 10.0) * 5.0) AS basic_quality_score,
+         greatest(0.0, 100.0 - discrepancies / nullif(comparisons, 0) * 100.0) AS reliability_score
+  FROM nulls, dups, nonpos, comp
+)
+SELECT basic_quality_score, reliability_score,
+       basic_quality_score * 0.7 + reliability_score * 0.3 AS overall_score
+FROM scores
+"""
+
+
+SPECS = {
+    "ts_features": QuerySpec(
+        q_ts_features,
+        SQL_TS_FEATURES,
+        "W1-W4: pct_change + ma20/ma50 + vol20 per key (pandas min_periods semantics)",
+        ("window", "flagship"),
+    ),
+    "validation_counts": QuerySpec(
+        q_validation_counts,
+        SQL_VALIDATION_COUNTS,
+        "A1/A3/P5: null + predicate counts in one aggregation pass",
+        ("agg",),
+    ),
+    "dup_stats": QuerySpec(
+        q_dup_stats, SQL_DUP_STATS, "A2: pandas duplicated(keep=False) counting", ("agg",)
+    ),
+    "dedup_keep_last": QuerySpec(
+        q_dedup_keep_last,
+        SQL_DEDUP_KEEP_LAST,
+        "A2: drop_duplicates(keep='last') via explicit ingest order",
+        ("window",),
+    ),
+    "zscore_outliers": QuerySpec(
+        q_zscore_outliers,
+        SQL_ZSCORE_OUTLIERS,
+        "A4: pooled (not per-key) z-score outlier count, ddof=1",
+        ("agg",),
+    ),
+    "missing_bdays": QuerySpec(
+        q_missing_bdays,
+        SQL_MISSING_BDAYS,
+        "A5/F5: per-key missing Mon-Fri business days via calendar anti-join",
+        ("join",),
+    ),
+    "series_summary": QuerySpec(
+        q_series_summary,
+        SQL_SERIES_SUMMARY,
+        "A8: per-series stats as one groupBy (replaces reference's Python loop)",
+        ("agg",),
+    ),
+    "global_summary": QuerySpec(
+        q_global_summary, SQL_GLOBAL_SUMMARY, "A9/A6: global summary in one pass", ("agg",)
+    ),
+    "table_stats": QuerySpec(
+        q_table_stats, SQL_TABLE_STATS, "S7/A7: table stats scan", ("agg",)
+    ),
+    "cross_source_compare": QuerySpec(
+        q_cross_source_compare,
+        SQL_CROSS_SOURCE_COMPARE,
+        "J1/F1/P3/F2: two-source inner join + pct-diff + strict tolerance filter",
+        ("join",),
+    ),
+    "discrepancy_flags": QuerySpec(
+        q_discrepancy_flags,
+        SQL_DISCREPANCY_FLAGS,
+        "J2/P7: left-join flag enrichment with false-fill",
+        ("join",),
+    ),
+    "first_request_wins": QuerySpec(
+        q_first_request_wins,
+        SQL_FIRST_REQUEST_WINS,
+        "K2/J3: idempotent-append dedup as a left-anti join",
+        ("join",),
+    ),
+    "ledger_latest_status": QuerySpec(
+        q_ledger_latest_status,
+        SQL_LEDGER_LATEST_STATUS,
+        "K6: append-only ledger latest-status view",
+        ("window",),
+    ),
+    "quality_score": QuerySpec(
+        q_quality_score,
+        SQL_QUALITY_SCORE,
+        "F9: basic/reliability/overall quality-score arithmetic",
+        ("agg",),
+    ),
+}

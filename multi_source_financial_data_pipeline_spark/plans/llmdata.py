@@ -1,0 +1,329 @@
+"""LLM-training-data pipeline queries (north star: BASELINE.json) over the
+driver's `documents` and `embeddings` tables, each with a DuckDB oracle that
+mirrors the Spark expressions operation-for-operation (same md5-derived
+hashes, same left-fold float summation, same 1-indexed array addressing) so
+hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from multi_source_financial_data_pipeline_spark.operators import dedup, similarity, text
+from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
+from multi_source_financial_data_pipeline_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, name)
+
+
+# shared SQL fragments (mirror operators/text.py + operators/dedup.py)
+_SQL_TOKS = "regexp_split_to_array(text, '\\s+')"
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(toks) - 2),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+def _sql_minhash(j: int) -> str:
+    return f"list_min(list_transform(s, x -> substr(md5('{j}|' || x), 1, 16)))"
+
+
+# --- token counting ----------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       length(text) AS n_chars_text,
+       len({_SQL_TOKS}) AS n_tokens,
+       len(list_distinct({_SQL_TOKS})) AS n_distinct_tokens,
+       len(list_distinct({_SQL_TOKS})) / len({_SQL_TOKS}) AS type_token_ratio
+FROM documents
+"""
+
+
+# --- language-ID heuristic ---------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(_t(spark, sf_dir, "documents"))
+
+
+_STOPLIST = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+SQL_LANG_ID = f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(list_filter(toks, x -> x IN ({_STOPLIST}))) / len(toks) AS stopword_ratio,
+       CASE WHEN len(list_filter(toks, x -> x IN ({_STOPLIST}))) / len(toks) >= 0.05
+            THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM d
+"""
+
+
+# --- structural quality scoring ---------------------------------------------
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_quality(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_QUALITY = f"""
+WITH d AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) / len(toks) AS type_token_ratio,
+         (length(text) - (len(toks) - 1)) / len(toks) AS mean_token_len,
+         CASE WHEN len(toks) >= 50 THEN 1.0 ELSE len(toks) / 50.0 END AS length_score
+  FROM d
+)
+SELECT doc_id, n_tokens, type_token_ratio, mean_token_len,
+       length_score * 0.5 + type_token_ratio * 0.3
+         + least(mean_token_len / 10.0, 1.0) * 0.2 AS quality_score
+FROM m
+"""
+
+
+# --- fingerprint + exact dedup ----------------------------------------------
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.fingerprint(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "fingerprint")
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       md5(array_to_string(regexp_split_to_array(lower(text), '\\s+'), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = text.fingerprint(_t(spark, sf_dir, "documents"))
+    return dedup.exact_dedup_groups(fp)
+
+
+SQL_EXACT_DEDUP = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(regexp_split_to_array(lower(text), '\\s+'), ' ')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS group_size
+FROM fp GROUP BY fingerprint
+"""
+
+
+# --- MinHash signatures + LSH candidate pairs -------------------------------
+
+NUM_HASHES = 8
+BAND_SIZE = 2
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), num_hashes=NUM_HASHES
+    )
+    return sig.select("doc_id", *[f"mh{j}" for j in range(NUM_HASHES)])
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM d)
+SELECT doc_id,
+       {", ".join(f"{_sql_minhash(j)} AS mh{j}" for j in range(NUM_HASHES))}
+FROM sh
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), num_hashes=NUM_HASHES
+    )
+    return dedup.lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
+
+
+_SQL_BANDS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, concat_ws('|', mh{2 * b}, mh{2 * b + 1}) AS bk"
+    f" FROM sig WHERE concat_ws('|', mh{2 * b}, mh{2 * b + 1}) != ''"
+    for b in range(NUM_HASHES // BAND_SIZE)
+)
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM d),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"{_sql_minhash(j)} AS mh{j}" for j in range(NUM_HASHES))}
+  FROM sh
+),
+bands AS (
+{_SQL_BANDS}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+"""
+
+
+# --- n-gram Jaccard verification --------------------------------------------
+
+JACCARD_THRESHOLD = 0.2
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_col="lang", threshold=JACCARD_THRESHOLD
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH d AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, lang AS blk, {_SQL_SHINGLES} AS s FROM d)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.s, b.s)) / nullif(len(list_distinct(a.s || b.s)), 0) AS jaccard
+FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) / nullif(len(list_distinct(a.s || b.s)), 0) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash32(_t(spark, sf_dir, "documents"))
+
+
+SQL_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok
+), bits AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(generate_series(0, 31)) AS b) b
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# --- ANN: brute-force cosine top-k ------------------------------------------
+
+TOPK = 10
+N_QUERIES = 10
+
+_SQL_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]),"
+    " (acc, x) -> acc + x)"
+)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"({_SQL_DOT.format(a=a, b=b)}"
+        f" / nullif(sqrt({_SQL_DOT.format(a=a, b=a)} * {_SQL_DOT.format(a=b, b=b)}), 0))"
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, queries, k=TOPK)
+
+
+SQL_ANN_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         round({_sql_cos("qv", "c.v")}, 6) AS cos_sim
+  FROM e c JOIN q ON c.vec_id != q.query_id
+)
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, cand_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
+# --- embedding near-duplicate pairs -----------------------------------------
+
+COS_THRESHOLD = 0.3
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=COS_THRESHOLD
+    )
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_sql_cos("a.v", "b.v")}, 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({_sql_cos("a.v", "b.v")}, 6) >= {COS_THRESHOLD}
+"""
+
+
+SPECS = {
+    "token_stats": QuerySpec(
+        q_token_stats, SQL_TOKEN_STATS, "per-doc token counting + type-token ratio", ("text",)
+    ),
+    "lang_id": QuerySpec(
+        q_lang_id, SQL_LANG_ID, "stopword-ratio language-ID heuristic", ("text",)
+    ),
+    "doc_quality": QuerySpec(
+        q_doc_quality, SQL_DOC_QUALITY, "structural quality scoring", ("text",)
+    ),
+    "doc_fingerprint": QuerySpec(
+        q_doc_fingerprint,
+        SQL_DOC_FINGERPRINT,
+        "md5 fingerprint over normalized text",
+        ("text", "dedup"),
+    ),
+    "exact_dedup": QuerySpec(
+        q_exact_dedup, SQL_EXACT_DEDUP, "exact dedup groups via hash-groupBy", ("dedup",)
+    ),
+    "minhash_signatures": QuerySpec(
+        q_minhash_signatures,
+        SQL_MINHASH_SIGNATURES,
+        "8-hash MinHash signature over word 3-gram shingles",
+        ("dedup",),
+    ),
+    "minhash_lsh_pairs": QuerySpec(
+        q_minhash_lsh_pairs,
+        SQL_MINHASH_LSH_PAIRS,
+        "LSH banding candidate pairs (4 bands × 2 hashes)",
+        ("dedup",),
+    ),
+    "ngram_jaccard_pairs": QuerySpec(
+        q_ngram_jaccard_pairs,
+        SQL_NGRAM_JACCARD_PAIRS,
+        "exact n-gram Jaccard near-dup pairs within language blocks",
+        ("dedup",),
+    ),
+    "simhash": QuerySpec(
+        q_simhash, SQL_SIMHASH, "32-bit SimHash over token multiset", ("dedup",)
+    ),
+    "ann_topk": QuerySpec(
+        q_ann_topk,
+        SQL_ANN_TOPK,
+        "brute-force cosine top-k neighbors (ANN exactness baseline)",
+        ("similarity", "bench"),
+    ),
+    "embedding_neardup": QuerySpec(
+        q_embedding_neardup,
+        SQL_EMBEDDING_NEARDUP,
+        "embedding-cosine near-dup pairs above threshold",
+        ("similarity", "dedup"),
+    ),
+}

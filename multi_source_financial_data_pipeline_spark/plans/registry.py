@@ -1,0 +1,44 @@
+"""Query registry: every SURVEY.md §2 operator as a (Spark callable, DuckDB
+oracle SQL) pair, exposed to the driver through ``__spark_entry__``.
+
+Cross-engine hash-match rules (the driver compares row count + schema +
+order-insensitive value hash at sf0.01):
+- counts / min / max / row-wise IEEE arithmetic are bit-identical → emit raw;
+- sums/avgs of floats over many rows differ by summation order → cast the
+  2-decimal-grid inputs to DECIMAL, sum exactly, cast the result to DOUBLE
+  (identical in both engines);
+- window-frame aggregates over ≤50 rows carry ~1e-15 relative error → round
+  to 6 decimals on both sides (the true values sit far from rounding
+  boundaries relative to that error);
+- column names are aliased identically on both sides, timestamps are cast to
+  DATE where emitted (session-timezone independence).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from multi_source_financial_data_pipeline_spark.plans import financial, llmdata, tpch
+from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
+
+
+def _collect() -> dict[str, QuerySpec]:
+    registry: dict[str, QuerySpec] = {}
+    for module in (financial, tpch, llmdata):
+        registry.update(module.SPECS)
+    return registry
+
+
+QUERIES: dict[str, QuerySpec] = _collect()
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_map() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+    }

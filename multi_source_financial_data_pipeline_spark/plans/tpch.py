@@ -1,0 +1,198 @@
+"""TPC-H-shaped analytical queries over the driver's synthetic star schema.
+
+These are the bench headliners: scan-heavy aggregation (q1), selective
+mid-size join + top-k (q3), and a multi-dimension broadcast-join rollup (q5).
+Float sums are computed over DECIMAL-cast inputs (the data sits on a 2-decimal
+grid) and cast back to DOUBLE, so Spark's parallel partial aggregation and
+DuckDB's serial sum produce bit-identical results.
+
+Scale notes: q1 is a pure map-side-combine groupBy on a 4-value key — it
+scales linearly and AQE coalesces the tiny shuffle. q3/q5 join fact tables on
+their natural keys; `region`/`nation`/`customer`/`supplier` are broadcast
+(dimension tables stay small relative to any fact scale-up), so only
+orders⋈lineitem shuffles, on the key both sides are already clustered by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
+from multi_source_financial_data_pipeline_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(col: str, prec: str = "12,2"):
+    return F.col(col).cast(f"decimal({prec})")
+
+
+# --- q1: pricing summary (scan + group-agg) ---------------------------------
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _dec("l_discount", "4,2"))
+    charge = disc_price * (F.lit(1).cast("decimal(4,2)") + _dec("l_tax", "4,2"))
+    out = (
+        li.filter(F.to_date("l_shipdate") <= F.lit(Q1_CUTOFF).cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+SQL_Q1 = f"""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                  * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) <= DATE '{Q1_CUTOFF}'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, sum_charge,
+       sum_qty / count_order AS avg_qty,
+       sum_base_price / count_order AS avg_price,
+       count_order
+FROM agg
+"""
+
+
+# --- q3: top-revenue orders (selective join + top-k) ------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1995-03-15"
+Q3_TOPK = 10
+
+
+def q_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == Q3_SEGMENT)
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit(Q3_DATE).cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit(Q3_DATE).cast("date")
+    )
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - _dec("l_discount", "4,2")
+    )
+    out = (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(Q3_TOPK)
+    )
+    return out.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+
+
+SQL_Q3 = f"""
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND CAST(o_orderdate AS DATE) < DATE '{Q3_DATE}'
+  AND CAST(l_shipdate AS DATE) > DATE '{Q3_DATE}'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT {Q3_TOPK}
+"""
+
+
+# --- q5: revenue by nation within a region (broadcast-join rollup) ----------
+
+Q5_REGION = "ASIA"
+
+
+def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - _dec("l_discount", "4,2")
+    )
+    dims = cust.join(
+        F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+        cust.c_nationkey == nation.n_nationkey,
+    )
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+    return out.select("n_name", "revenue")
+
+
+SQL_Q5 = f"""
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND c_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = '{Q5_REGION}'
+GROUP BY n_name
+"""
+
+
+SPECS = {
+    "q1_pricing_summary": QuerySpec(
+        q_q1_pricing_summary,
+        SQL_Q1,
+        "scan + 4-group aggregation with decimal-exact float sums",
+        ("bench", "agg"),
+    ),
+    "q3_top_revenue": QuerySpec(
+        q_q3_top_revenue,
+        SQL_Q3,
+        "selective 3-way join + grouped revenue + deterministic top-k",
+        ("bench", "join"),
+    ),
+    "q5_region_revenue": QuerySpec(
+        q_q5_region_revenue,
+        SQL_Q5,
+        "multi-dimension broadcast-join rollup",
+        ("bench", "join"),
+    ),
+}

@@ -1,0 +1,132 @@
+"""Unit tests of the pandas-semantics edge cases SURVEY.md §7 calls the hard
+parts: min_periods nulls, pooled z-score, keep-last dedup, business-day
+calendar, strict tolerance — asserted against pandas itself on tiny literal
+frames."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from multi_source_financial_data_pipeline_spark.operators.crossval import (
+    compare_sources,
+    first_request_wins,
+    merge_discrepancy_flags,
+)
+from multi_source_financial_data_pipeline_spark.operators.timeseries import (
+    timeseries_features,
+)
+from multi_source_financial_data_pipeline_spark.operators.validation import (
+    dedup_keep_last,
+    duplicate_stats,
+    missing_business_days,
+    pooled_zscore_outliers,
+)
+
+
+@pytest.fixture()
+def prices(spark):
+    rows = []
+    for t, base in (("AAA", 100.0), ("BBB", 50.0)):
+        for i in range(30):
+            rows.append((t, f"2024-01-{i + 1:02d}", base + i * (1 if t == "AAA" else -0.5), i))
+    df = spark.createDataFrame(rows, "ticker string, date string, close double, seq long")
+    return df.withColumn("date", F.to_date("date"))
+
+
+def test_min_periods_and_pct_change(spark, prices):
+    out = timeseries_features(
+        prices, key="ticker", order=("date",), value="close",
+        ma_windows=(5, 20), vol_window=5,
+    ).toPandas().sort_values(["ticker", "date"]).reset_index(drop=True)
+
+    pdf = prices.toPandas().sort_values(["ticker", "date"]).reset_index(drop=True)
+    pdf["ret"] = pdf.groupby("ticker")["close"].pct_change()
+    pdf["ma5"] = pdf.groupby("ticker")["close"].transform(lambda s: s.rolling(5).mean())
+    pdf["ma20"] = pdf.groupby("ticker")["close"].transform(lambda s: s.rolling(20).mean())
+    pdf["vol5"] = pdf.groupby("ticker")["ret"].transform(lambda s: s.rolling(5).std())
+
+    for col in ("ret", "ma5", "ma20", "vol5"):
+        pd.testing.assert_series_equal(
+            out[col], pdf[col], check_names=False, rtol=1e-12, atol=1e-12,
+        )
+    # min_periods head: first 4 ma5 per ticker are null, like pandas
+    assert out.groupby("ticker")["ma5"].apply(lambda s: s.head(4).isna().all()).all()
+
+
+def test_dedup_keep_last_positional(spark):
+    df = spark.createDataFrame(
+        [("A", "d1", 1.0, 0), ("A", "d1", 2.0, 1), ("A", "d2", 3.0, 2), ("B", "d1", 4.0, 3)],
+        "ticker string, date string, close double, seq long",
+    )
+    out = dedup_keep_last(df, ["ticker", "date"], "seq").toPandas()
+    pdf = df.toPandas().drop_duplicates(subset=["ticker", "date"], keep="last")
+    assert sorted(out["close"]) == sorted(pdf["close"])  # 2.0 survives, not 1.0
+
+    stats = duplicate_stats(df, ["ticker", "date"]).collect()[0]
+    pdf_all = df.toPandas()
+    # pandas duplicated(keep=False).sum() counts all members of dup groups
+    assert stats["dup_rows"] == int(pdf_all.duplicated(["ticker", "date"], keep=False).sum())
+    assert stats["dup_groups"] == 1
+
+
+def test_pooled_zscore_is_global_not_per_key(spark):
+    # one huge value in ticker B; pooled std is inflated by design
+    rows = [("A", float(i), i) for i in range(20)] + [("B", 1000.0, 20)]
+    df = spark.createDataFrame(rows, "ticker string, ret double, seq long")
+    got = pooled_zscore_outliers(df, "ret", threshold=3.0).collect()[0]
+    pdf = pd.DataFrame(rows, columns=["ticker", "ret", "seq"])
+    z = (pdf["ret"] - pdf["ret"].mean()) / pdf["ret"].std()  # ddof=1 pooled
+    assert got["n_outliers"] == int((z.abs() > 3.0).sum())
+    assert got["n_total"] == len(pdf)
+
+
+def test_missing_business_days_mon_fri_no_holidays(spark):
+    # 2024-01-01 is a Monday; drop Wed Jan 3 and the weekend
+    days = ["2024-01-01", "2024-01-02", "2024-01-04", "2024-01-05", "2024-01-08"]
+    df = spark.createDataFrame([("T", d) for d in days], "ticker string, date string")
+    df = df.withColumn("date", F.to_date("date"))
+    out = {r["ticker"]: r["missing_bdays"] for r in missing_business_days(df, "ticker").collect()}
+    cal = pd.bdate_range("2024-01-01", "2024-01-08")
+    expected = len(set(cal.date) - set(pd.to_datetime(pd.Series(days)).dt.date))
+    assert out == {"T": expected}
+    assert expected == 1  # only Jan 3; weekend days are not business days
+
+
+def test_tolerance_strictly_greater(spark):
+    prim = spark.createDataFrame(
+        [("T", "d1", 100.0), ("T", "d2", 100.0), ("T", "d3", 100.0)],
+        "ticker string, date string, yahoo_close double",
+    )
+    sec = spark.createDataFrame(
+        [("T", "d1", 99.5), ("T", "d2", 99.4), ("T", "d3", None)],
+        "ticker string, date string, alpha_close double",
+    )
+    out = compare_sources(prim, sec, on=["ticker", "date"], tolerance_pct=0.5).toPandas()
+    # d1 diff is exactly 0.5% -> NOT flagged (strict >); d3 null -> dropped
+    assert list(out["date"]) == ["d2"]
+    assert out["resolved_as"].iloc[0] == "Yahoo"
+    assert math.isclose(out["resolved_close"].iloc[0], 100.0)
+
+
+def test_flag_merge_back_fills_false(spark):
+    base = spark.createDataFrame([("T", "d1"), ("T", "d2")], "ticker string, date string")
+    disc = spark.createDataFrame([("T", "d2", 1.0)], "ticker string, date string, diff_pct double")
+    out = merge_discrepancy_flags(base, disc, on=["ticker", "date"]).toPandas()
+    flags = dict(zip(out["date"], out["discrepancy_flag"]))
+    assert flags == {"d1": False, "d2": True}
+
+
+def test_first_request_wins_excludes_only_existing_keys(spark):
+    incoming = spark.createDataFrame(
+        [("T", "d1", 1.0), ("T", "d2", 2.0), ("T", "d2", 2.5)],
+        "ticker string, date string, close double",
+    )
+    existing = spark.createDataFrame([("T", "d1", 9.0)], "ticker string, date string, close double")
+    kept = first_request_wins(incoming, existing, ["ticker", "date"]).toPandas()
+    # d1 exists from an earlier request -> skipped; within-batch dup on d2 is
+    # NOT deduped (reference probes existing data only, src/database.py:194)
+    assert sorted(kept["close"]) == [2.0, 2.5]
