@@ -47,6 +47,24 @@ def global_summary(
     )
 
 
+def ledger_current_status(ledger: DataFrame) -> DataFrame:
+    """K6 'current status' for the append-only request ledger: per request,
+    the terminal event (completed/failed) wins over 'started'; ties break on
+    request_timestamp. Replaces the reference's in-place UPDATE
+    (src/database.py:159-175)."""
+    from pyspark.sql import Window
+
+    terminal = F.when(F.col("status") == "started", 0).otherwise(1)
+    w = Window.partitionBy("request_id").orderBy(
+        terminal.desc(), F.col("request_timestamp").desc()
+    )
+    return (
+        ledger.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def latest_per_key(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
     """K6 'current status' view (src/database.py:159-175): the reference
     UPDATEs a ledger row in place; the idiomatic Spark ledger is append-only
