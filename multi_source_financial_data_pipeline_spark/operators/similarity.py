@@ -116,6 +116,23 @@ def cosine_neardup_pairs(
     )
 
 
+def signed_planes(
+    num_planes: int = 16, dim: int = 64, seed: int = 7
+) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane matrix (md5-seeded). ±1 components
+    keep the projection a plain signed sum — exactly mirrorable in a DuckDB
+    oracle, and as effective as Gaussian planes for sign-LSH."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{seed}|{p}|{d}".encode()).digest()[0] % 2 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
 def lsh_bucket(
     embeddings: DataFrame,
     num_planes: int = 16,
@@ -124,33 +141,59 @@ def lsh_bucket(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Sign-random-hyperplane LSH bucket id per vector (the ANN scale path:
-    candidates = same-bucket vectors, then exact re-rank). Hyperplanes are a
-    deterministic pseudo-random matrix derived from (seed, plane, dim) via a
-    hash → uniform in [-1,1], computed JVM-side."""
-    planes = []
-    for p in range(num_planes):
-        # deterministic pseudo-random plane: component_d = hash-based uniform
-        comps = ", ".join(
-            f"(cast(conv(substring(md5('{seed}|{p}|{d}'), 1, 8), 16, 10) as double)"
-            f" / 2147483647.5 - 1.0)"
-            for d in range(dim)
+    """Sign-random-hyperplane LSH bucket id per vector — the ANN scale path:
+    bucket the corpus once (linear), generate candidates within buckets, then
+    exact re-rank. At 100 TB the table is additionally partitioned by bucket
+    so probes touch one partition."""
+    planes = signed_planes(num_planes, dim, seed)
+    terms = []
+    for p, plane in enumerate(planes):
+        arr = ", ".join(f"cast({c:.1f} as double)" for c in plane)
+        proj = (
+            f"aggregate(zip_with(cast({vec_col} as array<double>), array({arr}),"
+            f" (x, y) -> x * y), cast(0.0 as double), (acc, z) -> acc + z)"
         )
-        planes.append(f"array({comps})")
-    plane_arr = f"array({', '.join(planes)})"
-    v = _as_double(vec_col)
-    bucket_bits = F.expr(
-        f"""
-        aggregate(
-          zip_with({plane_arr}, sequence(0, {num_planes - 1}), (pl, i) ->
-            CASE WHEN aggregate(zip_with(pl, cast({vec_col} as array<double>),
-                                          (x, y) -> x * y),
-                                 cast(0.0 as double), (acc, z) -> acc + z) > 0
-                 THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END),
-          cast(0 as bigint), (acc, x) -> acc + x)
-        """
+        terms.append(
+            f"(CASE WHEN {proj} > 0 THEN shiftleft(cast(1 as bigint), {p})"
+            f" ELSE cast(0 as bigint) END)"
+        )
+    bucket = F.expr(" + ".join(terms))
+    return embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs restricted to same-LSH-bucket candidates — the linear-
+    ish scale path (recall < 1 by design; the brute-force operator is the
+    exactness baseline). Bucket sizes are data-independent-ish (2^planes
+    buckets), so the within-bucket self-join is skew-bounded."""
+    b = lsh_bucket(embeddings, num_planes, dim, seed, id_col, vec_col)
+    a = b.select(
+        F.col(id_col).alias("id_a"),
+        _as_double(vec_col).alias("va"),
+        sq_norm(_as_double(vec_col)).alias("na"),
+        "bucket",
     )
-    _ = v
-    return embeddings.select(
-        F.col(id_col), F.col(vec_col), bucket_bits.alias("bucket")
+    c = b.select(
+        F.col(id_col).alias("id_b"),
+        _as_double(vec_col).alias("vb"),
+        sq_norm(_as_double(vec_col)).alias("nb"),
+        "bucket",
+    )
+    cos = dot(F.col("va"), F.col("vb")) / F.nullif(
+        F.sqrt(F.col("na") * F.col("nb")), F.lit(0.0)
+    )
+    return (
+        a.join(c, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
     )

@@ -1,0 +1,159 @@
+"""Event-time queries over the `events` table: as-of join, sessionization,
+time-bucket rollup (operators/sessions.py). The reference has only equi-joins
+(SURVEY.md §2.4) and no streaming (§2.9); these are the canonical extensions
+an event-time engine needs, each with a DuckDB oracle that mirrors the Spark
+plan operation-for-operation.
+
+Cross-engine exactness: timestamps cross the boundary as epoch microseconds
+(integer), value sums go through DECIMAL(12,2) (the inputs sit on a 2-decimal
+grid), raw DOUBLE passthroughs (min/max/asof value) are bit-exact, and both
+engines sessionize on the same total order `(ts, event_id)`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from multi_source_financial_data_pipeline_spark.operators import sessions
+from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
+from multi_source_financial_data_pipeline_spark.sources import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, "events")
+
+
+# --- as-of join: each purchase matched to the user's latest prior signup -----
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = sessions.asof_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+        "asof_value",
+        "asof_ts",
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH u AS (
+  SELECT event_id, user_id, ts, value, 1 AS side,
+         NULL::DOUBLE AS r_value, NULL::BIGINT AS r_ts_us
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT event_id, user_id, ts, NULL::DOUBLE, 0,
+         value, epoch_us(ts)
+  FROM events WHERE event_type = 'signup'
+), w AS (
+  SELECT *,
+    last_value(r_value IGNORE NULLS) OVER prior_r AS asof_value,
+    last_value(r_ts_us IGNORE NULLS) OVER prior_r AS asof_ts
+  FROM u
+  WINDOW prior_r AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, asof_value, asof_ts
+FROM w WHERE side = 1
+"""
+
+
+# --- sessionization: 30-min-gap sessions per user ----------------------------
+
+GAP_SECONDS = 1800
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.session_stats(
+        _events(spark, sf_dir),
+        key="user_id",
+        ts_col="ts",
+        tiebreak="event_id",
+        value_col="value",
+        gap_seconds=GAP_SECONDS,
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH s AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(epoch_us(ts)) OVER evt IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER evt > {GAP_SECONDS} * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW evt AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s2 AS (
+  SELECT *,
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
+      AS session_id
+  FROM s
+)
+SELECT user_id, session_id,
+       min(epoch_us(ts)) AS session_start_us,
+       max(epoch_us(ts)) AS session_end_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM s2 GROUP BY user_id, session_id
+"""
+
+
+# --- time-bucket rollup: hourly continuous aggregate per event type ----------
+
+def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.time_bucket_rollup(
+        _events(spark, sf_dir),
+        ts_col="ts",
+        bucket="hour",
+        group_cols=["event_type"],
+        value_col="value",
+    )
+
+
+SQL_TIME_BUCKET = """
+SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+SPECS = {
+    "asof_join": QuerySpec(
+        q_asof_join,
+        SQL_ASOF_JOIN,
+        "as-of join (latest prior signup per purchase) via union+window",
+        ("events", "join"),
+    ),
+    "sessionize": QuerySpec(
+        q_sessionize,
+        SQL_SESSIONIZE,
+        "30-min-gap sessionization + per-session aggregates",
+        ("events", "window"),
+    ),
+    "time_bucket_hourly": QuerySpec(
+        q_time_bucket,
+        SQL_TIME_BUCKET,
+        "hourly time-bucket rollup per event type (continuous aggregate)",
+        ("events", "agg"),
+    ),
+}

@@ -274,6 +274,62 @@ WHERE round({_sql_cos("a.v", "b.v")}, 6) >= {COS_THRESHOLD}
 """
 
 
+# --- sign-LSH bucketing + bucketed near-dup (the ANN scale path) -------------
+
+LSH_DIM = 64
+LSH_BUCKET_PLANES = 16
+LSH_NEARDUP_PLANES = 8
+
+
+def _sql_plane_proj(plane: list[float]) -> str:
+    arr = "[" + ", ".join(f"{c:.1f}" for c in plane) + "]"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {LSH_DIM}),"
+        f" i -> v[i] * ({arr})[i]), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_bucket(num_planes: int) -> str:
+    planes = similarity.signed_planes(num_planes, LSH_DIM)
+    return " + ".join(
+        f"(CASE WHEN {_sql_plane_proj(p)} > 0 THEN (CAST(1 AS BIGINT) << {i})"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i, p in enumerate(planes)
+    )
+
+
+def q_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similarity.lsh_bucket(
+        _t(spark, sf_dir, "embeddings"), num_planes=LSH_BUCKET_PLANES, dim=LSH_DIM
+    )
+    return out.select("vec_id", "bucket")
+
+
+SQL_LSH_BUCKET = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, {_sql_bucket(LSH_BUCKET_PLANES)} AS bucket FROM e
+"""
+
+
+def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=COS_THRESHOLD,
+        num_planes=LSH_NEARDUP_PLANES,
+        dim=LSH_DIM,
+    )
+
+
+SQL_LSH_NEARDUP = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_sql_bucket(LSH_NEARDUP_PLANES)} AS bucket FROM e)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round({_sql_cos("a.v", "c.v")}, 6) AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round({_sql_cos("a.v", "c.v")}, 6) >= {COS_THRESHOLD}
+"""
+
+
 SPECS = {
     "token_stats": QuerySpec(
         q_token_stats, SQL_TOKEN_STATS, "per-doc token counting + type-token ratio", ("text",)
@@ -324,6 +380,18 @@ SPECS = {
         q_embedding_neardup,
         SQL_EMBEDDING_NEARDUP,
         "embedding-cosine near-dup pairs above threshold",
+        ("similarity", "dedup"),
+    ),
+    "lsh_bucket": QuerySpec(
+        q_lsh_bucket,
+        SQL_LSH_BUCKET,
+        "16-plane sign-random-hyperplane LSH bucket per vector",
+        ("similarity",),
+    ),
+    "lsh_neardup_pairs": QuerySpec(
+        q_lsh_neardup,
+        SQL_LSH_NEARDUP,
+        "near-dup pairs within LSH buckets (linear-scale candidate path)",
         ("similarity", "dedup"),
     ),
 }
