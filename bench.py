@@ -35,6 +35,10 @@ HEADLINE = [
     "simhash",
     "ann_topk",
     "embedding_neardup",
+    "lsh_neardup_pairs",
+    "asof_join",
+    "sessionize",
+    "time_bucket_hourly",
 ]
 
 

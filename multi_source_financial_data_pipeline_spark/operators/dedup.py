@@ -41,27 +41,51 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def _minhash_one(shingle_col: Column, seed: int) -> Column:
-    """One MinHash value as a 16-hex-char string: min over shingles of
-    md5(seed || '|' || shingle). Lexicographic min on fixed-width lowercase
-    hex == numeric min, identically in Spark and DuckDB."""
-    return F.array_min(
-        F.transform(
-            shingle_col,
-            lambda s: F.substring(F.md5(F.concat(F.lit(f"{seed}|"), s)), 1, 16),
-        )
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows: word n-grams via zipped array slices, exploded.
+    Row-level slices + one explode keep all per-element work out of nested
+    lambda evaluation (a `transform` whose lambda re-reads the token array
+    re-tokenizes the document once per shingle — O(doc²) per row), and the
+    exploded long form feeds codegen'd hash-aggregates. Docs with < n tokens
+    produce no rows."""
+    toks = tokens(F.col(text_col))
+    width = F.size(toks) - (n - 1)
+    z = F.when(
+        F.size(toks) >= n,
+        F.arrays_zip(*[F.slice(toks, k + 1, width) for k in range(n)]),
+    )
+    return df.select(F.col(id_col), F.explode(z).alias("g")).select(
+        id_col,
+        F.concat_ws(" ", *[F.col("g")[str(k)] for k in range(n)]).alias("s"),
     )
 
 
+def _minhash_agg(j: int) -> Column:
+    """One MinHash aggregate over (id, shingle) rows: min of
+    md5(j || '|' || shingle) as a 16-hex-char string. Lexicographic min on
+    fixed-width lowercase hex == numeric min, identically in Spark and
+    DuckDB. Duplicate shingles don't change a min, so the rows need no
+    distinct pass."""
+    return F.min(F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))), 1, 16))
+
+
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", num_hashes: int = 8, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-doc MinHash signature columns mh0..mh{k-1}."""
-    sh = shingles(F.col(text_col), shingle_n)
-    out = df.withColumn("__sh", sh)
-    for j in range(num_hashes):
-        out = out.withColumn(f"mh{j}", _minhash_one(F.col("__sh"), j))
-    return out.drop("__sh")
+    """Per-doc MinHash signature columns mh0..mh{k-1} (null for docs with no
+    shingles). One explode + one map-side-combined groupBy — linear in corpus
+    token count, no per-element lambda evaluation."""
+    sh = shingle_rows(df.select(id_col, text_col), id_col, text_col, shingle_n)
+    aggd = sh.groupBy(id_col).agg(
+        *[_minhash_agg(j).alias(f"mh{j}") for j in range(num_hashes)]
+    )
+    return df.join(aggd, [id_col], "left")
 
 
 def lsh_candidate_pairs(
@@ -72,25 +96,25 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: signature split into bands of `band_size` hashes; docs
     sharing any full band become a candidate pair. Returns distinct
-    (id_a, id_b) with id_a < id_b. Null bands (empty shingle sets) never
-    match — equi-join semantics drop them in both engines."""
+    (id_a, id_b) with id_a < id_b. Empty band keys (docs with no shingles)
+    are dropped — they'd otherwise all collide."""
     n_bands = num_hashes // band_size
-    band_frames = []
-    for b in range(n_bands):
-        cols = [f"mh{j}" for j in range(b * band_size, (b + 1) * band_size)]
-        band_frames.append(
-            sig.select(
-                F.col(id_col).alias("id"),
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *cols).alias("band_key"),
-            ).filter(F.col("band_key") != "")
-        )
-    bands = band_frames[0]
-    for f in band_frames[1:]:
-        bands = bands.unionByName(f)
-    # the signature pipeline (shingling + k md5 min-hashes) is expensive;
-    # without a persist the self-join × band-union recomputes it 2×bands times
-    bands = bands.persist()
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|", *[f"mh{j}" for j in range(b * band_size, (b + 1) * band_size)]
+            )
+            for b in range(n_bands)
+        ]
+    )
+    # one pass over sig (posexplode, not a per-band union — a union would
+    # recompute the signature pipeline once per band); persisted because the
+    # self-join reads it twice
+    bands = (
+        sig.select(F.col(id_col).alias("id"), F.posexplode(band_keys).alias("band", "band_key"))
+        .filter(F.col("band_key") != "")
+        .persist()
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     pairs = (
