@@ -75,10 +75,12 @@ def synthetic_media(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFr
 
 def _fake_decode(data: bytes | None) -> tuple[int | None, int | None, list[float]]:
     """Deterministic stand-in for a codec: dimensions + an 8-dim feature from
-    the payload digest. Swap for PIL.Image.open / librosa / ffmpeg here."""
+    the payload digest (md5 over the lowercase hex of the payload, so a SQL
+    oracle lacking blob-md5 can reproduce it). Swap for PIL.Image.open /
+    librosa / ffmpeg here."""
     if data is None:
         return None, None, []
-    digest = hashlib.md5(bytes(data)).digest()
+    digest = hashlib.md5(bytes(data).hex().encode()).digest()
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
     feature = [b / 255.0 for b in digest[2:10]]

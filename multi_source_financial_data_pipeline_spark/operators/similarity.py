@@ -11,7 +11,7 @@ centroid, probe a few buckets).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _ZERO = "cast(0.0 as double)"
 
@@ -51,8 +51,6 @@ def brute_force_topk(
     """Exact top-k neighbors per query by cosine. The query side is broadcast
     (queries ≪ corpus); ranking is a per-query window on the rounded
     similarity with an id tiebreak, so results are deterministic."""
-    from pyspark.sql import Window
-
     # norms are precomputed once per side — the cosine per pair is then one
     # fold (dot) instead of three; numerically identical to inline norms
     cand = embeddings.select(
@@ -159,6 +157,53 @@ def lsh_bucket(
         )
     bucket = F.expr(" + ".join(terms))
     return embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    then exact cosine re-rank — the probe path over a bucket-partitioned
+    corpus (recall < 1 by design; brute_force_topk is the exactness
+    baseline). Few planes → big buckets → higher recall; the bucket join
+    replaces the all-pairs crossjoin."""
+    b = lsh_bucket(embeddings, num_planes, dim, seed, id_col, vec_col)
+    cand = b.select(
+        F.col(id_col).alias("cand_id"),
+        _as_double(vec_col).alias("cv"),
+        sq_norm(_as_double(vec_col)).alias("cn"),
+        "bucket",
+    )
+    qb = lsh_bucket(queries, num_planes, dim, seed, query_id_col, vec_col).select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        sq_norm(_as_double(vec_col)).alias("qn"),
+        "bucket",
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / F.nullif(
+        F.sqrt(F.col("qn") * F.col("cn")), F.lit(0.0)
+    )
+    scored = (
+        qb.join(cand, ["bucket"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
 
 
 def lsh_neardup_pairs(

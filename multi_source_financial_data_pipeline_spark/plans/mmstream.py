@@ -1,0 +1,247 @@
+"""Multimodal and Structured Streaming queries, oracle-checked.
+
+Multimodal (north star: BASELINE.json): the binary payloads are generated
+JVM-side (operators/multimodal.synthetic_media — deterministic md5-derived
+blobs), decoded through the real ``mapInPandas`` Arrow plumbing, and the
+oracle reproduces the fake codec arithmetic symbolically (the decoder digests
+the payload's lowercase hex, so DuckDB's string-only md5 can mirror it).
+
+Streaming (SURVEY.md §2.9): the reference's incrementality is cron re-runs
+with key dedup; the Spark-native equivalents — an ``availableNow`` drain into
+a complete-mode windowed aggregate, and watermarked ``dropDuplicates`` through
+``foreachBatch`` — both produce deterministic *sets*, so each has an exact
+batch-SQL oracle even though streaming itself is not SQL-expressible.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from multi_source_financial_data_pipeline_spark.operators import multimodal, similarity
+from multi_source_financial_data_pipeline_spark.plans.llmdata import (
+    COS_THRESHOLD,
+    N_QUERIES,
+    _sql_bucket,
+    _sql_cos,
+)
+from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
+from multi_source_financial_data_pipeline_spark.schemas import TESTDATA
+from multi_source_financial_data_pipeline_spark.sources import load_table
+from multi_source_financial_data_pipeline_spark.streaming import ingest
+
+N_MEDIA = 240
+MEDIA_SEED = 42
+
+# DuckDB twin of synthetic_media: payload hex = repeat(md5(seed || id), 8)
+_SQL_MEDIA = f"""
+SELECT i AS media_id,
+       ['image', 'audio', 'video'][(i % 3)::INT + 1] AS kind,
+       repeat(md5('{MEDIA_SEED}' || i), 8) AS ph
+FROM generate_series(0, {N_MEDIA - 1}) t(i)
+"""
+
+
+# --- media feature extraction (mapInPandas over binary column) ---------------
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthetic_media(spark, n=N_MEDIA, seed=MEDIA_SEED)
+    feats = multimodal.decode_media_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        F.element_at("feature", 1).cast("double").alias("feature0"),
+    )
+
+
+SQL_MEDIA_FEATURES = f"""
+WITH m AS ({_SQL_MEDIA}),
+d AS (SELECT media_id, kind, md5(ph) AS dg, length(ph) // 2 AS n_bytes FROM m)
+SELECT media_id, kind,
+       CAST(n_bytes AS INT) AS n_bytes,
+       CAST(64 + ('0x' || substr(dg, 1, 2))::INT % 192 AS INT) AS width,
+       CAST(64 + ('0x' || substr(dg, 3, 2))::INT % 192 AS INT) AS height,
+       CAST(CAST(('0x' || substr(dg, 5, 2))::INT / 255.0 AS FLOAT) AS DOUBLE)
+         AS feature0
+FROM d
+"""
+
+
+# --- video frame sampling (mapInPandas explode over binary column) -----------
+
+FRAME_BYTES = 32
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthetic_media(spark, n=N_MEDIA, seed=MEDIA_SEED)
+    frames = multimodal.sample_frames(media, every_n_bytes=FRAME_BYTES)
+    return frames.select(
+        "media_id", "frame_index", F.lower(F.hex("frame_bytes")).alias("frame_hex")
+    )
+
+
+# payloads are fixed-size (md5 hex ×8 = 128 bytes), so the frame count per
+# video is the constant 128 / FRAME_BYTES
+_N_FRAMES = 128 // FRAME_BYTES
+SQL_MEDIA_FRAMES = f"""
+WITH m AS ({_SQL_MEDIA})
+SELECT media_id, CAST(j AS INT) AS frame_index,
+       substr(ph, j * {FRAME_BYTES * 2} + 1, {FRAME_BYTES * 2}) AS frame_hex
+FROM m, generate_series(0, {_N_FRAMES - 1}) s(j)
+WHERE kind = 'video'
+"""
+
+
+# --- LSH-probed approximate top-k (ANN scale path) ---------------------------
+
+LSH_TOPK_PLANES = 4
+TOPK = 10
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb, queries, k=TOPK, num_planes=LSH_TOPK_PLANES)
+
+
+SQL_ANN_TOPK_LSH = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_sql_bucket(LSH_TOPK_PLANES)} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         round({_sql_cos("qv", "c.v")}, 6) AS cos_sim
+  FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id
+)
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, cand_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
+# --- streaming: availableNow windowed aggregate ------------------------------
+
+_qname = itertools.count()
+
+
+@contextlib.contextmanager
+def _event_stream(spark: SparkSession, sf_dir: str):
+    """Stream the driver's events parquet: the file source wants a directory,
+    so the single file is symlinked into a temp landing dir; nanos timestamps
+    are read as long (same legacy conf as the batch scan) and converted with
+    integer division."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fields = [
+        T.StructField(f.name, T.LongType() if isinstance(f.dataType, T.TimestampType) else f.dataType)
+        for f in TESTDATA["events"].fields
+    ]
+    with tempfile.TemporaryDirectory() as landing:
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(landing, "events.parquet"),
+        )
+        raw = ingest.read_event_stream(spark, landing, T.StructType(fields))
+        yield raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow drain → tumbling 1-hour window count per event type,
+    complete-mode memory sink. The final state is the full-history aggregate,
+    so the batch GROUP BY oracle matches exactly."""
+    name = f"stream_hourly_{next(_qname)}"
+    with _event_stream(spark, sf_dir) as stream:
+        agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").count()
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).select(
+        F.unix_micros(F.col("window.start")).alias("bucket_us"),
+        "event_type",
+        F.col("count").alias("n_events"),
+    )
+
+
+SQL_STREAM_HOURLY = """
+SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- streaming: watermarked dropDuplicates through foreachBatch --------------
+
+def q_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked key-dedup drained with availableNow; foreachBatch counts
+    survivors (the kept row per key is arrival-order-dependent, the key set
+    is not — so the count is the deterministic, oracle-checkable output)."""
+    counts: list[int] = []
+
+    def writer(batch_df: DataFrame, _batch_id: int) -> None:
+        counts.append(batch_df.count())
+
+    with _event_stream(spark, sf_dir) as stream:
+        deduped = ingest.dedup_with_watermark(
+            stream, "ts", ["user_id", "event_type"], "1 day"
+        )
+        with tempfile.TemporaryDirectory() as ckpt:
+            ingest.run_available_now(deduped, ckpt, writer)
+    return spark.createDataFrame([(sum(counts),)], "n_rows bigint")
+
+
+SQL_STREAM_DEDUP = """
+SELECT count(*) AS n_rows
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+"""
+
+
+SPECS = {
+    "media_features": QuerySpec(
+        q_media_features,
+        SQL_MEDIA_FEATURES,
+        "binary media decode via Arrow mapInPandas (stub codec, real plumbing)",
+        ("multimodal",),
+    ),
+    "media_frames": QuerySpec(
+        q_media_frames,
+        SQL_MEDIA_FRAMES,
+        "video frame sampling: one row per fixed-size payload slice",
+        ("multimodal",),
+    ),
+    "ann_topk_lsh": QuerySpec(
+        q_ann_topk_lsh,
+        SQL_ANN_TOPK_LSH,
+        "approximate top-k via LSH bucket probe + exact re-rank",
+        ("similarity",),
+    ),
+    "stream_hourly_counts": QuerySpec(
+        q_stream_hourly_counts,
+        SQL_STREAM_HOURLY,
+        "availableNow streaming tumbling-window counts (complete mode)",
+        ("streaming",),
+    ),
+    "stream_dedup_count": QuerySpec(
+        q_stream_dedup_count,
+        SQL_STREAM_DEDUP,
+        "watermarked streaming dropDuplicates, survivor count via foreachBatch",
+        ("streaming",),
+    ),
+}
