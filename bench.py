@@ -48,6 +48,12 @@ def main() -> None:
     spark = get_spark("msfdp-bench")
     spark.sparkContext.setLogLevel("WARN")
 
+    # warm the JVM (codegen, shuffle machinery, parquet footers) with one
+    # throwaway action so per-query timings measure steady state, not boot
+    QUERIES["table_stats"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = QUERIES[name]
