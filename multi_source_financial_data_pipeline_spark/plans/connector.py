@@ -1,0 +1,128 @@
+"""Python Data Source connector queries (SURVEY.md §2.1 S1-S3).
+
+The connector (sources/market_source.py) is registered per query and read
+through the normal scan path — one input partition per ticker. Quotes are
+md5-derived, so the DuckDB oracle rebuilds the identical feed symbolically
+(same hash→int mapping, same (int % const) / 100.0 double arithmetic) and the
+cross-validation query exercises the real two-source reconcile operator over
+two genuinely different connector reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from multi_source_financial_data_pipeline_spark.operators import crossval
+from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
+from multi_source_financial_data_pipeline_spark.sources import market_source
+
+TICKERS = ["AAPL", "GLD", "MSFT", "TSLA"]
+START, END = "2024-01-01", "2024-03-29"
+TOLERANCE_PCT = 0.5
+
+
+def _read(spark: SparkSession, source: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    market_source.register(spark)
+    return (
+        spark.read.format("market_sim")
+        .option("tickers", ",".join(TICKERS))
+        .option("start", START)
+        .option("end", END)
+        .option("source", source)
+        .load()
+    )
+
+
+def _sql_h(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
+
+
+_SQL_TICKS = ", ".join(f"'{t}'" for t in TICKERS)
+_SQL_FEED = f"""
+WITH days AS (
+  SELECT t.d::DATE AS date
+  FROM generate_series(DATE '{START}', DATE '{END}', INTERVAL 1 DAY) t(d)
+  WHERE isodow(t.d::DATE) <= 5
+), tk AS (SELECT unnest([{_SQL_TICKS}]) AS ticker),
+feed AS (
+  SELECT ticker, date,
+         10.0 + ({_sql_h("ticker || '|' || date::VARCHAR")} % 49000) / 100.0
+           AS close0,
+         10.0 + ({_sql_h("'o|' || ticker || '|' || date::VARCHAR")} % 49000) / 100.0
+           AS open,
+         ({_sql_h("'h|' || ticker || '|' || date::VARCHAR")} % 500) / 100.0
+           AS hi_spread,
+         ({_sql_h("'l|' || ticker || '|' || date::VARCHAR")} % 500) / 100.0
+           AS lo_spread,
+         (({_sql_h("'a|' || ticker || '|' || date::VARCHAR")} % 200) - 100) / 100.0
+           AS alpha_shift,
+         1000 + {_sql_h("'v|' || ticker || '|' || date::VARCHAR")} % 10000000
+           AS volume
+  FROM tk, days
+)
+"""
+
+
+# --- primary-feed scan -------------------------------------------------------
+
+def q_connector_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, "yahoo")
+
+
+SQL_CONNECTOR_OHLCV = f"""{_SQL_FEED}
+SELECT ticker, date, open,
+       greatest(open, close0) + hi_spread AS high,
+       least(open, close0) - lo_spread AS low,
+       close0 AS close, close0 AS adj_close,
+       volume, 'yahoo' AS source
+FROM feed
+"""
+
+
+# --- two-source cross-validation over connector reads ------------------------
+
+def q_connector_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yahoo = _read(spark, "yahoo").select(
+        "ticker", "date", F.col("close").alias("yahoo_close")
+    )
+    alpha = _read(spark, "alpha").select(
+        "ticker", "date", F.col("close").alias("alpha_close")
+    )
+    return crossval.compare_sources(
+        yahoo, alpha, on=["ticker", "date"], tolerance_pct=TOLERANCE_PCT
+    )
+
+
+SQL_CONNECTOR_CROSSVAL = f"""{_SQL_FEED},
+pair AS (
+  SELECT ticker, date, close0 AS yahoo_close,
+         close0 + alpha_shift AS alpha_close
+  FROM feed
+), d AS (
+  SELECT ticker, date, yahoo_close, alpha_close,
+         yahoo_close - alpha_close AS price_diff,
+         abs((yahoo_close - alpha_close)
+             / nullif(yahoo_close, 0.0) * 100) AS diff_pct
+  FROM pair
+)
+SELECT ticker, date, yahoo_close, alpha_close, price_diff, diff_pct,
+       yahoo_close AS resolved_close, 'Yahoo' AS resolved_as
+FROM d WHERE diff_pct > {TOLERANCE_PCT}
+"""
+
+
+SPECS = {
+    "connector_ohlcv": QuerySpec(
+        q_connector_ohlcv,
+        SQL_CONNECTOR_OHLCV,
+        "Python Data Source OHLCV feed, one input partition per ticker",
+        ("source",),
+    ),
+    "connector_crossval": QuerySpec(
+        q_connector_crossval,
+        SQL_CONNECTOR_CROSSVAL,
+        "cross-source reconcile over two connector feeds (J1+F1+P3+F2)",
+        ("source", "crossval"),
+    ),
+}

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from multi_source_financial_data_pipeline_spark.operators import sessions
+from multi_source_financial_data_pipeline_spark.operators import sessions, skew
 from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 from multi_source_financial_data_pipeline_spark.sources import load_table
 
@@ -137,6 +137,36 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --- skew-safe rollup: salted two-phase aggregation --------------------------
+
+def q_skewed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy on the 5-value event_type key via salted two-phase agg — the
+    hot-key-safe plan. Decomposable aggregates (decimal-exact sum) make the
+    result identical to the direct groupBy, which is exactly what the oracle
+    runs."""
+    return skew.salted_agg(
+        _events(spark, sf_dir),
+        ["event_type"],
+        {
+            "n_events": ("count", F.lit(1)),
+            "sum_value": ("sum", F.col("value").cast("decimal(12,2)")),
+            "min_value": ("min", F.col("value")),
+            "max_value": ("max", F.col("value")),
+        },
+        num_salts=16,
+    ).withColumn("sum_value", F.col("sum_value").cast("double"))
+
+
+SQL_SKEWED_ROLLUP = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 SPECS = {
     "asof_join": QuerySpec(
         q_asof_join,
@@ -155,5 +185,11 @@ SPECS = {
         SQL_TIME_BUCKET,
         "hourly time-bucket rollup per event type (continuous aggregate)",
         ("events", "agg"),
+    ),
+    "skewed_event_rollup": QuerySpec(
+        q_skewed_rollup,
+        SQL_SKEWED_ROLLUP,
+        "salted two-phase aggregation over a hot 5-value key",
+        ("events", "agg", "skew"),
     ),
 }

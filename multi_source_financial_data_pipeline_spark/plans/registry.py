@@ -20,13 +20,13 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from multi_source_financial_data_pipeline_spark.plans import eventstream, financial, llmdata, mmstream, tpch
+from multi_source_financial_data_pipeline_spark.plans import connector, eventstream, financial, llmdata, mmstream, tpch
 from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 
 
 def _collect() -> dict[str, QuerySpec]:
     registry: dict[str, QuerySpec] = {}
-    for module in (financial, tpch, llmdata, eventstream, mmstream):
+    for module in (financial, tpch, llmdata, eventstream, mmstream, connector):
         registry.update(module.SPECS)
     return registry
 

@@ -1,0 +1,102 @@
+"""Spark 4 Python Data Source for market-data ingestion (SURVEY.md §2.1
+S1-S3).
+
+The reference fetches OHLCV over HTTP per ticker with a thread pool
+(/root/reference/src/pipeline.py:28-42) and a secondary source for
+cross-validation (/root/reference/src/validation.py:128-185). The Spark-native
+connector shape: a registered ``DataSource`` whose reader emits **one input
+partition per ticker** — the cluster schedules ticker fetches as tasks, which
+is the distributed generalization of ``threads=True``. Retry/backoff and rate
+limiting (src/logger.py:75-132, src/validation.py:178) live inside
+``read(partition)``, per task, where a real HTTP client would go.
+
+This offline build generates deterministic md5-derived quotes instead of
+calling an API, so the connector is oracle-checkable: every value is
+reproducible in ANSI SQL (see plans/connector.py). The ``source`` option
+switches between the primary feed and a perturbed secondary feed
+('yahoo' / 'alpha'), giving the cross-validation path two genuinely different
+connectors to reconcile.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import date, timedelta
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SCHEMA = (
+    "ticker string, date date, open double, high double, low double, "
+    "close double, adj_close double, volume bigint, source string"
+)
+
+
+def _h(s: str) -> int:
+    """First 8 hex chars of md5 as an int — mirrored in SQL as
+    ('0x' || substr(md5(s), 1, 8))::BIGINT."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def quote(ticker: str, d: date, source: str) -> tuple:
+    """One deterministic OHLCV row. All arithmetic is (int % const) / 100.0
+    on doubles — bit-identical in any engine."""
+    ds = d.isoformat()
+    close = 10.0 + (_h(f"{ticker}|{ds}") % 49000) / 100.0
+    open_ = 10.0 + (_h(f"o|{ticker}|{ds}") % 49000) / 100.0
+    high = max(open_, close) + (_h(f"h|{ticker}|{ds}") % 500) / 100.0
+    low = min(open_, close) - (_h(f"l|{ticker}|{ds}") % 500) / 100.0
+    if source == "alpha":
+        # secondary feed disagrees by up to ±1.00 — the cross-validation
+        # tolerance filter has real discrepancies to find
+        close = close + ((_h(f"a|{ticker}|{ds}") % 200) - 100) / 100.0
+    volume = 1000 + _h(f"v|{ticker}|{ds}") % 10_000_000
+    return (ticker, d, open_, high, low, close, close, volume, source)
+
+
+def business_days(start: date, end: date) -> Iterator[date]:
+    """Mon-Fri inclusive range — same calendar as the missing-bday check
+    (no holiday calendar, matching pd.bdate_range semantics)."""
+    d = start
+    while d <= end:
+        if d.weekday() < 5:
+            yield d
+        d += timedelta(days=1)
+
+
+class MarketDataReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.tickers = [t for t in options.get("tickers", "").split(",") if t]
+        self.start = date.fromisoformat(options["start"])
+        self.end = date.fromisoformat(options["end"])
+        self.source = options.get("source", "yahoo")
+
+    def partitions(self) -> list[InputPartition]:
+        # one partition per ticker: per-ticker fetch parallelism as tasks
+        return [InputPartition(t) for t in self.tickers]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        # a real connector wraps this body in retry-with-backoff and a
+        # per-partition rate limiter (src/logger.py:75-132)
+        ticker = partition.value
+        for d in business_days(self.start, self.end):
+            yield quote(ticker, d, self.source)
+
+
+class MarketDataSource(DataSource):
+    """spark.read.format("market_sim").option("tickers", "AAPL,MSFT")
+    .option("start", "2024-01-01").option("end", "2024-03-29").load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "market_sim"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> MarketDataReader:
+        return MarketDataReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(MarketDataSource)

@@ -1,0 +1,51 @@
+"""Python Data Source connector: partitioning + feed shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multi_source_financial_data_pipeline_spark.sources import market_source
+
+
+def _read(spark, source="yahoo", tickers="AAPL,MSFT"):
+    market_source.register(spark)
+    return (
+        spark.read.format("market_sim")
+        .option("tickers", tickers)
+        .option("start", "2024-01-01")
+        .option("end", "2024-01-10")
+        .option("source", source)
+        .load()
+    )
+
+
+def test_one_partition_per_ticker(spark):
+    df = _read(spark, tickers="AAPL,MSFT,TSLA")
+    assert df.rdd.getNumPartitions() == 3
+    # each partition holds exactly one ticker (fetch parallelism = tasks)
+    per_part = df.rdd.mapPartitions(
+        lambda rows: [len({r["ticker"] for r in rows})]
+    ).collect()
+    assert per_part == [1, 1, 1]
+
+
+def test_feed_is_deterministic_and_business_days_only(spark):
+    a = _read(spark).orderBy("ticker", "date").collect()
+    b = _read(spark).orderBy("ticker", "date").collect()
+    assert a == b
+    # 2024-01-01..10 has 8 business days (6th/7th are a weekend)
+    assert len(a) == 2 * 8
+    assert all(r["date"].weekday() < 5 for r in a)
+    assert all(r["low"] <= min(r["open"], r["close"]) for r in a)
+    assert all(r["high"] >= max(r["open"], r["close"]) for r in a)
+
+
+def test_secondary_feed_differs_only_in_close(spark):
+    y = _read(spark, "yahoo").select("ticker", "date", "open", "close")
+    al = _read(spark, "alpha").select(
+        "ticker", "date", F.col("open").alias("open2"), F.col("close").alias("close2")
+    )
+    j = y.join(al, ["ticker", "date"]).collect()
+    assert len(j) == 2 * 8
+    assert all(r["open"] == r["open2"] for r in j)
+    assert all(abs(r["close"] - r["close2"]) <= 1.0 for r in j)

@@ -1,0 +1,72 @@
+"""Scale-path operators: salted aggregation equivalence, bucketed
+co-located joins (plan-shape assertions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multi_source_financial_data_pipeline_spark.operators.skew import salted_agg
+from multi_source_financial_data_pipeline_spark.sources import load_table
+from multi_source_financial_data_pipeline_spark.sources.bucketing import (
+    colocated_join,
+    write_bucketed,
+)
+
+
+def test_salted_agg_matches_direct_groupby(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    aggs = {
+        "n_events": ("count", F.lit(1)),
+        "sum_value": ("sum", F.col("value").cast("decimal(12,2)")),
+        "min_value": ("min", F.col("value")),
+        "max_value": ("max", F.col("value")),
+    }
+    salted = salted_agg(ev, ["event_type"], aggs, num_salts=8)
+    direct = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    key = lambda rows: {r["event_type"]: r for r in rows}
+    got, want = key(salted.collect()), key(direct.collect())
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == want[k]
+
+
+def test_salted_agg_rejects_non_decomposable(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    try:
+        salted_agg(ev, ["event_type"], {"bad": ("avg", F.col("value"))})
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "not decomposable" in str(e)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", str(tmp_path / "o"), ["o_orderkey"], 8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        str(tmp_path / "l"),
+        ["o_orderkey"],
+        8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a merge join so the assertion is about bucketing, not size
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = colocated_join(spark, "b_lineitem", "b_orders", ["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
