@@ -12,9 +12,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from multi_source_financial_data_pipeline_spark.operators import crossval
+from multi_source_financial_data_pipeline_spark.operators import crossval, series_stats
 from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
-from multi_source_financial_data_pipeline_spark.sources import market_source
+from multi_source_financial_data_pipeline_spark.sources import market_source, registry
 
 TICKERS = ["AAPL", "GLD", "MSFT", "TSLA"]
 START, END = "2024-01-01", "2024-03-29"
@@ -112,6 +112,72 @@ FROM d WHERE diff_pct > {TOLERANCE_PCT}
 """
 
 
+# --- macro series feed (S4-S6: category fan-out, per-series partitions) ------
+
+MACRO_CATEGORIES = ["rates", "inflation"]
+MACRO_START, MACRO_END = "2020-01-01", "2023-12-31"
+
+
+def _read_macro(spark: SparkSession) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    market_source.register(spark)
+    series = registry.resolve_categories(MACRO_CATEGORIES)
+    names = ";".join(f"{s}={registry.series_name(s)}" for s in series)
+    return (
+        spark.read.format("fred_sim")
+        .option("series", ",".join(series))
+        .option("names", names)
+        .option("start", MACRO_START)
+        .option("end", MACRO_END)
+        .load()
+    )
+
+
+_MACRO_SERIES = registry.resolve_categories(MACRO_CATEGORIES)
+_SQL_MACRO_IDS = ", ".join(f"'{s}'" for s in _MACRO_SERIES)
+_SQL_MACRO_NAMES = ", ".join(f"'{registry.series_name(s)}'" for s in _MACRO_SERIES)
+_SQL_MACRO_FEED = f"""
+WITH sids AS (
+  SELECT unnest([{_SQL_MACRO_IDS}]) AS series_id,
+         unnest([{_SQL_MACRO_NAMES}]) AS series_name
+), months AS (
+  SELECT t.d::DATE AS date
+  FROM generate_series(DATE '{MACRO_START}', DATE '{MACRO_END}',
+                       INTERVAL 1 MONTH) t(d)
+), macro AS (
+  SELECT series_id, series_name, date,
+         ({_sql_h("series_id || '|' || date::VARCHAR")} % 100000) / 100.0
+           AS value
+  FROM sids, months
+)
+"""
+
+
+def q_connector_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read_macro(spark)
+
+
+SQL_CONNECTOR_MACRO = f"""{_SQL_MACRO_FEED}
+SELECT series_id, series_name, date, value FROM macro
+"""
+
+
+def q_connector_macro_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return series_stats.per_series_summary(_read_macro(spark))
+
+
+SQL_CONNECTOR_MACRO_SUMMARY = f"""{_SQL_MACRO_FEED}
+SELECT series_id,
+       count(*) AS record_count,
+       count(*) - count(value) AS null_values,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       min(date) AS first_date,
+       max(date) AS last_date
+FROM macro GROUP BY series_id
+"""
+
+
 SPECS = {
     "connector_ohlcv": QuerySpec(
         q_connector_ohlcv,
@@ -124,5 +190,17 @@ SPECS = {
         SQL_CONNECTOR_CROSSVAL,
         "cross-source reconcile over two connector feeds (J1+F1+P3+F2)",
         ("source", "crossval"),
+    ),
+    "connector_macro": QuerySpec(
+        q_connector_macro,
+        SQL_CONNECTOR_MACRO,
+        "FRED-shaped series feed, category fan-out, partition per series",
+        ("source",),
+    ),
+    "connector_macro_summary": QuerySpec(
+        q_connector_macro_summary,
+        SQL_CONNECTOR_MACRO_SUMMARY,
+        "per-series validation summary (A8) over the macro connector",
+        ("source", "agg"),
     ),
 }

@@ -213,6 +213,53 @@ FROM (SELECT DISTINCT user_id, event_type FROM events)
 """
 
 
+# --- streaming: custom stateful operator (applyInPandasWithState) ------------
+
+def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals maintained in group state, drained with
+    availableNow into an update-mode memory sink. The sink may hold one row
+    per (key, batch); the final totals per key are the rows with the highest
+    running count — those are what the batch GROUP BY oracle reproduces."""
+    from pyspark.sql import Window
+
+    from multi_source_financial_data_pipeline_spark.streaming import stateful
+
+    name = f"stream_totals_{next(_qname)}"
+    with _event_stream(spark, sf_dir) as stream:
+        totals = stateful.running_totals(stream, "user_id", "value")
+        query = (
+            totals.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    w = Window.partitionBy("key").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("key").alias("user_id"),
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+SQL_STREAM_TOTALS = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
 SPECS = {
     "media_features": QuerySpec(
         q_media_features,
@@ -242,6 +289,12 @@ SPECS = {
         q_stream_dedup_count,
         SQL_STREAM_DEDUP,
         "watermarked streaming dropDuplicates, survivor count via foreachBatch",
+        ("streaming",),
+    ),
+    "stream_running_totals": QuerySpec(
+        q_stream_running_totals,
+        SQL_STREAM_TOTALS,
+        "custom stateful operator: per-key running totals via applyInPandasWithState",
         ("streaming",),
     ),
 }

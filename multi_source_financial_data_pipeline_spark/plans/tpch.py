@@ -176,6 +176,40 @@ GROUP BY n_name
 """
 
 
+# --- q6: forecast revenue change (pure pushed-down filter + scalar agg) ------
+
+Q6_START, Q6_END = "1994-01-01", "1995-01-01"
+
+
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit(Q6_START).cast("date"))
+            & (F.to_date("l_shipdate") < F.lit(Q6_END).cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", "4,2"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+SQL_Q6 = f"""
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '{Q6_START}'
+  AND CAST(l_shipdate AS DATE) < DATE '{Q6_END}'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
 SPECS = {
     "q1_pricing_summary": QuerySpec(
         q_q1_pricing_summary,
@@ -194,5 +228,11 @@ SPECS = {
         SQL_Q5,
         "multi-dimension broadcast-join rollup",
         ("bench", "join"),
+    ),
+    "q6_forecast_revenue": QuerySpec(
+        q_q6_forecast_revenue,
+        SQL_Q6,
+        "pushed-down range+predicate filter to a single scalar aggregate",
+        ("bench", "agg"),
     ),
 }

@@ -98,5 +98,65 @@ class MarketDataSource(DataSource):
         return MarketDataReader(self.options)
 
 
+MACRO_SCHEMA = "series_id string, series_name string, date date, value double"
+
+
+class MacroSeriesReader(DataSourceReader):
+    """FRED-shaped series feed (SURVEY.md §2.1 S4-S5): one input partition
+    per series id — the cluster schedules series fetches as tasks, replacing
+    the reference's sequential skip-on-error loop
+    (/root/reference/src/macro.py:193-211). Monthly observations on the
+    first of each month, deterministic md5-derived values."""
+
+    def __init__(self, options: dict) -> None:
+        self.series = [s for s in options.get("series", "").split(",") if s]
+        self.names = dict(
+            pair.split("=", 1)
+            for pair in options.get("names", "").split(";")
+            if "=" in pair
+        )
+        self.start = date.fromisoformat(options["start"])
+        self.end = date.fromisoformat(options["end"])
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(s) for s in self.series]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        sid = partition.value
+        name = self.names.get(sid, sid)
+        d = date(self.start.year, self.start.month, 1)
+        if d < self.start:
+            d = (
+                date(d.year + 1, 1, 1)
+                if d.month == 12
+                else date(d.year, d.month + 1, 1)
+            )
+        while d <= self.end:
+            value = (_h(f"{sid}|{d.isoformat()}") % 100000) / 100.0
+            yield (sid, name, d, value)
+            d = (
+                date(d.year + 1, 1, 1)
+                if d.month == 12
+                else date(d.year, d.month + 1, 1)
+            )
+
+
+class MacroDataSource(DataSource):
+    """spark.read.format("fred_sim").option("series", "UNRATE,CPIAUCSL")
+    .option("names", "UNRATE=Unemployment Rate;...")
+    .option("start", "2020-01-01").option("end", "2023-12-31").load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fred_sim"
+
+    def schema(self) -> str:
+        return MACRO_SCHEMA
+
+    def reader(self, schema) -> MacroSeriesReader:
+        return MacroSeriesReader(self.options)
+
+
 def register(spark) -> None:
     spark.dataSource.register(MarketDataSource)
+    spark.dataSource.register(MacroDataSource)
