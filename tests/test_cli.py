@@ -1,0 +1,31 @@
+"""CLI entry point: reference-equivalent arguments, connector-fed run."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from multi_source_financial_data_pipeline_spark.cli import main
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    out, db = str(tmp_path / "out"), str(tmp_path / "db")
+    rc = main(
+        [
+            "--tickers", "AAPL", "MSFT",
+            "--start", "2024-01-01",
+            "--end", "2024-01-31",
+            "--tolerance", "0.5",
+            "--out-dir", out,
+            "--db-dir", db,
+        ]
+    )
+    assert rc == 0
+    csvs = [f for f in os.listdir(out) if f.startswith("prices_") and f.endswith(".csv")]
+    reports = [f for f in os.listdir(out) if f.startswith("validation_report_")]
+    assert len(csvs) == 1 and len(reports) == 1
+    report = json.load(open(os.path.join(out, reports[0])))
+    assert report["ticker_validation"]["cross_validation"]["performed"] is True
+    assert report["macro_validation"]["performed"] is True
+    assert os.path.isdir(os.path.join(db, "market_data"))
+    assert os.path.isdir(os.path.join(db, "request_log"))
