@@ -44,6 +44,30 @@ def test_salted_agg_rejects_non_decomposable(spark, sf_dir):
         assert "not decomposable" in str(e)
 
 
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """K1's partitionBy('ticker') replaces the reference's (ticker, date)
+    b-tree index: a ticker filter must prune to one partition directory."""
+    from multi_source_financial_data_pipeline_spark.sources.sinks import (
+        write_partitioned,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumnRenamed("event_type", "ticker")
+        .select("ticker", "event_id", "value")
+    )
+    path = str(tmp_path / "by_ticker")
+    write_partitioned(ev, path, ["ticker"])
+    scan = spark.read.parquet(path).filter(F.col("ticker") == "click")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # the ticker predicate must land in PartitionFilters (directory pruning),
+    # not in the row-level data filters
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "click" in pf, plan
+    assert scan.count() == ev.filter(F.col("ticker") == "click").count()
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lineitem = load_table(spark, sf_dir, "lineitem").select(
