@@ -130,6 +130,29 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_n: int = 3,
+    mod: int = 8,
+) -> DataFrame:
+    """Rolling-window document fingerprints with mod-p sampling (winnowing
+    style): hash every word n-gram window, keep the ~1/mod whose hash is
+    ≡ 0 (mod p). Copied passages share windows, so plagiarism/overlap
+    detection joins on (fp) instead of comparing full texts; the sample rate
+    bounds index size at scale. Same explode → codegen'd filter shape as
+    MinHash — linear in corpus tokens."""
+    sh = shingle_rows(df.select(id_col, text_col), id_col, text_col, window_n)
+    h = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    return (
+        sh.withColumn("fp", h)
+        .filter(F.col("fp") % mod == 0)
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     block_col: str,

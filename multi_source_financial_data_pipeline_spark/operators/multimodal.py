@@ -123,6 +123,60 @@ def decode_media_features(
     return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("data", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, max_side: int = 128, require_codecs: bool = False
+) -> DataFrame:
+    """Resize stub with real plumbing: decode dimensions (fake codec), scale
+    the longer side down to ``max_side`` preserving aspect ratio, and emit a
+    payload whose size shrinks proportionally (byte truncation stands in for
+    re-encoding). A real implementation swaps the body for
+    PIL.Image.thumbnail + re-encode; the Spark-side contract (schema,
+    Arrow batching, binary passthrough) is what's under test."""
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if require_codecs:
+            raise NotImplementedError(
+                "real image codecs (PIL) are not available in this "
+                "environment; deterministic fake resize is the default"
+            )
+        for pdf in batches:
+            widths, heights, blobs = [], [], []
+            for d in pdf["data"]:
+                w, h, _ = _fake_decode(d)
+                if w is None:
+                    widths.append(None), heights.append(None), blobs.append(None)
+                    continue
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                keep = max(1, int(len(d) * (nw * nh) / (w * h)))
+                widths.append(nw), heights.append(nh)
+                blobs.append(bytes(d)[:keep])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "width": widths,
+                    "height": heights,
+                    "data": blobs,
+                }
+            )
+
+    return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 32) -> DataFrame:
     """Video frame sampling stub with real explode plumbing: one output row
     per sampled 'frame' (here: every_n_bytes-sized slice of the payload).

@@ -189,6 +189,25 @@ WHERE len(list_intersect(a.s, b.s)) / nullif(len(list_distinct(a.s || b.s)), 0) 
 """
 
 
+# --- winnowing-style rolling-window fingerprints -----------------------------
+
+WINNOW_MOD = 8
+
+
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), mod=WINNOW_MOD
+    )
+
+
+SQL_DOC_WINNOW = f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM d),
+h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS fp FROM sh)
+SELECT DISTINCT doc_id, fp FROM h WHERE fp % {WINNOW_MOD} = 0
+"""
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,6 +388,12 @@ SPECS = {
     ),
     "simhash": QuerySpec(
         q_simhash, SQL_SIMHASH, "32-bit SimHash over token multiset", ("dedup",)
+    ),
+    "doc_winnow": QuerySpec(
+        q_doc_winnow,
+        SQL_DOC_WINNOW,
+        "rolling-window fingerprints with mod-p sampling (winnowing style)",
+        ("dedup", "text"),
     ),
     "ann_topk": QuerySpec(
         q_ann_topk,

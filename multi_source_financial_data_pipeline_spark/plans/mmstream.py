@@ -100,6 +100,52 @@ WHERE kind = 'video'
 """
 
 
+# --- media resize (aspect-preserving, byte-proportional stub) ----------------
+
+RESIZE_MAX_SIDE = 128
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthetic_media(spark, n=N_MEDIA, seed=MEDIA_SEED)
+    resized = multimodal.resize_media(media, max_side=RESIZE_MAX_SIDE)
+    return resized.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.octet_length("data").alias("n_bytes"),
+        F.lower(F.hex("data")).alias("data_hex"),
+    )
+
+
+SQL_MEDIA_RESIZE = f"""
+WITH m AS ({_SQL_MEDIA}),
+d AS (
+  SELECT media_id, kind, ph,
+         64 + ('0x' || substr(md5(ph), 1, 2))::INT % 192 AS w,
+         64 + ('0x' || substr(md5(ph), 3, 2))::INT % 192 AS h
+  FROM m
+), s AS (
+  SELECT media_id, kind, ph, w, h,
+         least(1.0, {RESIZE_MAX_SIDE}.0 / greatest(w, h)) AS scale
+  FROM d
+), r AS (
+  SELECT media_id, kind, ph, w, h,
+         greatest(1, CAST(trunc(w * scale) AS INT)) AS nw,
+         greatest(1, CAST(trunc(h * scale) AS INT)) AS nh
+  FROM s
+)
+SELECT media_id, kind,
+       nw AS width, nh AS height,
+       greatest(1, CAST(trunc((length(ph) // 2) * (nw * nh) / (w * h)) AS INT))
+         AS n_bytes,
+       substr(ph, 1,
+              greatest(1, CAST(trunc((length(ph) // 2) * (nw * nh) / (w * h)) AS INT)) * 2)
+         AS data_hex
+FROM r
+"""
+
+
 # --- LSH-probed approximate top-k (ANN scale path) ---------------------------
 
 LSH_TOPK_PLANES = 4
@@ -271,6 +317,12 @@ SPECS = {
         q_media_frames,
         SQL_MEDIA_FRAMES,
         "video frame sampling: one row per fixed-size payload slice",
+        ("multimodal",),
+    ),
+    "media_resize": QuerySpec(
+        q_media_resize,
+        SQL_MEDIA_RESIZE,
+        "aspect-preserving resize with byte-proportional payload (stub codec)",
         ("multimodal",),
     ),
     "ann_topk_lsh": QuerySpec(
