@@ -141,6 +141,16 @@ def append_ledger(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+def list_outputs(out_dir: str, pattern: str = "*") -> dict[str, Any]:
+    """S8 (src/output_manager.py:286-302): glob the output dir, return count
+    and latest file by mtime. Plain-filesystem utility, not a data operator."""
+    import glob as _glob
+
+    files = _glob.glob(os.path.join(out_dir, pattern))
+    latest = max(files, key=os.path.getmtime) if files else None
+    return {"count": len(files), "files": sorted(files), "latest": latest}
+
+
 def _exists(spark: SparkSession, path: str) -> bool:
     # local + hadoop-fs friendly existence probe
     jvm = spark.sparkContext._jvm

@@ -29,3 +29,22 @@ def test_cli_end_to_end(spark, tmp_path):
     assert report["macro_validation"]["performed"] is True
     assert os.path.isdir(os.path.join(db, "market_data"))
     assert os.path.isdir(os.path.join(db, "request_log"))
+
+    from multi_source_financial_data_pipeline_spark.sources.sinks import list_outputs
+
+    listing = list_outputs(out, "prices_*.csv")
+    assert listing["count"] == 1
+    assert listing["latest"].endswith(csvs[0])
+
+
+def test_upsert_by_key_replaces_within_batch(spark, tmp_path):
+    from multi_source_financial_data_pipeline_spark.sources.sinks import upsert_by_key
+
+    path = str(tmp_path / "upsert")
+    first = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")
+    saved = upsert_by_key(first, path, ["k"])
+    assert saved == 2  # batch deduped on key before write
+    again = spark.createDataFrame([(2, "zzz"), (3, "d")], "k int, v string")
+    saved = upsert_by_key(again, path, ["k"])
+    assert saved == 1  # existing key 2 not rewritten (first write wins)
+    assert spark.read.parquet(path).count() == 3
