@@ -78,3 +78,42 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     text — the exact-dedup key."""
     normalized = F.concat_ws(" ", tokens(F.lower(F.col(text_col))))
     return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary heavy hitters: token → total count + document
+    frequency, deterministic top-k (count desc, token asc). Explode +
+    map-side-combined groupBy + TakeOrderedAndProject — the vocabulary-stats
+    pass every tokenizer-training pipeline runs over its corpus."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    counts = tok.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("t").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("t").alias("token"), "n_occurrences", "n_docs", "rank")
+    )
+
+
+def token_length_histogram(
+    df: DataFrame, bucket_width: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Distribution of document lengths in tokens, bucketed by
+    ``bucket_width`` — the corpus-shape profile used to pick sequence-length
+    cutoffs. One explode-free pass: length per doc, integer-divide, count."""
+    n = F.size(tokens(F.col(text_col)))
+    # pure integer arithmetic: float-division-then-cast rounds in some
+    # engines and truncates in others
+    bucket = n - n % bucket_width
+    return (
+        df.select(bucket.alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -167,6 +167,50 @@ FROM events GROUP BY event_type
 """
 
 
+# --- funnel: signup → purchase conversion per user ---------------------------
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user with a signup: first signup time and how many purchases
+    followed it. Two filtered scans, one broadcast-size left join, one
+    conditional-count agg — the sequential-pattern query shape."""
+    ev = _events(spark, sf_dir).withColumn(
+        "ts_us", F.unix_micros(F.col("ts"))
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("first_signup_us"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us"
+    )
+    return (
+        signups.join(purchases, ["user_id"], "left")
+        .groupBy("user_id", "first_signup_us")
+        .agg(
+            F.sum(
+                F.when(F.col("ts_us") >= F.col("first_signup_us"), 1).otherwise(0)
+            ).alias("n_purchases_after")
+        )
+    )
+
+
+SQL_FUNNEL = """
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT s.user_id, s.first_signup_us,
+       CAST(count(CASE WHEN p.ts_us >= s.first_signup_us THEN 1 END) AS BIGINT)
+         AS n_purchases_after
+FROM s LEFT JOIN p ON s.user_id = p.user_id
+GROUP BY s.user_id, s.first_signup_us
+"""
+
+
 SPECS = {
     "asof_join": QuerySpec(
         q_asof_join,
@@ -191,5 +235,11 @@ SPECS = {
         SQL_SKEWED_ROLLUP,
         "salted two-phase aggregation over a hot 5-value key",
         ("events", "agg", "skew"),
+    ),
+    "funnel_conversion": QuerySpec(
+        q_funnel,
+        SQL_FUNNEL,
+        "signup→purchase funnel: first signup + subsequent purchase count",
+        ("events", "join", "agg"),
     ),
 }

@@ -189,6 +189,43 @@ WHERE len(list_intersect(a.s, b.s)) / nullif(len(list_distinct(a.s || b.s)), 0) 
 """
 
 
+# --- corpus vocabulary + length-distribution profiles ------------------------
+
+VOCAB_K = 50
+HIST_BUCKET = 10
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.vocab_topk(_t(spark, sf_dir, "documents"), k=VOCAB_K)
+
+
+SQL_VOCAB_TOPK = f"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents),
+c AS (
+  SELECT t, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+  FROM tok GROUP BY t
+)
+SELECT t AS token, n_occurrences, n_docs, rank FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY n_occurrences DESC, t ASC)
+                 AS INTEGER) AS rank
+  FROM c
+) WHERE rank <= {VOCAB_K}
+"""
+
+
+def q_token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_length_histogram(
+        _t(spark, sf_dir, "documents"), bucket_width=HIST_BUCKET
+    )
+
+
+SQL_TOKEN_LEN_HISTOGRAM = f"""
+WITH n AS (SELECT len({_SQL_TOKS}) AS n_tokens FROM documents)
+SELECT n_tokens - n_tokens % {HIST_BUCKET} AS bucket_lo, count(*) AS n_docs
+FROM n GROUP BY 1
+"""
+
+
 # --- winnowing-style rolling-window fingerprints -----------------------------
 
 WINNOW_MOD = 8
@@ -394,6 +431,18 @@ SPECS = {
         SQL_DOC_WINNOW,
         "rolling-window fingerprints with mod-p sampling (winnowing style)",
         ("dedup", "text"),
+    ),
+    "vocab_topk": QuerySpec(
+        q_vocab_topk,
+        SQL_VOCAB_TOPK,
+        "corpus vocabulary heavy hitters with document frequency",
+        ("text",),
+    ),
+    "token_len_histogram": QuerySpec(
+        q_token_len_histogram,
+        SQL_TOKEN_LEN_HISTOGRAM,
+        "document-length distribution in fixed-width token buckets",
+        ("text",),
     ),
     "ann_topk": QuerySpec(
         q_ann_topk,
