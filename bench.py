@@ -39,6 +39,8 @@ HEADLINE = [
     "asof_join",
     "sessionize",
     "time_bucket_hourly",
+    "q6_forecast_revenue",
+    "funnel_conversion",
 ]
 
 

@@ -191,8 +191,9 @@ def ngram_jaccard_pairs(
 def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """32-bit SimHash over the token multiset: per token, hash to 32 bits
     (md5-hex → int for oracle parity); per bit, sum +1/-1 across tokens;
-    positive sums set the bit. Linear explode (tokens × 32) + two groupBys —
-    no pair joins, fully distributed."""
+    positive sums set the bit. One token explode + one map-side-combined
+    groupBy carrying 32 conditional-sum aggregates — no (token × bit) row
+    explosion, no pair joins, fully distributed."""
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
     )
@@ -200,20 +201,24 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         "id",
         F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("h"),
     )
-    bits = h.select("id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
-    contrib = F.when(F.expr("shiftright(h, b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-    bit_sums = bits.groupBy("id", "b").agg(F.sum(contrib).alias("s"))
-    return (
-        bit_sums.groupBy("id")
-        .agg(
+    bit_sums = h.groupBy("id").agg(
+        *[
             F.sum(
-                F.when(
-                    F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
-        .withColumnRenamed("id", id_col)
+                F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(32)
+        ]
     )
+    fingerprint = sum(
+        (
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(32)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    return bit_sums.select(F.col("id").alias(id_col), fingerprint.alias("simhash"))
 
 
 def exact_dedup_groups(
