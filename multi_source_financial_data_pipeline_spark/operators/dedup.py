@@ -62,13 +62,23 @@ def shingle_rows(
     )
 
 
-def _minhash_agg(j: int) -> Column:
-    """One MinHash aggregate over (id, shingle) rows: min of
-    md5(j || '|' || shingle) as a 16-hex-char string. Lexicographic min on
-    fixed-width lowercase hex == numeric min, identically in Spark and
-    DuckDB. Duplicate shingles don't change a min, so the rows need no
-    distinct pass."""
-    return F.min(F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))), 1, 16))
+#: universal-hash modulus: the smallest prime above 2^32. With x < 2^32 and
+#: a < 2^31 the product stays under 2^63 — exact in any engine's BIGINT.
+MINHASH_P = 4_294_967_311
+
+
+def minhash_params(num_hashes: int = 8) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) pairs for h_j(x) = (a_j·x + b_j) mod P,
+    md5-seeded so both engines inline identical literals."""
+    import hashlib
+
+    def _h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    return [
+        (_h32(f"a{j}") % (2**31 - 1) + 1, _h32(f"b{j}") % (2**31))
+        for j in range(num_hashes)
+    ]
 
 
 def minhash_signatures(
@@ -79,11 +89,21 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-doc MinHash signature columns mh0..mh{k-1} (null for docs with no
-    shingles). One explode + one map-side-combined groupBy — linear in corpus
-    token count, no per-element lambda evaluation."""
+    shingles). One explode + one map-side-combined groupBy, linear in corpus
+    token count; each shingle is md5'd ONCE and the k hash family members
+    are derived by universal hashing over the 32-bit digest prefix —
+    integer-exact in both engines. Duplicate shingles don't change a min, so
+    the rows need no distinct pass."""
     sh = shingle_rows(df.select(id_col, text_col), id_col, text_col, shingle_n)
-    aggd = sh.groupBy(id_col).agg(
-        *[_minhash_agg(j).alias(f"mh{j}") for j in range(num_hashes)]
+    x = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    hashed = sh.select(id_col, x.alias("x"))
+    aggd = hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"mh{j}"
+            )
+            for j, (a, b) in enumerate(minhash_params(num_hashes))
+        ]
     )
     return df.join(aggd, [id_col], "left")
 

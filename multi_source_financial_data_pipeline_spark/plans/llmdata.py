@@ -27,8 +27,17 @@ _SQL_SHINGLES = (
 )
 
 
+_MINHASH_PARAMS = dedup.minhash_params(8)
+
+
 def _sql_minhash(j: int) -> str:
-    return f"list_min(list_transform(s, x -> substr(md5('{j}|' || x), 1, 16)))"
+    """Universal hash over the per-shingle 32-bit md5 prefix — mirrors
+    operators/dedup.minhash_signatures exactly (same (a, b, P) literals)."""
+    a, b = _MINHASH_PARAMS[j]
+    return (
+        f"list_min(list_transform(s, x -> ({a} * ('0x' || substr(md5(x), 1, 8))::BIGINT"
+        f" + {b}) % {dedup.MINHASH_P}))"
+    )
 
 
 # --- token counting ----------------------------------------------------------

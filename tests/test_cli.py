@@ -37,6 +37,33 @@ def test_cli_end_to_end(spark, tmp_path):
     assert listing["latest"].endswith(csvs[0])
 
 
+def test_pipeline_degrades_gracefully_on_source_failure(spark, tmp_path):
+    """§2.11: cross-validation and macro failures must not abort the run
+    (src/pipeline.py:161-216) — the report records them as not performed."""
+    from multi_source_financial_data_pipeline_spark.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    def boom(_spark):
+        raise RuntimeError("secondary source down")
+
+    cfg = PipelineConfig(
+        tickers=["AAPL"],
+        start_date="2023-01-02",
+        end_date="2023-02-28",
+        out_dir=str(tmp_path / "out"),
+        db_dir=str(tmp_path / "db"),
+    )
+    result = run_pipeline(spark, cfg, alt_source=boom, macro_source=boom)
+    report = result.validation_report
+    assert report["ticker_validation"]["cross_validation"]["performed"] is False
+    assert report["macro_validation"]["performed"] is False
+    assert result.saved_market_rows > 0  # the core path still completed
+    # flags default to false when cross-validation is unavailable
+    assert result.market_features.filter("discrepancy_flag").count() == 0
+
+
 def test_upsert_by_key_replaces_within_batch(spark, tmp_path):
     from multi_source_financial_data_pipeline_spark.sources.sinks import upsert_by_key
 
