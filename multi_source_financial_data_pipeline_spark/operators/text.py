@@ -102,6 +102,49 @@ def vocab_topk(
     )
 
 
+def scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Text cleaning pass: lowercase, digit runs → '#', whitespace
+    normalized — the canonicalization step before dedup/tokenization in a
+    training-data pipeline. Patterns stay in the portable regex subset
+    (character classes + quantifiers) so any engine applies them
+    identically."""
+    cleaned = F.concat_ws(
+        " ",
+        tokens(F.regexp_replace(F.lower(F.col(text_col)), "[0-9]+", "#")),
+    )
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("scrubbed"),
+        F.md5(cleaned).alias("scrubbed_fp"),
+    )
+
+
+def length_quantiles(
+    df: DataFrame, qs: tuple[float, ...] = (0.5, 0.9, 0.99), text_col: str = "text"
+) -> DataFrame:
+    """Exact corpus length quantiles by rank: q-th quantile = the n_tokens at
+    sorted position ceil(q·N) (ties broken by position, no interpolation) —
+    a definition every engine reproduces bit-for-bit, unlike interpolating
+    percentile variants. One sort of the (small) per-doc length column."""
+    from pyspark.sql import Window
+
+    import math
+
+    n = df.select(F.size(tokens(F.col(text_col))).alias("n_tokens"))
+    w = Window.orderBy("n_tokens")
+    ranked = n.withColumn("rn", F.row_number().over(w))
+    total = n.count()
+    conds = [
+        F.max(
+            F.when(F.col("rn") == max(1, math.ceil(q * total)), F.col("n_tokens"))
+        ).alias(f"p{int(q * 100)}")
+        for q in qs
+    ]
+    return ranked.agg(*conds)
+
+
 def token_length_histogram(
     df: DataFrame, bucket_width: int = 10, text_col: str = "text"
 ) -> DataFrame:

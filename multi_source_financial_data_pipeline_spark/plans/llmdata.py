@@ -235,6 +235,47 @@ FROM n GROUP BY 1
 """
 
 
+# --- text scrubbing + exact length quantiles ---------------------------------
+
+def q_doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.scrub(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_SCRUB = """
+SELECT doc_id,
+       array_to_string(regexp_split_to_array(
+         regexp_replace(lower(text), '[0-9]+', '#', 'g'), '\\s+'), ' ')
+         AS scrubbed,
+       md5(array_to_string(regexp_split_to_array(
+         regexp_replace(lower(text), '[0-9]+', '#', 'g'), '\\s+'), ' '))
+         AS scrubbed_fp
+FROM documents
+"""
+
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.length_quantiles(_t(spark, sf_dir, "documents"), qs=QUANTILES)
+
+
+_SQL_QPICKS = ", ".join(
+    f"max(CASE WHEN rn = greatest(1, CAST(ceil({q} * total) AS BIGINT))"
+    f" THEN n_tokens END) AS p{int(q * 100)}"
+    for q in QUANTILES
+)
+SQL_DOC_LENGTH_QUANTILES = f"""
+WITH n AS (SELECT len({_SQL_TOKS}) AS n_tokens FROM documents),
+r AS (
+  SELECT n_tokens,
+         row_number() OVER (ORDER BY n_tokens) AS rn,
+         count(*) OVER () AS total
+  FROM n
+)
+SELECT {_SQL_QPICKS} FROM r
+"""
+
+
 # --- winnowing-style rolling-window fingerprints -----------------------------
 
 WINNOW_MOD = 8
@@ -440,6 +481,18 @@ SPECS = {
         SQL_DOC_WINNOW,
         "rolling-window fingerprints with mod-p sampling (winnowing style)",
         ("dedup", "text"),
+    ),
+    "doc_scrub": QuerySpec(
+        q_doc_scrub,
+        SQL_DOC_SCRUB,
+        "text cleaning: lowercase, digit-run masking, whitespace normalize",
+        ("text",),
+    ),
+    "doc_length_quantiles": QuerySpec(
+        q_doc_length_quantiles,
+        SQL_DOC_LENGTH_QUANTILES,
+        "exact rank-based corpus length quantiles (p50/p90/p99)",
+        ("text", "agg"),
     ),
     "vocab_topk": QuerySpec(
         q_vocab_topk,
