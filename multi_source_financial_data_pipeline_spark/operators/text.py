@@ -94,11 +94,15 @@ def vocab_topk(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct(id_col).alias("n_docs"),
     )
+    # distributed top-k first (TakeOrderedAndProject — no global sort, no
+    # single-partition window over the full vocabulary), then rank the k
+    # survivors with a window over just those rows
+    topk = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("t").asc()
+    ).limit(k)
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("t").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(F.col("t").alias("token"), "n_occurrences", "n_docs", "rank")
+    return topk.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        F.col("t").alias("token"), "n_occurrences", "n_docs", "rank"
     )
 
 
@@ -125,24 +129,31 @@ def length_quantiles(
     df: DataFrame, qs: tuple[float, ...] = (0.5, 0.9, 0.99), text_col: str = "text"
 ) -> DataFrame:
     """Exact corpus length quantiles by rank: q-th quantile = the n_tokens at
-    sorted position ceil(q·N) (ties broken by position, no interpolation) —
-    a definition every engine reproduces bit-for-bit, unlike interpolating
-    percentile variants. One sort of the (small) per-doc length column."""
-    from pyspark.sql import Window
-
+    sorted position ceil(q·N), no interpolation — a definition every engine
+    reproduces bit-for-bit. Computed from the cumulative length histogram
+    (quantile value = smallest length whose running count reaches the target
+    position): the only window runs over distinct lengths — a bounded-domain
+    table — never over the corpus, so no single-partition global rank at
+    scale."""
     import math
 
-    n = df.select(F.size(tokens(F.col(text_col))).alias("n_tokens"))
-    w = Window.orderBy("n_tokens")
-    ranked = n.withColumn("rn", F.row_number().over(w))
-    total = n.count()
-    conds = [
-        F.max(
-            F.when(F.col("rn") == max(1, math.ceil(q * total)), F.col("n_tokens"))
+    from pyspark.sql import Window
+
+    hist = (
+        df.select(F.size(tokens(F.col(text_col))).alias("n_tokens"))
+        .groupBy("n_tokens")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    total = cum.agg(F.max("cum")).collect()[0][0]
+    picks = [
+        F.min(
+            F.when(F.col("cum") >= max(1, math.ceil(q * total)), F.col("n_tokens"))
         ).alias(f"p{int(q * 100)}")
         for q in qs
     ]
-    return ranked.agg(*conds)
+    return cum.agg(*picks)
 
 
 def token_length_histogram(
