@@ -97,3 +97,78 @@ def test_dedup_keep_last_matches_pandas(spark, keys):
         .reset_index(drop=True)
     )
     assert got.to_dict("records") == want.to_dict("records")
+
+
+asof_ts = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=1, max_size=20, unique=True
+)
+
+
+@given(left_ts=asof_ts, right_ts=asof_ts)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
+    from multi_source_financial_data_pipeline_spark.operators.sessions import asof_join
+
+    left = pd.DataFrame(
+        {
+            "event_id": range(len(left_ts)),
+            "key": "k",
+            "ts": pd.to_datetime(sorted(left_ts), unit="s"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "event_id": range(1000, 1000 + len(right_ts)),
+            "key": "k",
+            "ts": pd.to_datetime(sorted(right_ts), unit="s"),
+            "value": [float(t) for t in sorted(right_ts)],
+        }
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            key="key",
+            left_ts="ts",
+            right_ts="ts",
+            value_cols=["value"],
+            tiebreak="event_id",
+        )
+        .orderBy("event_id")
+        .toPandas()
+    )
+    want = pd.merge_asof(left, right, on="ts", by="key", direction="backward")
+    assert np.allclose(
+        got["asof_value"].to_numpy(dtype=float),
+        want["value"].to_numpy(dtype=float),
+        atol=0, rtol=0, equal_nan=True,
+    )
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=4000), min_size=1, max_size=25)
+)
+@settings(**SETTINGS)
+def test_sessionize_matches_reference_gap_logic(spark, gaps):
+    from multi_source_financial_data_pipeline_spark.operators.sessions import sessionize
+
+    ts = np.cumsum(gaps)
+    pdf = pd.DataFrame(
+        {
+            "user": 1,
+            "event_id": range(len(ts)),
+            "ts": pd.to_datetime(ts, unit="s"),
+        }
+    )
+    got = (
+        sessionize(spark.createDataFrame(pdf), "user", "ts", "event_id", 1800)
+        .orderBy("event_id")
+        .toPandas()["session_id"]
+        .to_numpy()
+    )
+    want, sid = [], 0
+    for i, g in enumerate(gaps):
+        if i > 0 and g > 1800:
+            sid += 1
+        want.append(sid)
+    assert got.tolist() == want
