@@ -25,16 +25,17 @@ from multi_source_financial_data_pipeline_spark.operators.text import tokens
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams, built with 1-indexed element_at so the DuckDB
-    oracle (`toks[i]`) mirrors it exactly. Docs with < n tokens get an empty
-    array (DuckDB's generate_series(1, len-n+1) is empty there; Spark's
-    sequence would count backwards, hence the guard)."""
+    """Distinct word n-grams as an array, built from zipped row-level array
+    slices: the transform lambda touches only its own element, so nothing is
+    re-evaluated per element (a lambda that indexes back into the token array
+    re-tokenizes the document once per shingle — O(doc²) per row). Docs with
+    < n tokens get an empty array, matching the oracle's empty
+    generate_series."""
     toks = tokens(text)
+    width = F.size(toks) - (n - 1)
+    z = F.arrays_zip(*[F.slice(toks, k + 1, width) for k in range(n)])
     gram = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
+        z, lambda g: F.concat_ws(" ", *[g[str(k)] for k in range(n)])
     )
     return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
         F.array().cast("array<string>")

@@ -1,0 +1,61 @@
+"""Grouped-map operators (``applyInPandas``) for per-key recursions that no
+built-in window can express.
+
+EWMA is the canonical case: y_0 = x_0, y_t = (1-α)·y_{t-1} + α·x_t is a
+per-row recursion — Spark windows have no recursive frame, so the idiomatic
+escape hatch is a grouped-map Pandas UDF (Arrow-batched, one group per call).
+The recursion is implemented as an explicit fold so a SQL oracle's
+``list_reduce`` replays the identical float-operation sequence; both engines
+receive the same pre-computed (α, 1-α) double literals because ``1 - α``
+re-derived independently can differ in the last bit.
+
+Scale: groups are processed in parallel across executors; the per-group
+sequential loop is inherent to the recursion itself. Keys must fit a task
+(bounded per-key history), which holds for per-ticker/per-user series.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+EWMA_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+def ewma_last(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Final EWMA value per key over the (ts, tiebreak)-ordered series."""
+    a = float(alpha)
+    b = 1.0 - a  # computed once; the oracle inlines repr(a), repr(b)
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        s = pdf.sort_values([ts_col, tiebreak])[value_col].to_numpy()
+        y = float(s[0])
+        for x in s[1:]:
+            y = y * b + a * float(x)
+        return pd.DataFrame(
+            {"key": [pdf[key].iloc[0]], "n_rows": [len(s)], "ewma": [y]}
+        )
+
+    return df.select(key, ts_col, tiebreak, value_col).groupBy(key).applyInPandas(
+        fold, schema=EWMA_SCHEMA
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from multi_source_financial_data_pipeline_spark.operators import sessions, skew
+from multi_source_financial_data_pipeline_spark.operators import grouped, sessions, skew
 from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 from multi_source_financial_data_pipeline_spark.sources import load_table
 
@@ -167,6 +167,39 @@ FROM events GROUP BY event_type
 """
 
 
+# --- EWMA per user (applyInPandas grouped-map recursion) ---------------------
+
+EWMA_ALPHA = 0.3
+_EWMA_B = 1.0 - EWMA_ALPHA
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = grouped.ewma_last(
+        _events(spark, sf_dir),
+        key="user_id",
+        ts_col="ts",
+        tiebreak="event_id",
+        value_col="value",
+        alpha=EWMA_ALPHA,
+    )
+    return out.select(F.col("key").alias("user_id"), "n_rows", "ewma")
+
+
+# list_reduce replays the UDF's fold bit-for-bit: same (ts, event_id) order,
+# same repr'd double literals for α and 1-α, same y·b + a·x operation order
+SQL_EWMA = f"""
+WITH g AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vs) AS BIGINT) AS n_rows,
+       list_reduce(vs, (acc, x) -> acc * {_EWMA_B!r} + {EWMA_ALPHA!r} * x) AS ewma
+FROM g
+"""
+
+
 # --- funnel: signup → purchase conversion per user ---------------------------
 
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,6 +268,12 @@ SPECS = {
         SQL_SKEWED_ROLLUP,
         "salted two-phase aggregation over a hot 5-value key",
         ("events", "agg", "skew"),
+    ),
+    "ewma_last": QuerySpec(
+        q_ewma,
+        SQL_EWMA,
+        "per-key EWMA recursion via applyInPandas grouped-map",
+        ("events", "udf"),
     ),
     "funnel_conversion": QuerySpec(
         q_funnel,

@@ -295,6 +295,67 @@ SELECT DISTINCT doc_id, fp FROM h WHERE fp % {WINNOW_MOD} = 0
 """
 
 
+# --- end-to-end near-dup pipeline: LSH candidates → verify → canonicalize ----
+
+def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup decision in one dataflow: MinHash+LSH candidate pairs,
+    exact n-gram Jaccard verification on candidates only, then per-doc
+    canonical assignment (min verified neighbor, star-merge). Pair work is
+    bounded by the LSH banding; everything else is linear."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
+    sh = docs.select("doc_id", dedup.shingles(F.col("text")).alias("s"))
+    j = (
+        pairs.join(sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")), "id_b")
+    )
+    jacc = F.size(F.array_intersect("sa", "sb")) / F.nullif(
+        F.size(F.array_union("sa", "sb")), F.lit(0)
+    )
+    v = j.filter(jacc >= JACCARD_THRESHOLD).select("id_a", "id_b")
+    edges = v.unionByName(
+        v.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("id"), F.col("id_b").alias("nb"))
+    canon = (
+        docs.select("doc_id")
+        .join(edges, docs["doc_id"] == edges["id"], "left")
+        .groupBy("doc_id")
+        .agg(F.min("nb").alias("min_nb"))
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.coalesce(F.col("min_nb"), F.col("doc_id"))).alias(
+                "canonical_id"
+            ),
+        )
+    )
+    return canon.withColumn("is_dup", F.col("canonical_id") != F.col("doc_id"))
+
+
+SQL_NEARDUP_VERIFIED = f"""
+WITH cand AS (SELECT * FROM ({SQL_MINHASH_LSH_PAIRS})),
+d2 AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sh2 AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM d2),
+v AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sh2 a ON a.doc_id = c.id_a
+  JOIN sh2 b ON b.doc_id = c.id_b
+  WHERE len(list_intersect(a.s, b.s))
+        / nullif(len(list_distinct(a.s || b.s)), 0) >= {JACCARD_THRESHOLD}
+), e AS (
+  SELECT id_a AS id, id_b AS nb FROM v
+  UNION ALL
+  SELECT id_b, id_a FROM v
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(e.nb), d.doc_id)) AS canonical_id,
+       least(d.doc_id, coalesce(min(e.nb), d.doc_id)) != d.doc_id AS is_dup
+FROM documents d LEFT JOIN e ON e.id = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,6 +526,12 @@ SPECS = {
         q_minhash_lsh_pairs,
         SQL_MINHASH_LSH_PAIRS,
         "LSH banding candidate pairs (4 bands × 2 hashes)",
+        ("dedup",),
+    ),
+    "neardup_verified": QuerySpec(
+        q_neardup_verified,
+        SQL_NEARDUP_VERIFIED,
+        "end-to-end dedup: LSH candidates → Jaccard verify → canonical ids",
         ("dedup",),
     ),
     "ngram_jaccard_pairs": QuerySpec(
