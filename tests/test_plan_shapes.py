@@ -1,0 +1,46 @@
+"""Physical-plan regression tests: pin the plan shapes the engine is
+designed around, so a refactor that silently introduces an extra shuffle, a
+sort-merge join against a dimension table, or a global sort fails here —
+these properties are invisible to result-correctness tests but dominate cost
+at scale."""
+
+from __future__ import annotations
+
+from multi_source_financial_data_pipeline_spark.plans.registry import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q5_join_tree_is_all_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q3_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_top_revenue")
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalSort" not in plan
+
+
+def test_ts_features_single_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ts_features")
+    # one shuffle by ticker key feeds every window frame
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q1_aggregation_is_map_side_combined(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "partial_sum" in plan  # partial agg precedes the exchange
+
+
+def test_scans_push_filters_and_prune_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # projection reaches the scan: only the needed lineitem columns are read
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema
