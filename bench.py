@@ -25,7 +25,11 @@ HEADLINE = [
     "ts_features",
     "q1_pricing_summary",
     "q3_top_revenue",
+    "q4_order_priority",
     "q5_region_revenue",
+    "q10_returned_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
     "cross_source_compare",
     "dedup_keep_last",
     "missing_bdays",

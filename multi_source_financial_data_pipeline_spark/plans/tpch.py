@@ -176,6 +176,207 @@ GROUP BY n_name
 """
 
 
+# --- q4: order priority checking (left-semi join) ----------------------------
+
+Q4_START, Q4_END = "1995-07-01", "1995-10-01"
+
+
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape (cf. reference anti/semi-join dedup, src/database.py:192-207):
+    EXISTS subquery as a left-semi join — orders with at least one returned
+    line, counted per priority. (The synthetic lineitem has no commit/receipt
+    dates, so "late" becomes ``l_returnflag = 'R'``; the plan shape — filtered
+    probe side, semi join, rollup — is unchanged.) Semi-join never duplicates
+    or carries right-side columns — strictly cheaper than inner join +
+    distinct, and the returnflag filter is pushed into the parquet scan."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit(Q4_START).cast("date"))
+        & (F.to_date("o_orderdate") < F.lit(Q4_END).cast("date"))
+    )
+    returned = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(
+            returned, orders["o_orderkey"] == returned["l_orderkey"], "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_Q4 = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '{Q4_START}'
+  AND CAST(o_orderdate AS DATE) < DATE '{Q4_END}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# --- q10: returned-item customer revenue (wide join + grouped top-k) ---------
+
+Q10_START, Q10_END = "1995-10-01", "1996-01-01"
+Q10_TOPK = 20
+
+
+def q_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 shape: revenue lost to returns per customer over a quarter.
+    Only orders⋈lineitem shuffles (both pre-filtered at the scan); customer
+    and nation are broadcast. Grouping by the customer natural key plus its
+    functionally-dependent attributes adds no shuffle width at scale — the
+    hash key is dominated by c_custkey cardinality."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit(Q10_START).cast("date"))
+        & (F.to_date("o_orderdate") < F.lit(Q10_END).cast("date"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - _dec("l_discount", "4,2")
+    )
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(Q10_TOPK)
+    )
+    return out.select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+
+
+SQL_Q10 = f"""
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND CAST(o_orderdate AS DATE) >= DATE '{Q10_START}'
+  AND CAST(o_orderdate AS DATE) < DATE '{Q10_END}'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {Q10_TOPK}
+"""
+
+
+# --- q14: promo revenue ratio (conditional agg over a broadcast join) --------
+
+Q14_START, Q14_END = "1996-01-01", "1996-04-01"
+
+
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 shape: share of revenue from promo parts. `part` is a true
+    dimension (|part| ~ |lineitem|/30) → broadcast; the conditional sum is a
+    map-side combine, so the whole query is one scan + one local agg. Both
+    sums are decimal-exact, divided only after the final cast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit(Q14_START).cast("date"))
+        & (F.to_date("l_shipdate") < F.lit(Q14_END).cast("date"))
+    )
+    part = _t(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - _dec("l_discount", "4,2")
+    )
+    zero = F.lit(0).cast("decimal(16,4)")
+    out = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(zero))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+                "promo_revenue_pct"
+            ),
+            "promo_revenue",
+            "total_revenue",
+        )
+    )
+    return out
+
+
+SQL_Q14 = f"""
+WITH agg AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                       ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) AS promo_revenue,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem, part
+  WHERE l_partkey = p_partkey
+    AND CAST(l_shipdate AS DATE) >= DATE '{Q14_START}'
+    AND CAST(l_shipdate AS DATE) < DATE '{Q14_END}'
+)
+SELECT 100.0 * promo_revenue / total_revenue AS promo_revenue_pct,
+       promo_revenue, total_revenue
+FROM agg
+"""
+
+
+# --- q18: large-volume customers (agg-having, then join back) ----------------
+
+Q18_QTY = 250
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: orders whose total quantity exceeds a threshold,
+    joined back to customer detail. The HAVING runs as a pre-aggregation on
+    lineitem alone — at 100 TB this reduces the fact table to a tiny
+    survivor set *before* any join, so the subsequent joins broadcast the
+    survivors rather than shuffling lineitem against orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    out = (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+    return out
+
+
+SQL_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_totalprice, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING total_qty > {Q18_QTY}
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+"""
+
+
 # --- q6: forecast revenue change (pure pushed-down filter + scalar agg) ------
 
 Q6_START, Q6_END = "1994-01-01", "1995-01-01"
@@ -229,10 +430,34 @@ SPECS = {
         "multi-dimension broadcast-join rollup",
         ("bench", "join"),
     ),
+    "q4_order_priority": QuerySpec(
+        q_q4_order_priority,
+        SQL_Q4,
+        "EXISTS as left-semi join + priority rollup",
+        ("bench", "join"),
+    ),
     "q6_forecast_revenue": QuerySpec(
         q_q6_forecast_revenue,
         SQL_Q6,
         "pushed-down range+predicate filter to a single scalar aggregate",
         ("bench", "agg"),
+    ),
+    "q10_returned_revenue": QuerySpec(
+        q_q10_returned_revenue,
+        SQL_Q10,
+        "wide fact join + broadcast dims + grouped top-k",
+        ("bench", "join"),
+    ),
+    "q14_promo_revenue": QuerySpec(
+        q_q14_promo_revenue,
+        SQL_Q14,
+        "conditional-sum ratio over a broadcast dimension join",
+        ("bench", "join", "agg"),
+    ),
+    "q18_large_orders": QuerySpec(
+        q_q18_large_orders,
+        SQL_Q18,
+        "pre-aggregate HAVING reduction before the join",
+        ("bench", "agg", "join"),
     ),
 }
