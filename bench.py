@@ -43,6 +43,8 @@ HEADLINE = [
     "asof_join",
     "sessionize",
     "time_bucket_hourly",
+    "range_join_nearby",
+    "event_rollup_day",
     "q6_forecast_revenue",
     "funnel_conversion",
 ]

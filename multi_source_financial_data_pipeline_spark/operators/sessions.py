@@ -130,3 +130,56 @@ def time_bucket_rollup(
         F.min(value_col).alias("min_value"),
         F.max(value_col).alias("max_value"),
     )
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_us: int,
+    right_cols: list[str],
+) -> DataFrame:
+    """Range join — all (left, right) pairs of the same key with
+    ``|right_ts - left_ts| <= tolerance`` — as an equi join.
+
+    Naive range joins degenerate to a per-key nested loop (BroadcastNestedLoop
+    at cluster scale: quadratic and unshardable). The scale-safe plan buckets
+    time by the tolerance: a matching pair can then differ by at most one
+    bucket, so replicating the right side into its bucket ±1 turns the range
+    predicate into an equi key ``(key, bucket)`` — one ordinary shuffled hash
+    join (3× right-side replication), with the exact |Δt| predicate applied
+    as a post-join filter. Each true pair matches exactly once (the left row
+    has a single bucket; the three replicas carry distinct buckets).
+
+    Returned columns: all left columns + ``<right col>`` for each requested
+    right column + ``dt_us`` (right minus left, microseconds).
+    """
+    # integer `div` bucketing — double division risks flooring into the
+    # neighboring bucket when epoch_us/tolerance lands within an ulp of an
+    # integer; `div` is exact, and |bucket(x)-bucket(y)| <= 1 still holds for
+    # |x-y| <= tolerance under truncating division (monotone, step <= 1)
+    l = left.withColumn("__l_us", F.unix_micros(F.col(left_ts))).withColumn(
+        "__bucket", F.expr(f"__l_us div {tolerance_us}")
+    )
+    r = (
+        right.withColumn("__r_us", F.unix_micros(F.col(right_ts)))
+        .withColumn("__r_bucket", F.expr(f"__r_us div {tolerance_us}"))
+        .select(
+            F.col(key),
+            "__r_us",
+            F.explode(
+                F.array(*[F.col("__r_bucket") + k for k in (-1, 0, 1)])
+            ).alias("__bucket"),
+            *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        )
+    )
+    joined = l.join(r, [key, "__bucket"]).filter(
+        F.abs(F.col("__r_us") - F.col("__l_us")) <= tolerance_us
+    )
+    return joined.select(
+        *left.columns,
+        *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+        (F.col("__r_us") - F.col("__l_us")).alias("dt_us"),
+    )

@@ -200,6 +200,81 @@ FROM g
 """
 
 
+# --- range join: purchases within ±2 h of each error, same user -------------
+
+RANGE_TOL_US = 7200 * 1_000_000
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (see operators/sessions.bucketed_range_join): every
+    (error, purchase) pair of the same user within ±2 hours, rolled up per
+    error event. The oracle runs the naive inequality join — same pairs, but
+    the Spark plan is an equi join that scales."""
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    pairs = sessions.bucketed_range_join(
+        errors,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        tolerance_us=RANGE_TOL_US,
+        right_cols=["value"],
+    )
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_nearby"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_nearby"),
+    )
+
+
+SQL_RANGE_JOIN = f"""
+SELECT a.event_id, a.user_id,
+       count(*) AS n_nearby,
+       CAST(sum(CAST(b.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_nearby
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'error' AND b.event_type = 'purchase'
+ AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= {RANGE_TOL_US}
+GROUP BY a.event_id, a.user_id
+"""
+
+
+# --- hierarchical rollup: (event_type, day) grouping sets --------------------
+
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(event_type, day): per-type-per-day, per-type, and grand-total
+    rows in one pass — Spark expands the grouping sets into a single
+    partial-aggregated shuffle (no re-scan per level). grouping_id
+    disambiguates subtotal rows from genuine nulls."""
+    ev = _events(spark, sf_dir)
+    day_us = F.unix_micros(F.date_trunc("day", F.col("ts")))
+    return (
+        ev.select("event_type", day_us.alias("day_us"), "value")
+        .rollup("event_type", "day_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
+SQL_EVENT_ROLLUP = """
+SELECT event_type,
+       epoch_us(date_trunc('day', ts)) AS day_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       CAST(grouping(event_type) * 2 + grouping(date_trunc('day', ts)) AS BIGINT) AS gid
+FROM events
+GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+"""
+
+
 # --- funnel: signup → purchase conversion per user ---------------------------
 
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,5 +355,17 @@ SPECS = {
         SQL_FUNNEL,
         "signup→purchase funnel: first signup + subsequent purchase count",
         ("events", "join", "agg"),
+    ),
+    "range_join_nearby": QuerySpec(
+        q_range_join,
+        SQL_RANGE_JOIN,
+        "±2-h same-user range join as a bucketed equi join",
+        ("events", "join", "bench"),
+    ),
+    "event_rollup_day": QuerySpec(
+        q_event_rollup,
+        SQL_EVENT_ROLLUP,
+        "ROLLUP(event_type, day) grouping sets in one shuffle",
+        ("events", "agg"),
     ),
 }

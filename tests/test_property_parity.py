@@ -172,3 +172,53 @@ def test_sessionize_matches_reference_gap_logic(spark, gaps):
             sid += 1
         want.append(sid)
     assert got.tolist() == want
+
+
+range_ts = st.lists(
+    st.integers(min_value=0, max_value=50_000), min_size=1, max_size=25, unique=True
+)
+
+
+@given(left_ts=range_ts, right_ts=range_ts, tol=st.integers(min_value=1, max_value=20))
+@settings(**SETTINGS)
+def test_bucketed_range_join_matches_naive_pairs(spark, left_ts, right_ts, tol):
+    """The bucket±1 replication must produce exactly the naive |Δt|<=tol pair
+    set — no duplicates (each pair matches one replica) and no misses
+    (bucket width == tolerance bounds the bucket distance to 1). Boundary
+    timestamps (Δt == tol, same ts) are the cases worth the fuzz."""
+    from multi_source_financial_data_pipeline_spark.operators.sessions import (
+        bucketed_range_join,
+    )
+
+    tol_us = tol * 1_000_000
+    left = pd.DataFrame(
+        {
+            "event_id": range(len(left_ts)),
+            "key": "k",
+            "ts": pd.to_datetime(left_ts, unit="s"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "key": "k",
+            "ts": pd.to_datetime(right_ts, unit="s"),
+            "value": [float(t) for t in right_ts],
+        }
+    )
+    got = bucketed_range_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        key="key",
+        left_ts="ts",
+        right_ts="ts",
+        tolerance_us=tol_us,
+        right_cols=["value"],
+    ).toPandas()
+    got_pairs = sorted(zip(got["event_id"], got["value"]))
+    want_pairs = sorted(
+        (lid, float(rt))
+        for lid, lt in zip(left["event_id"], left_ts)
+        for rt in right_ts
+        if abs(rt - lt) * 1_000_000 <= tol_us
+    )
+    assert got_pairs == want_pairs
