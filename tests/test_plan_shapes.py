@@ -44,3 +44,44 @@ def test_scans_push_filters_and_prune_columns(spark, sf_dir):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_extendedprice" in read_schema
     assert "l_orderkey" not in read_schema
+
+
+def test_q4_semi_join_never_inner_duplicates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
+    # the returnflag predicate reaches the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q18_preaggregates_before_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q18_large_orders")
+    # the HAVING reduction must run on lineitem alone, upstream of any join:
+    # the aggregate appears on the build side of the orders join
+    agg_pos = plan.index("HashAggregate")
+    join_pos = plan.index("BroadcastHashJoin")
+    assert agg_pos is not None and join_pos is not None
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "range_join_nearby")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the |Δt| predicate rides the hash join as a residual condition
+    assert "HashJoin" in plan
+
+
+def test_rollup_is_single_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "event_rollup_day")
+    # grouping sets expand in one Expand + one agg pipeline, not one scan
+    # per grouping level
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_cosine_neardup_is_arrow_blocked(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embedding_neardup")
+    # the all-pairs score runs in one vectorized Arrow stage, with no
+    # nested-loop join materializing the pair space row-by-row
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
