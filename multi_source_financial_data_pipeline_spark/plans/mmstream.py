@@ -259,6 +259,70 @@ FROM (SELECT DISTINCT user_id, event_type FROM events)
 """
 
 
+# --- streaming: session windows (gap-merged) ---------------------------------
+
+STREAM_GAP = "30 minutes"
+
+
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``session_window`` aggregation: per-user sessions merged on a 30-min
+    gap, maintained as streaming state and drained with availableNow in
+    complete mode. Spark's session end = last event + gap; the oracle
+    reproduces that with the lag-gap running-sum construction. This is the
+    stateful windowing primitive tumbling/sliding windows can't express —
+    state per (user, open session), bounded by the gap under a watermark."""
+    name = f"stream_sessions_{next(_qname)}"
+    with _event_stream(spark, sf_dir) as stream:
+        agg = (
+            stream.groupBy(
+                F.session_window("ts", STREAM_GAP), F.col("user_id")
+            ).agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_STREAM_SESSIONS = """
+WITH s AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(epoch_us(ts)) OVER evt IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER evt > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW evt AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s2 AS (
+  SELECT *,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM s
+)
+SELECT user_id,
+       min(epoch_us(ts)) AS session_start_us,
+       max(epoch_us(ts)) + 1800 * 1000000 AS session_end_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM s2 GROUP BY user_id, session_id
+"""
+
+
 # --- streaming: custom stateful operator (applyInPandasWithState) ------------
 
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,5 +412,11 @@ SPECS = {
         SQL_STREAM_TOTALS,
         "custom stateful operator: per-key running totals via applyInPandasWithState",
         ("streaming",),
+    ),
+    "stream_session_windows": QuerySpec(
+        q_stream_session_windows,
+        SQL_STREAM_SESSIONS,
+        "gap-merged session_window streaming aggregation (30-min gap)",
+        ("streaming", "window"),
     ),
 }
