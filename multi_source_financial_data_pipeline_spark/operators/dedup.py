@@ -222,19 +222,21 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         "id",
         F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("h"),
     )
+    # the signed sum over tokens is 2*ones_b - n, so aggregate the branchless
+    # bit extraction plus one shared count instead of 32 conditional ±1 sums;
+    # bit b is set iff ones_b > n - ones_b
     bit_sums = h.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
+            F.sum(F.expr(f"shiftright(h, {b}) & 1")).alias(f"s{b}")
             for b in range(32)
-        ]
+        ],
     )
     fingerprint = sum(
         (
-            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.col(f"s{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
             for b in range(32)
         ),
         start=F.lit(0).cast("long"),
