@@ -27,6 +27,7 @@ HEADLINE = [
     "q3_top_revenue",
     "q4_order_priority",
     "q5_region_revenue",
+    "q7_shipping_volume",
     "q10_returned_revenue",
     "q14_promo_revenue",
     "q18_large_orders",

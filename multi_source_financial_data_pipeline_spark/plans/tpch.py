@@ -216,6 +216,72 @@ GROUP BY o_orderpriority
 """
 
 
+# --- q7: volume shipping between two nations (dual-path dim join) ------------
+
+# both nations have suppliers at every scale factor (sf0.001 has only 10
+# suppliers, spread over nations {3,8,12,13,15,18,19,20,21,24})
+Q7_NATION_A, Q7_NATION_B = "NATION_3", "NATION_8"
+
+
+def q_q7_shipping_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: revenue flowing between two nations, by direction and
+    ship year. The fact row reaches nation twice — through supplier and
+    through orders→customer — so this is the widest join tree in the bench.
+    Both dimension chains fold into broadcasts; the only shuffle is
+    lineitem⋈orders, and the disjunctive nation-pair predicate prunes rows
+    inside the broadcast joins (either direction, never same-nation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)
+    )
+    supp_n = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+    cust_n = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - _dec("l_discount", "4,2")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.to_date("l_shipdate")).cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+SQL_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume
+  FROM lineitem, orders, customer, supplier, nation sn, nation cn
+  WHERE l_orderkey = o_orderkey
+    AND l_suppkey = s_suppkey
+    AND o_custkey = c_custkey
+    AND s_nationkey = sn.n_nationkey
+    AND c_nationkey = cn.n_nationkey
+    AND sn.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+    AND cn.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+    AND sn.n_name <> cn.n_name
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
 # --- q10: returned-item customer revenue (wide join + grouped top-k) ---------
 
 Q10_START, Q10_END = "1995-10-01", "1996-01-01"
@@ -441,6 +507,12 @@ SPECS = {
         SQL_Q6,
         "pushed-down range+predicate filter to a single scalar aggregate",
         ("bench", "agg"),
+    ),
+    "q7_shipping_volume": QuerySpec(
+        q_q7_shipping_volume,
+        SQL_Q7,
+        "dual-path nation join by direction and ship year",
+        ("bench", "join"),
     ),
     "q10_returned_revenue": QuerySpec(
         q_q10_returned_revenue,
