@@ -132,6 +132,8 @@ def cosine_neardup_pairs(
     b_pdf = embeddings.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
     ).toPandas()
+    if not len(b_pdf):
+        return sess.createDataFrame([], "id_a long, id_b long, cos_sim double")
     b_ids = b_pdf["id"].to_numpy()
     b_mat = np.stack(b_pdf["v"].to_numpy()).astype(np.float64)
     b_norm = _dim_ordered_sq_norm(b_mat)
