@@ -30,7 +30,9 @@ HEADLINE = [
     "q7_shipping_volume",
     "q10_returned_revenue",
     "q14_promo_revenue",
+    "q15_top_supplier",
     "q18_large_orders",
+    "q19_disjunctive_revenue",
     "cross_source_compare",
     "dedup_keep_last",
     "missing_bdays",

@@ -443,6 +443,99 @@ ORDER BY o_totalprice DESC, o_orderkey ASC
 """
 
 
+# --- q15: top supplier by revenue (argmax vs a broadcast global scalar) ------
+
+Q15_START, Q15_END = "1996-01-01", "1996-04-01"
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 shape: suppliers whose quarterly revenue equals the global
+    maximum. The per-supplier aggregate is computed once and reused for both
+    the candidate rows and the max — Spark broadcasts the 1-row max as a
+    cross join (no second scan of lineitem, no correlated re-evaluation).
+    Decimal-exact revenue makes the equality comparison safe cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit(Q15_START).cast("date"))
+        & (F.to_date("l_shipdate") < F.lit(Q15_END).cast("date"))
+    )
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - _dec("l_discount", "4,2")
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(revenue).alias("total_revenue_dec")
+    )
+    max_rev = per_supp.agg(
+        F.max("total_revenue_dec").alias("max_revenue_dec")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        per_supp.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue_dec") == F.col("max_revenue_dec"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+SQL_Q15 = f"""
+WITH r AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue_dec
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{Q15_START}'
+    AND CAST(l_shipdate AS DATE) < DATE '{Q15_END}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue_dec AS DOUBLE) AS total_revenue
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_dec = (SELECT max(total_revenue_dec) FROM r)
+"""
+
+
+# --- q19: disjunctive predicate revenue (OR-of-ANDs pushdown) ----------------
+
+def q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape: revenue from three alternative (brand, size,
+    quantity) clause groups. The OR-of-ANDs predicate stays a single filter
+    expression: part-only conjuncts are pushed through the broadcast join to
+    the part scan, lineitem-only bounds (qty ≤ 30) are factored out and
+    pushed to the lineitem scan, and the cross-table residual rides the
+    join — one scan each, no union-of-three-queries plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - _dec("l_discount", "4,2")
+    )
+    q = F.col("l_quantity")
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10)) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 20)) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 30)) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(clause)
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+SQL_Q19 = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND (
+    (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)
+  )
+"""
+
+
 # --- q6: forecast revenue change (pure pushed-down filter + scalar agg) ------
 
 Q6_START, Q6_END = "1994-01-01", "1995-01-01"
@@ -531,5 +624,17 @@ SPECS = {
         SQL_Q18,
         "pre-aggregate HAVING reduction before the join",
         ("bench", "agg", "join"),
+    ),
+    "q15_top_supplier": QuerySpec(
+        q_q15_top_supplier,
+        SQL_Q15,
+        "argmax supplier vs a broadcast global-max scalar",
+        ("bench", "agg", "join"),
+    ),
+    "q19_disjunctive_revenue": QuerySpec(
+        q_q19_disjunctive_revenue,
+        SQL_Q19,
+        "OR-of-ANDs predicate split across both scans and the join residual",
+        ("bench", "join"),
     ),
 }
