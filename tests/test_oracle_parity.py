@@ -70,3 +70,16 @@ def test_oracle_parity(spark, sf_dir, name):
             assert np.array_equal(g.astype(object), w.astype(object)), (
                 f"{name}.{col}: values differ"
             )
+
+
+def test_no_query_is_hollow(sf_dir):
+    """Every oracle must select real rows at the smallest scale factor — a
+    0 == 0 parity pass proves nothing (a date window outside the synthetic
+    data's range once made a query trivially green)."""
+    con = _duck(sf_dir)
+    empty = [
+        name
+        for name in ORACLE_NAMES
+        if len(con.sql(QUERIES[name].oracle).df()) == 0
+    ]
+    assert not empty, f"oracles returning zero rows: {empty}"
