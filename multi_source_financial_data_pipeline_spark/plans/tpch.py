@@ -8,9 +8,12 @@ DuckDB's serial sum produce bit-identical results.
 
 Scale notes: q1 is a pure map-side-combine groupBy on a 4-value key — it
 scales linearly and AQE coalesces the tiny shuffle. q3/q5 join fact tables on
-their natural keys; `region`/`nation`/`customer`/`supplier` are broadcast
-(dimension tables stay small relative to any fact scale-up), so only
-orders⋈lineitem shuffles, on the key both sides are already clustered by.
+their natural keys; `region`/`nation`/`supplier`/`part` are explicitly
+broadcast (fixed-size or ~|fact|/30 dimensions), while `customer` — which
+grows proportionally with the scale factor (150k × SF rows) — carries NO
+broadcast hint: AQE promotes it to a broadcast join when its runtime size is
+under the threshold and falls back to a shuffled join at large SF, so the
+plan never pins a scale-proportional table into executor memory.
 """
 
 from __future__ import annotations
@@ -155,7 +158,7 @@ def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
@@ -290,10 +293,12 @@ Q10_TOPK = 20
 
 def q_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q10 shape: revenue lost to returns per customer over a quarter.
-    Only orders⋈lineitem shuffles (both pre-filtered at the scan); customer
-    and nation are broadcast. Grouping by the customer natural key plus its
-    functionally-dependent attributes adds no shuffle width at scale — the
-    hash key is dominated by c_custkey cardinality."""
+    orders⋈lineitem shuffles (both pre-filtered at the scan); nation is
+    broadcast. customer is scale-proportional, so it carries no hint — AQE
+    broadcasts it while small and shuffles it on c_custkey at large SF.
+    Grouping by the customer natural key plus its functionally-dependent
+    attributes adds no shuffle width at scale — the hash key is dominated by
+    c_custkey cardinality."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.to_date("o_orderdate") >= F.lit(Q10_START).cast("date"))
@@ -306,7 +311,7 @@ def q_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -400,8 +405,9 @@ def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q18 shape: orders whose total quantity exceeds a threshold,
     joined back to customer detail. The HAVING runs as a pre-aggregation on
     lineitem alone — at 100 TB this reduces the fact table to a tiny
-    survivor set *before* any join, so the subsequent joins broadcast the
-    survivors rather than shuffling lineitem against orders."""
+    survivor set *before* any join, so the orders join broadcasts the
+    survivors rather than shuffling lineitem against orders. customer is
+    scale-proportional and carries no broadcast hint (AQE decides)."""
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -412,7 +418,7 @@ def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     out = (
         orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",

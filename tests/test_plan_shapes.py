@@ -14,10 +14,50 @@ def _plan(spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _final_plan(spark, sf_dir, name: str) -> str:
+    """Run the query so AQE finalizes its runtime re-plan, then dump it.
+
+    The AQE toString includes an "== Initial Plan ==" section after the
+    final plan; keep only the final section so assertions see what actually
+    executed."""
+    df = QUERIES[name].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
 def test_q5_join_tree_is_all_broadcast(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q5_region_revenue")
+    # customer carries no hint, but at bench scale AQE's runtime re-plan
+    # promotes every join (customer included) to broadcast
+    plan = _final_plan(spark, sf_dir, "q5_region_revenue")
+    assert "isFinalPlan=true" in plan
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_customer_joins_carry_no_forced_broadcast(spark, sf_dir):
+    """customer is scale-proportional (150k × SF rows): q5/q10/q18 must NOT
+    pin it into executor memory with an explicit broadcast hint. With
+    auto-broadcast disabled, a hinted table still shows up as a
+    BroadcastHashJoin, so the customer join degrading to a shuffle join
+    proves the hint is absent — while the fixed-size dims (region, nation)
+    and the q18 HAVING-survivor set stay broadcast because they ARE hinted."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, hinted_broadcasts in [
+            ("q5_region_revenue", 2),  # region, nation
+            ("q10_returned_revenue", 1),  # nation
+            ("q18_large_orders", 1),  # HAVING survivors
+        ]:
+            plan = _plan(spark, sf_dir, name)
+            # the customer join fell back to a shuffle join...
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+            # ...while the explicitly-hinted sides remain broadcast
+            assert plan.count("BroadcastHashJoin") >= hinted_broadcasts, name
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
 def test_q3_topk_avoids_global_sort(spark, sf_dir):
