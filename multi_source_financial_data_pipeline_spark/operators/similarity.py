@@ -113,61 +113,88 @@ def cosine_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int = 16,
 ) -> DataFrame:
-    """All pairs above a cosine threshold (id_a < id_b). Brute force — the
-    correctness baseline; use `lsh_bucket` + within-bucket pairs at scale.
+    """All pairs above a cosine threshold (id_a < id_b), exact — as a
+    DISTRIBUTED block-pair join: vectors hash into `num_blocks` blocks, the
+    ``num_blocks*(num_blocks+1)/2`` unordered block pairs are enumerated as a
+    tiny broadcast table, both roles replicate to their block pairs, and a
+    cogrouped ``applyInPandas`` scores each block pair as one vectorized
+    matmul. Nothing is ever collected to the driver and no task holds more
+    than two blocks (~2n/num_blocks vectors), so the exact O(n²) flops
+    spread over the cluster with per-task memory you control via
+    `num_blocks` (shuffle volume is ~num_blocks/2 × input — the standard
+    exact-all-pairs tradeoff; raise `num_blocks` as the corpus grows, or use
+    `lsh_neardup_pairs` when approximate recall is acceptable).
 
-    Execution is an Arrow-blocked block-matmul: the right side is broadcast
-    once as a dense float64 matrix (all-pairs only makes sense while one side
-    fits in executor memory — beyond that, `lsh_neardup_pairs` is the
-    algorithm, not a bigger loop), the left side streams through
-    ``mapInPandas`` partition-parallel, and each batch scores against the
-    whole matrix in one vectorized pass (~50× the per-row expression-tree
-    cost). Dimension-ordered accumulation keeps results bit-identical to the
+    Every unordered vector pair is scored exactly once: same-block pairs on
+    the diagonal block (masked id_b > id_a), cross-block pairs on the single
+    (min_blk, max_blk) tile with the ids min/max-ordered on emit. Dimension-
+    ordered accumulation keeps results bit-identical to the
     ``zip_with``+``aggregate`` formulation and the DuckDB oracle; rounding
     stays JVM-side (`F.round`, HALF_UP) for the same reason."""
     import numpy as np
+    import pandas as pd
 
     sess = embeddings.sparkSession
-    b_pdf = embeddings.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-    ).toPandas()
-    if not len(b_pdf):
-        return sess.createDataFrame([], "id_a long, id_b long, cos_sim double")
-    b_ids = b_pdf["id"].to_numpy()
-    b_mat = np.stack(b_pdf["v"].to_numpy()).astype(np.float64)
-    b_norm = _dim_ordered_sq_norm(b_mat)
-    bc = sess.sparkContext.broadcast((b_ids, b_mat, b_norm))
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        _as_double(vec_col).alias("v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks)).alias("blk"),
+    )
+    # block-pair enumeration is plan-time metadata (≤ num_blocks² tuples),
+    # not data — broadcast-joined so each row fans out to its tiles only
+    tiles = sess.createDataFrame(
+        [(i, j, i * num_blocks + j) for i in range(num_blocks) for j in range(i, num_blocks)],
+        "bi int, bj int, tile int",
+    )
+    a_rep = (
+        e.alias("ea")
+        .join(F.broadcast(tiles.alias("ta")), F.col("ea.blk") == F.col("ta.bi"))
+        .select(F.col("ta.tile").alias("tile"), F.col("ea.id").alias("id"), F.col("ea.v").alias("v"))
+    )
+    b_rep = (
+        e.alias("eb")
+        .join(F.broadcast(tiles.alias("tb")), F.col("eb.blk") == F.col("tb.bj"))
+        .select(F.col("tb.tile").alias("tile"), F.col("eb.id").alias("id"), F.col("eb.v").alias("v"))
+    )
     # prefilter on the raw cosine with a margin wider than any rounding
     # shift, so the exact JVM-side round + threshold decides membership
     raw_cut = threshold - 1e-6
 
-    def score(batches):
-        import pandas as pd
-
-        ids_b, mat_b, norm_b = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a_ids = pdf["id"].to_numpy()
-            a_mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            a_norm = _dim_ordered_sq_norm(a_mat)
-            denom = np.sqrt(a_norm[:, None] * norm_b[None, :])
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = _dim_ordered_dot(a_mat, mat_b) / denom
-            mask = (ids_b[None, :] > a_ids[:, None]) & (cos >= raw_cut)
-            i, j = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"id_a": a_ids[i], "id_b": ids_b[j], "raw_cos": cos[i, j]}
+    def score_tile(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(a_pdf) or not len(b_pdf):
+            return pd.DataFrame({"id_a": [], "id_b": [], "raw_cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "raw_cos": "float64"}
             )
+        a_ids = a_pdf["id"].to_numpy()
+        b_ids = b_pdf["id"].to_numpy()
+        a_mat = np.stack(a_pdf["v"].to_numpy()).astype(np.float64)
+        b_mat = np.stack(b_pdf["v"].to_numpy()).astype(np.float64)
+        denom = np.sqrt(
+            _dim_ordered_sq_norm(a_mat)[:, None] * _dim_ordered_sq_norm(b_mat)[None, :]
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = _dim_ordered_dot(a_mat, b_mat) / denom
+        (tile,) = key
+        diagonal = (tile % (num_blocks + 1)) == 0  # tile = bi*nb+bj with bi == bj
+        if diagonal:
+            mask = (b_ids[None, :] > a_ids[:, None]) & (cos >= raw_cut)
+            i, j = np.nonzero(mask)
+            lo, hi = a_ids[i], b_ids[j]
+        else:
+            i, j = np.nonzero(cos >= raw_cut)
+            lo = np.minimum(a_ids[i], b_ids[j])
+            hi = np.maximum(a_ids[i], b_ids[j])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "raw_cos": cos[i, j]})
 
-    n_part = sess.sparkContext.defaultParallelism
-    a = embeddings.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-    ).repartition(n_part)
+    scored = (
+        a_rep.groupby("tile")
+        .cogroup(b_rep.groupby("tile"))
+        .applyInPandas(score_tile, schema="id_a long, id_b long, raw_cos double")
+    )
     return (
-        a.mapInPandas(score, schema="id_a long, id_b long, raw_cos double")
-        .select("id_a", "id_b", F.round("raw_cos", 6).alias("cos_sim"))
+        scored.select("id_a", "id_b", F.round("raw_cos", 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 

@@ -119,9 +119,13 @@ def test_rollup_is_single_pass(spark, sf_dir):
     assert "Expand" in plan
 
 
-def test_cosine_neardup_is_arrow_blocked(spark, sf_dir):
+def test_cosine_neardup_is_distributed_block_pair(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_neardup")
-    # the all-pairs score runs in one vectorized Arrow stage, with no
-    # nested-loop join materializing the pair space row-by-row
-    assert "MapInPandas" in plan
+    # the exact all-pairs score runs as a cogrouped Arrow block-matmul over
+    # hash-blocked tiles — fully distributed, nothing collected to the
+    # driver, no nested-loop join materializing the pair space row-by-row
+    assert "FlatMapCoGroupsInPandas" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # both replication joins are broadcast joins against the tiny tile table
+    assert plan.count("BroadcastHashJoin") >= 2
