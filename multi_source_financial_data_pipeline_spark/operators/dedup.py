@@ -129,12 +129,12 @@ def lsh_candidate_pairs(
         ]
     )
     # one pass over sig (posexplode, not a per-band union — a union would
-    # recompute the signature pipeline once per band); persisted because the
-    # self-join reads it twice
+    # recompute the signature pipeline once per band). The self-join reads
+    # this twice; caching is left to the CALLER (df.persist() before calling)
+    # so a long-running session doesn't accumulate leaked cached band tables
     bands = (
         sig.select(F.col(id_col).alias("id"), F.posexplode(band_keys).alias("band", "band_key"))
         .filter(F.col("band_key") != "")
-        .persist()
     )
     a = bands.alias("a")
     b_ = bands.alias("b")
@@ -242,6 +242,74 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         start=F.lit(0).cast("long"),
     )
     return bit_sums.select(F.col("id").alias(id_col), fingerprint.alias("simhash"))
+
+
+def min_label_components(
+    edges: DataFrame,
+    id_col: str = "id",
+    nb_col: str = "nb",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a SYMMETRIC edge set by iterative min-label
+    propagation with pointer jumping: every node starts labeled with itself;
+    each round a node takes the min of its own label and its neighbors'
+    labels, then labels resolve one representative hop (lbl ← lbl[lbl], path
+    compression). The jump halves the effective distance to the component
+    minimum, so convergence takes O(log diameter) rounds instead of
+    O(diameter) — for a 1000-node chain, ~10 shuffle rounds, not 1000.
+    Returns (id, component) for nodes that appear in at least one edge;
+    isolated nodes are the caller's left-join default.
+
+    Scale: the loop runs only over EDGE ENDPOINTS (docs with at least one
+    verified duplicate), not the whole corpus — at 100 TB that subgraph is a
+    small fraction of the table, and each round is two shuffle joins of the
+    label table (against the edge list, then itself). `localCheckpoint` cuts
+    lineage so the plan doesn't grow exponentially with rounds."""
+    # materialize the edge list once — every round joins against it, and
+    # without this the whole upstream pipeline (LSH banding + Jaccard
+    # verification) would be re-executed per iteration
+    e = edges.select(
+        F.col(id_col).alias("src"), F.col(nb_col).alias("dst")
+    ).localCheckpoint()
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            e.join(labels.withColumnRenamed("id", "dst_id"), F.col("dst") == F.col("dst_id"))
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("lbl").alias("nb_lbl"))
+        )
+        stepped = (
+            labels.withColumnRenamed("lbl", "old_lbl")
+            .join(nb_min, ["id"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("old_lbl"), F.coalesce(F.col("nb_lbl"), F.col("old_lbl"))
+                ).alias("lbl"),
+                "old_lbl",
+            )
+        )
+        # pointer jump: lbl ← lbl[lbl]. Every label IS some node's id (labels
+        # start as ids and only min over ids), so the inner join is total.
+        jump = stepped.select(
+            F.col("id").alias("jid"), F.col("lbl").alias("jlbl")
+        )
+        new_labels = (
+            stepped.join(jump, stepped["lbl"] == jump["jid"])
+            .select("id", F.col("jlbl").alias("lbl"), "old_lbl")
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("lbl") < F.col("old_lbl")).count()
+        labels = new_labels.select("id", "lbl")
+        if changed == 0:
+            break
+    return labels
 
 
 def exact_dedup_groups(

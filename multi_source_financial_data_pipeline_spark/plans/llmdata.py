@@ -300,8 +300,12 @@ SELECT DISTINCT doc_id, fp FROM h WHERE fp % {WINNOW_MOD} = 0
 def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup decision in one dataflow: MinHash+LSH candidate pairs,
     exact n-gram Jaccard verification on candidates only, then per-doc
-    canonical assignment (min verified neighbor, star-merge). Pair work is
-    bounded by the LSH banding; everything else is linear."""
+    canonical assignment as a TRUE connected-component representative —
+    min-label propagation iterated to a fixpoint, so for a verified chain
+    A–B, B–C all three map to A even with no direct A–C edge (the output is
+    a fixpoint: canonical_id(canonical_id(x)) = canonical_id(x), safe for
+    downstream "keep canonical only" dedup). Pair work is bounded by the
+    LSH banding; the component loop runs only over edge endpoints."""
     docs = _t(spark, sf_dir, "documents")
     sig = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
@@ -317,23 +321,24 @@ def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = v.unionByName(
         v.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).select(F.col("id_a").alias("id"), F.col("id_b").alias("nb"))
+    comp = dedup.min_label_components(edges)
     canon = (
         docs.select("doc_id")
-        .join(edges, docs["doc_id"] == edges["id"], "left")
-        .groupBy("doc_id")
-        .agg(F.min("nb").alias("min_nb"))
+        .join(comp, docs["doc_id"] == comp["id"], "left")
         .select(
             "doc_id",
-            F.least(F.col("doc_id"), F.coalesce(F.col("min_nb"), F.col("doc_id"))).alias(
-                "canonical_id"
-            ),
+            F.coalesce(F.col("lbl"), F.col("doc_id")).alias("canonical_id"),
         )
     )
     return canon.withColumn("is_dup", F.col("canonical_id") != F.col("doc_id"))
 
 
+# transitive closure mirrored as a recursive CTE: reach(id, r) enumerates
+# every node r reachable from id over the verified-duplicate edges, and the
+# component representative is min(r) — the same fixpoint the Spark side's
+# iterated min-label propagation converges to
 SQL_NEARDUP_VERIFIED = f"""
-WITH cand AS (SELECT * FROM ({SQL_MINHASH_LSH_PAIRS})),
+WITH RECURSIVE cand AS (SELECT * FROM ({SQL_MINHASH_LSH_PAIRS})),
 d2 AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 sh2 AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM d2),
 v AS (
@@ -347,12 +352,19 @@ v AS (
   SELECT id_a AS id, id_b AS nb FROM v
   UNION ALL
   SELECT id_b, id_a FROM v
+), nodes AS (
+  SELECT DISTINCT id FROM e
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.nb FROM reach JOIN e ON e.id = reach.r
+), comp AS (
+  SELECT id, min(r) AS lbl FROM reach GROUP BY id
 )
 SELECT d.doc_id,
-       least(d.doc_id, coalesce(min(e.nb), d.doc_id)) AS canonical_id,
-       least(d.doc_id, coalesce(min(e.nb), d.doc_id)) != d.doc_id AS is_dup
-FROM documents d LEFT JOIN e ON e.id = d.doc_id
-GROUP BY d.doc_id
+       coalesce(c.lbl, d.doc_id) AS canonical_id,
+       coalesce(c.lbl, d.doc_id) != d.doc_id AS is_dup
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 

@@ -94,3 +94,48 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_min_label_components_transitive_chain(spark, sf_dir):
+    """A–B, B–C with no direct A–C edge: all three must map to A (fixpoint),
+    and an unrelated pair D–E must map to D — the one-hop star-merge bug
+    this operator replaces left C pointing at B."""
+    from multi_source_financial_data_pipeline_spark.operators.dedup import min_label_components
+
+    v = spark.createDataFrame(
+        # 3-chain, isolated pair, and a 7-chain linked high-to-low to force
+        # several propagation rounds (exercises the pointer-jumping path)
+        [(1, 2), (2, 3), (10, 11)]
+        + [(20 + i, 20 + i + 1) for i in range(6)],
+        "id_a long, id_b long",
+    )
+    edges = v.unionByName(
+        v.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("id"), F.col("id_b").alias("nb"))
+    got = {
+        r["id"]: r["lbl"] for r in min_label_components(edges).collect()
+    }
+    expected = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    expected.update({20 + i: 20 for i in range(7)})
+    assert got == expected
+
+
+def test_neardup_canonical_is_fixpoint(spark, sf_dir):
+    """canonical_id must itself be canonical: mapping it again is identity."""
+    from multi_source_financial_data_pipeline_spark.plans.registry import QUERIES
+
+    out = QUERIES["neardup_verified"].fn(spark, sf_dir).select("doc_id", "canonical_id")
+    remap = out.alias("x").join(
+        out.alias("y"), F.col("x.canonical_id") == F.col("y.doc_id")
+    )
+    non_fixpoint = remap.filter(
+        F.col("y.canonical_id") != F.col("x.canonical_id")
+    ).count()
+    assert non_fixpoint == 0
+    # every canonical target exists as a doc_id (no dangling representative)
+    dangling = out.alias("x").join(
+        out.alias("y"),
+        F.col("x.canonical_id") == F.col("y.doc_id"),
+        "left_anti",
+    ).count()
+    assert dangling == 0
