@@ -134,9 +134,9 @@ def length_quantiles(
     (quantile value = smallest length whose running count reaches the target
     position): the only window runs over distinct lengths — a bounded-domain
     table — never over the corpus, so no single-partition global rank at
-    scale."""
-    import math
-
+    scale. The corpus total rides along as a broadcast 1-row cross join, so
+    the whole computation is one lazy plan — no mid-plan collect, no extra
+    job, and the plan stays reusable."""
     from pyspark.sql import Window
 
     hist = (
@@ -146,14 +146,21 @@ def length_quantiles(
     )
     w = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("cum", F.sum("cnt").over(w))
-    total = cum.agg(F.max("cum")).collect()[0][0]
+    totals = cum.agg(F.max("cum").alias("total"))
     picks = [
         F.min(
-            F.when(F.col("cum") >= max(1, math.ceil(q * total)), F.col("n_tokens"))
+            F.when(
+                F.col("cum")
+                >= F.greatest(
+                    F.lit(1).cast("bigint"),
+                    F.ceil(F.lit(q) * F.col("total")).cast("bigint"),
+                ),
+                F.col("n_tokens"),
+            )
         ).alias(f"p{int(q * 100)}")
         for q in qs
     ]
-    return cum.agg(*picks)
+    return cum.crossJoin(F.broadcast(totals)).agg(*picks)
 
 
 def token_length_histogram(

@@ -164,12 +164,13 @@ WITH obs AS (
 ), bdays AS (
   SELECT user_id, cal_date FROM cal WHERE dayofweek(cal_date) NOT IN (0, 6)
 )
-SELECT b.user_id,
-       CAST(count(CASE WHEN o.obs_date IS NULL THEN 1 END) AS BIGINT) AS missing_bdays
+SELECT bo.user_id,
+       CAST(count(CASE WHEN b.cal_date IS NOT NULL AND o.obs_date IS NULL
+                       THEN 1 END) AS BIGINT) AS missing_bdays
 FROM bounds bo
-JOIN bdays b ON b.user_id = bo.user_id
+LEFT JOIN bdays b ON b.user_id = bo.user_id
 LEFT JOIN obs o ON o.user_id = b.user_id AND o.obs_date = b.cal_date
-GROUP BY b.user_id
+GROUP BY bo.user_id
 """
 
 
@@ -392,8 +393,12 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = primary.join(secondary, ["o_orderkey"], "inner").na.drop(
         subset=["yahoo_close", "alpha_close"]
     )
+    # nullif divisor: ANSI-safe (Spark 4 errors on /0) and mirrors the
+    # oracle's nullif(o_totalprice, 0) exactly
     diff_pct = F.abs(
-        (F.col("yahoo_close") - F.col("alpha_close")) / F.col("yahoo_close") * 100
+        (F.col("yahoo_close") - F.col("alpha_close"))
+        / F.nullif(F.col("yahoo_close"), F.lit(0.0))
+        * 100
     )
     comp = joined.agg(
         F.count(F.lit(1)).alias("comparisons"),
@@ -406,7 +411,10 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reliability = F.greatest(
         F.lit(0.0),
-        F.lit(100.0) - F.col("discrepancies") / F.col("comparisons") * 100.0,
+        F.lit(100.0)
+        - F.col("discrepancies")
+        / F.nullif(F.col("comparisons").cast("double"), F.lit(0.0))
+        * 100.0,
     )
     return row.select(
         basic.alias("basic_quality_score"),

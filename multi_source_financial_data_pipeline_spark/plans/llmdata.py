@@ -183,14 +183,22 @@ JACCARD_THRESHOLD = 0.2
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked on the doc's FIRST MinHash value (single-hash LSH): collision
+    probability equals the pair's Jaccard similarity, so blocks are
+    fine-grained and pair work stays linear-ish at corpus scale — unlike a
+    low-cardinality key (language, source), which degenerates to near-all-
+    pairs within each block."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, num_hashes=1)
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), block_col="lang", threshold=JACCARD_THRESHOLD
+        sig, block_col="mh0", threshold=JACCARD_THRESHOLD
     )
 
 
 SQL_NGRAM_JACCARD_PAIRS = f"""
-WITH d AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
-sh AS (SELECT doc_id, lang AS blk, {_SQL_SHINGLES} AS s FROM d)
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sh0 AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM d),
+sh AS (SELECT doc_id, {_sql_minhash(0)} AS blk, s FROM sh0)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        len(list_intersect(a.s, b.s)) / nullif(len(list_distinct(a.s || b.s)), 0) AS jaccard
 FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
@@ -549,7 +557,7 @@ SPECS = {
     "ngram_jaccard_pairs": QuerySpec(
         q_ngram_jaccard_pairs,
         SQL_NGRAM_JACCARD_PAIRS,
-        "exact n-gram Jaccard near-dup pairs within language blocks",
+        "exact n-gram Jaccard near-dup pairs within single-MinHash LSH blocks",
         ("dedup",),
     ),
     "simhash": QuerySpec(
