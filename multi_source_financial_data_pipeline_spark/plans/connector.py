@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from multi_source_financial_data_pipeline_spark.operators import crossval, series_stats
 from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
+from multi_source_financial_data_pipeline_spark.session import tune_for_session_cores
 from multi_source_financial_data_pipeline_spark.sources import market_source, registry
 
 TICKERS = ["AAPL", "GLD", "MSFT", "TSLA"]
@@ -23,6 +24,7 @@ TOLERANCE_PCT = 0.5
 
 def _read(spark: SparkSession, source: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tune_for_session_cores(spark)
     market_source.register(spark)
     return (
         spark.read.format("market_sim")
@@ -120,6 +122,7 @@ MACRO_START, MACRO_END = "2020-01-01", "2023-12-31"
 
 def _read_macro(spark: SparkSession) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tune_for_session_cores(spark)
     market_source.register(spark)
     series = registry.resolve_categories(MACRO_CATEGORIES)
     names = ";".join(f"{s}={registry.series_name(s)}" for s in series)

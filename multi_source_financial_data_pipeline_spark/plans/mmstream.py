@@ -32,6 +32,7 @@ from multi_source_financial_data_pipeline_spark.plans.llmdata import (
 )
 from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 from multi_source_financial_data_pipeline_spark.schemas import TESTDATA
+from multi_source_financial_data_pipeline_spark.session import tune_for_session_cores
 from multi_source_financial_data_pipeline_spark.sources import load_table
 from multi_source_financial_data_pipeline_spark.streaming import ingest
 
@@ -188,8 +189,11 @@ def _event_stream(spark: SparkSession, sf_dir: str):
     """Stream the driver's events parquet: the file source wants a directory,
     so the single file is symlinked into a temp landing dir; nanos timestamps
     are read as long (same legacy conf as the batch scan) and converted with
-    integer division."""
+    integer division. Session tuning matters most here: an untouched
+    200-partition default means 200 state-store partitions per stateful
+    streaming aggregation."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tune_for_session_cores(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     fields = [
         T.StructField(f.name, T.LongType() if isinstance(f.dataType, T.TimestampType) else f.dataType)

@@ -14,6 +14,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def tune_for_session_cores(spark: SparkSession) -> None:
+    """Right-size shuffle parallelism for a session the engine did not build
+    (e.g. the test driver's vanilla SparkSession): Spark's static default of
+    200 shuffle partitions schedules 200 tasks — and 200 streaming
+    state-store partitions — per exchange regardless of actual parallelism,
+    which dominates wall-clock for small-to-mid shuffles and streaming state
+    checkpoints. If (and only if) the session still carries the untouched
+    ``200`` default, set shuffle partitions to the session's core
+    parallelism; a deliberate user setting is left alone. AQE (on by
+    default in Spark 4) re-splits or coalesces from there at runtime, so
+    this is a starting point, not a cap, at cluster scale."""
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            par = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(par, 1)))
+    except Exception:  # pragma: no cover - conf access never fails in practice
+        pass
+
+
 def get_spark(
     app_name: str = "msfdp-spark",
     master: str | None = None,

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from multi_source_financial_data_pipeline_spark.schemas import TESTDATA
+from multi_source_financial_data_pipeline_spark.session import tune_for_session_cores
 
 TABLE_NAMES = (
     "region",
@@ -35,6 +36,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     we select the declared column order explicitly so downstream operators
     never depend on file layout."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    tune_for_session_cores(spark)
     # the driver's parquet stamps TIMESTAMP(NANOS), which the Spark reader
     # rejects; read nanos as long and convert with integer division (nanos
     # exceed double's 2^53 exact range — float division would corrupt them)
