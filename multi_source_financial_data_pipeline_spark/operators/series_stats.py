@@ -77,3 +77,83 @@ def latest_per_key(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def return_correlation_matrix(
+    daily_returns: DataFrame,
+    series_col: str = "series_id",
+    date_col: str = "date",
+    ret_col: str = "ret",
+) -> DataFrame:
+    """Pairwise Pearson correlation of per-series returns — the data half of
+    the reference's deleted report module (correlation heatmap,
+    /root/reference/src/__init__.py:31-32; only report.cpython-311.pyc
+    remains): each (series_a < series_b) pair with corr over the dates where
+    both returns exist.
+
+    Plan shape: one self-join on the date key (rows per date = number of
+    series, so join output is |dates| x T² for T series) followed by a
+    map-side-combined pair aggregation. Correlation matrices are quadratic
+    in the series count by definition — T here is a requested basket
+    (tickers, macro series), not a scale axis; the date axis is the scale
+    axis and it parallelizes per pair."""
+    r = daily_returns.select(
+        F.col(series_col).alias("sid"),
+        F.col(date_col).alias("d"),
+        F.col(ret_col).alias("r"),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    both = F.col("a.r").isNotNull() & F.col("b.r").isNotNull()
+    return (
+        a.join(
+            b,
+            (F.col("a.d") == F.col("b.d")) & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .groupBy(
+            F.col("a.sid").alias("series_a"), F.col("b.sid").alias("series_b")
+        )
+        .agg(
+            # corr ignores pairs with a null on either side in both engines;
+            # rounded because co-moment accumulation order differs across
+            # engines (and across Spark partial-agg merges) at ~1e-15
+            F.round(F.corr(F.col("a.r"), F.col("b.r")), 6).alias("corr_ret"),
+            F.count(F.when(both, F.lit(1))).alias("n_days"),
+        )
+    )
+
+
+def rolling_vol_outliers(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    value_col: str = "value",
+    window_n: int = 20,
+    sigmas: float = 3.0,
+) -> DataFrame:
+    """Rolling-volatility outlier detection — the reference report module's
+    outlier half: per key, daily return, rolling mean return and rolling
+    sample std (pandas min_periods semantics), flagging returns more than
+    `sigmas` rolling stds from the rolling mean. Emits only flagged rows.
+
+    The comparison runs on the 6-decimal-rounded mean/std so both engines
+    decide membership on identical doubles. One hash-exchange per key covers
+    all three window columns."""
+    from pyspark.sql import Window
+
+    from multi_source_financial_data_pipeline_spark.operators.timeseries import (
+        pct_change,
+        rolling_mean,
+        rolling_std,
+    )
+
+    w = Window.partitionBy(key).orderBy(*order)
+    frame = w.rowsBetween(-(window_n - 1), 0)
+    ret = pct_change(F.col(value_col), w)
+    base = df.withColumn("ret", ret).withColumn(
+        "ma_ret", F.round(rolling_mean(F.col("ret"), frame, window_n), 6)
+    ).withColumn(
+        "vol", F.round(rolling_std(F.col("ret"), frame, window_n), 6)
+    )
+    return base.filter(
+        F.abs(F.col("ret") - F.col("ma_ret")) > F.lit(sigmas) * F.col("vol")
+    )

@@ -376,6 +376,82 @@ FROM (
 """
 
 
+# --- report-module analytics: correlation matrix + vol outliers --------------
+# (the data half of the reference's deleted report module,
+# /root/reference/src/__init__.py:31-32 — correlation heatmap and outlier
+# detection; only src/__pycache__/report.cpython-311.pyc remains)
+
+def q_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series-pair Pearson correlation of daily returns. The daily price
+    is the decimal-exact mean of the day's values (sum DECIMAL / count, cast
+    to double — bit-identical across engines); returns via pct_change; the
+    T×T pair space comes from a date-key self-join (T = series basket size,
+    not a scale axis)."""
+    from multi_source_financial_data_pipeline_spark.operators.timeseries import pct_change
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("date")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            / F.nullif(F.count("value").cast("double"), F.lit(0.0))
+        ).alias("px")
+    )
+    w = Window.partitionBy("event_type").orderBy("date")
+    r = daily.withColumn("ret", pct_change(F.col("px"), w))
+    return series_stats.return_correlation_matrix(
+        r, series_col="event_type", date_col="date", ret_col="ret"
+    )
+
+
+SQL_RETURN_CORRELATION = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS date,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+           / nullif(CAST(count(value) AS DOUBLE), 0.0) AS px
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, date,
+         px / nullif(lag(px) OVER (PARTITION BY event_type ORDER BY date), 0) - 1 AS ret
+  FROM daily
+)
+SELECT a.event_type AS series_a, b.event_type AS series_b,
+       round(corr(a.ret, b.ret), 6) AS corr_ret,
+       count(CASE WHEN a.ret IS NOT NULL AND b.ret IS NOT NULL THEN 1 END) AS n_days
+FROM r a JOIN r b ON a.date = b.date AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+def q_vol_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-volatility outlier rows: |ret − rolling-mean(ret)| beyond 3
+    rolling sample stds (20-row frame, pandas min_periods semantics), the
+    membership decision taken on 6-decimal-rounded statistics on both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    out = series_stats.rolling_vol_outliers(
+        ev, key="user_id", order=["ts", "event_id"], value_col="value",
+        window_n=20, sigmas=3.0,
+    )
+    return out.select("event_id", "user_id", "ret", "ma_ret", "vol")
+
+
+SQL_VOL_OUTLIERS = """
+WITH base AS (
+  SELECT event_id, user_id, ts, value,
+         value / nullif(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) - 1 AS ret
+  FROM events
+), feat AS (
+  SELECT event_id, user_id, ret,
+         round(CASE WHEN count(ret) OVER w20 = 20 THEN avg(ret) OVER w20 END, 6) AS ma_ret,
+         round(CASE WHEN count(ret) OVER w20 = 20 THEN stddev_samp(ret) OVER w20 END, 6) AS vol
+  FROM base
+  WINDOW w20 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ret, ma_ret, vol
+FROM feat WHERE abs(ret - ma_ret) > 3.0 * vol
+"""
+
+
 # --- F9: quality scoring -----------------------------------------------------
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,5 +605,17 @@ SPECS = {
         SQL_QUALITY_SCORE,
         "F9: basic/reliability/overall quality-score arithmetic",
         ("agg",),
+    ),
+    "return_correlation": QuerySpec(
+        q_return_correlation,
+        SQL_RETURN_CORRELATION,
+        "pairwise Pearson correlation of per-series daily returns (report module)",
+        ("agg", "join"),
+    ),
+    "vol_outliers": QuerySpec(
+        q_vol_outliers,
+        SQL_VOL_OUTLIERS,
+        "rolling-volatility 3-sigma outlier rows (report module)",
+        ("window",),
     ),
 }

@@ -43,6 +43,9 @@ _GATE_PRIORITY = (
     "ann_topk_lsh",
     "range_join_nearby",
     "event_rollup_day",
+    # new in round 2 — no correctness row on record yet
+    "return_correlation",
+    "vol_outliers",
 )
 
 
