@@ -65,22 +65,58 @@ def business_days(start: date, end: date) -> Iterator[date]:
 
 
 class MarketDataReader(DataSourceReader):
+    """Per-ticker partition reads with §2.11 resilience semantics: the fetch
+    body runs under retry-with-backoff (src/logger.py:75-132 formula), and a
+    partition whose retries are exhausted yields NO rows instead of failing
+    the job — the distributed form of the reference's skip-and-continue
+    series loop (/root/reference/src/macro.py:193-211). Failure injection for
+    tests: ``fail_tickers`` (csv) raise on the first ``fail_attempts``
+    attempts, so `fail_attempts <= max_retries` exercises recovery and a
+    larger value exercises skip."""
+
     def __init__(self, options: dict) -> None:
         self.tickers = [t for t in options.get("tickers", "").split(",") if t]
         self.start = date.fromisoformat(options["start"])
         self.end = date.fromisoformat(options["end"])
         self.source = options.get("source", "yahoo")
+        self.fail_tickers = {
+            t for t in options.get("fail_tickers", "").split(",") if t
+        }
+        self.fail_attempts = int(options.get("fail_attempts", "0"))
+        self.max_retries = int(options.get("max_retries", "3"))
+        self.backoff_factor = float(options.get("backoff_factor", "2.0"))
 
     def partitions(self) -> list[InputPartition]:
         # one partition per ticker: per-ticker fetch parallelism as tasks
         return [InputPartition(t) for t in self.tickers]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
-        # a real connector wraps this body in retry-with-backoff and a
-        # per-partition rate limiter (src/logger.py:75-132)
+        # where a real HTTP client would go: the whole per-ticker fetch under
+        # retry-with-backoff, then skip-and-continue on exhaustion
+        from multi_source_financial_data_pipeline_spark.functions.resilience import retry_with_backoff
+
         ticker = partition.value
-        for d in business_days(self.start, self.end):
-            yield quote(ticker, d, self.source)
+        attempt_box = {"n": 0}
+
+        def fetch() -> list[tuple]:
+            attempt_box["n"] += 1
+            if ticker in self.fail_tickers and attempt_box["n"] <= self.fail_attempts:
+                raise ConnectionError(
+                    f"simulated fetch failure for {ticker} (attempt {attempt_box['n']})"
+                )
+            return [
+                quote(ticker, d, self.source)
+                for d in business_days(self.start, self.end)
+            ]
+
+        wrapped = retry_with_backoff(
+            max_retries=self.max_retries, backoff_factor=self.backoff_factor
+        )(fetch)
+        try:
+            rows = wrapped()
+        except Exception:
+            return iter(())  # retries exhausted: skip this partition
+        return iter(rows)
 
 
 class MarketDataSource(DataSource):
@@ -160,3 +196,40 @@ class MacroDataSource(DataSource):
 def register(spark) -> None:
     spark.dataSource.register(MarketDataSource)
     spark.dataSource.register(MacroDataSource)
+
+
+def read_with_skip_report(
+    spark,
+    tickers: list[str],
+    start: str,
+    end: str,
+    source: str = "yahoo",
+    tracker=None,
+    **options: str,
+):
+    """S1-S3 fetch with the reference's skip-on-error accounting
+    (/root/reference/src/macro.py:206-208): read the connector (each
+    partition already retries and skips internally), then reconcile the
+    requested ticker list against the tickers that actually arrived and
+    record one ErrorTracker error per skipped ticker. The reconcile is a
+    distinct over the ticker column — ticker-list-sized, not data-sized."""
+    register(spark)
+    reader = (
+        spark.read.format("market_sim")
+        .option("tickers", ",".join(tickers))
+        .option("start", start)
+        .option("end", end)
+        .option("source", source)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    if tracker is not None:
+        present = {r[0] for r in df.select("ticker").distinct().collect()}
+        for t in tickers:
+            if t not in present:
+                tracker.add_error(
+                    "market_fetch",
+                    f"Failed to fetch {t} after retries; partition skipped",
+                )
+    return df

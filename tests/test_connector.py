@@ -49,3 +49,50 @@ def test_secondary_feed_differs_only_in_close(spark):
     assert len(j) == 2 * 8
     assert all(r["open"] == r["open2"] for r in j)
     assert all(abs(r["close"] - r["close2"]) <= 1.0 for r in j)
+
+
+def test_flaky_partition_retries_then_recovers(spark):
+    """A partition that fails twice with retries to spare must deliver its
+    full feed — §2.11 retry-with-backoff around the per-ticker fetch."""
+    market_source.register(spark)
+    df = (
+        spark.read.format("market_sim")
+        .option("tickers", "AAPL,MSFT")
+        .option("start", "2024-01-01")
+        .option("end", "2024-01-10")
+        .option("fail_tickers", "AAPL")
+        .option("fail_attempts", "2")
+        .option("max_retries", "3")
+        .option("backoff_factor", "0.001")
+        .load()
+    )
+    counts = {r["ticker"]: r["n"] for r in df.groupBy("ticker").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"AAPL": 8, "MSFT": 8}
+
+
+def test_dead_partition_skips_and_reports(spark):
+    """Retries exhausted: the job still succeeds with the other tickers'
+    rows (skip-and-continue, /root/reference/src/macro.py:206-208) and the
+    driver-side reconcile records the skipped ticker in the ErrorTracker
+    (src/logger.py error accounting)."""
+    from multi_source_financial_data_pipeline_spark.functions.resilience import ErrorTracker
+
+    tracker = ErrorTracker()
+    df = market_source.read_with_skip_report(
+        spark,
+        ["AAPL", "MSFT", "TSLA"],
+        "2024-01-01",
+        "2024-01-10",
+        tracker=tracker,
+        fail_tickers="MSFT",
+        fail_attempts="99",
+        max_retries="1",
+        backoff_factor="0.001",
+    )
+    tickers = {r[0] for r in df.select("ticker").distinct().collect()}
+    assert tickers == {"AAPL", "TSLA"}
+    assert df.count() == 2 * 8
+    summary = tracker.summary()
+    assert summary["total_errors"] == 1
+    assert summary["errors_by_operation"] == {"market_fetch": 1}
+    assert "MSFT" in summary["errors"][0]["message"]
