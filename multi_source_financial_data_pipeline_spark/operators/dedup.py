@@ -118,7 +118,14 @@ def lsh_candidate_pairs(
     """LSH banding: signature split into bands of `band_size` hashes; docs
     sharing any full band become a candidate pair. Returns distinct
     (id_a, id_b) with id_a < id_b. Empty band keys (docs with no shingles)
-    are dropped — they'd otherwise all collide."""
+    are dropped — they'd otherwise all collide.
+
+    Plan: one pass over sig (posexplode, not a per-band union), then pairs
+    are generated INSIDE each bucket — groupBy band key, sorted id array,
+    explode × ordered-suffix explode — so the signature pipeline is computed
+    exactly once (a bucket self-join would evaluate it twice, inviting the
+    caller to cache corpus-sized band tables). Per-bucket pair count is
+    C(k,2) either way; banding keeps k bounded."""
     n_bands = num_hashes // band_size
     band_keys = F.array(
         *[
@@ -128,27 +135,22 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    # one pass over sig (posexplode, not a per-band union — a union would
-    # recompute the signature pipeline once per band). The self-join reads
-    # this twice; caching is left to the CALLER (df.persist() before calling)
-    # so a long-running session doesn't accumulate leaked cached band tables
-    bands = (
-        sig.select(F.col(id_col).alias("id"), F.posexplode(band_keys).alias("band", "band_key"))
-        .filter(F.col("band_key") != "")
+    bands = sig.select(
+        F.col(id_col).alias("id"), F.posexplode(band_keys).alias("band", "band_key")
+    ).filter(F.col("band_key") != "")
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    a = bands.alias("a")
-    b_ = bands.alias("b")
-    pairs = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+    return (
+        buckets.select(F.posexplode("ids").alias("pos", "id_a"), F.col("ids"))
+        .select(
+            "id_a",
+            F.explode(F.slice("ids", F.col("pos") + 2, F.size("ids"))).alias("id_b"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def winnow_fingerprints(
