@@ -50,6 +50,9 @@ HEADLINE = [
     "event_rollup_day",
     "q6_forecast_revenue",
     "funnel_conversion",
+    "return_correlation",
+    "vol_outliers",
+    "neardup_verified",
 ]
 
 
