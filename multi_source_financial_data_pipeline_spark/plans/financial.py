@@ -233,6 +233,76 @@ FROM lineitem
 """
 
 
+def q_database_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_database_stats parity (src/database.py:308-329): the reference
+    loops five tables counting rows, then adds the market table's distinct
+    tickers and date range. Here: one row per table from a union of
+    single-row aggregates — each input is scanned once with only the needed
+    columns, no shuffle (partial aggregates collapse to one row per table)."""
+    specs = [
+        ("orders", "o_orderkey", "o_orderdate"),
+        ("lineitem", "l_orderkey", "l_shipdate"),
+        ("events", "user_id", "ts"),
+        ("customer", "c_custkey", None),
+        ("supplier", "s_suppkey", None),
+    ]
+    parts = []
+    for name, key, datecol in specs:
+        t = _t(spark, sf_dir, name)
+        # dates emitted as ISO strings: a dateless table's NULL range then
+        # stays a plain string NULL in both engines (typed NULL DATE columns
+        # drift between pandas dtypes across engines)
+        first = (
+            F.date_format(F.min(F.to_date(datecol)), "yyyy-MM-dd")
+            if datecol
+            else F.max(F.lit(None).cast("string"))
+        )
+        last = (
+            F.date_format(F.max(F.to_date(datecol)), "yyyy-MM-dd")
+            if datecol
+            else F.max(F.lit(None).cast("string"))
+        )
+        parts.append(
+            t.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(key).alias("n_distinct_key"),
+                first.alias("first_date"),
+                last.alias("last_date"),
+            ).select(F.lit(name).alias("table_name"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_DATABASE_STATS = """
+SELECT 'orders' AS table_name, count(*) AS n_rows,
+       count(DISTINCT o_orderkey) AS n_distinct_key,
+       CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_date,
+       CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS last_date
+FROM orders
+UNION ALL
+SELECT 'lineitem', count(*), count(DISTINCT l_orderkey),
+       CAST(min(CAST(l_shipdate AS DATE)) AS VARCHAR),
+       CAST(max(CAST(l_shipdate AS DATE)) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'events', count(*), count(DISTINCT user_id),
+       CAST(min(CAST(ts AS DATE)) AS VARCHAR),
+       CAST(max(CAST(ts AS DATE)) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'customer', count(*), count(DISTINCT c_custkey),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM customer
+UNION ALL
+SELECT 'supplier', count(*), count(DISTINCT s_suppkey),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM supplier
+"""
+
+
 # --- J1/F1/P3/F2: cross-source comparison -----------------------------------
 
 CROSS_TOLERANCE_PCT = 0.5
@@ -604,6 +674,12 @@ SPECS = {
         q_quality_score,
         SQL_QUALITY_SCORE,
         "F9: basic/reliability/overall quality-score arithmetic",
+        ("agg",),
+    ),
+    "database_stats": QuerySpec(
+        q_database_stats,
+        SQL_DATABASE_STATS,
+        "S7: per-table record counts + distinct keys + date ranges",
         ("agg",),
     ),
     "return_correlation": QuerySpec(

@@ -241,8 +241,12 @@ FROM events GROUP BY 1, 2
 
 def q_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked key-dedup drained with availableNow; foreachBatch counts
-    survivors (the kept row per key is arrival-order-dependent, the key set
-    is not — so the count is the deterministic, oracle-checkable output)."""
+    survivors (the kept row per key is arrival-order-dependent, the key SET
+    is not — so the count is the deterministic, oracle-checkable output).
+    The counter keeps this gate query cheap; the production sink path —
+    foreachBatch landing every micro-batch through the shared K2 writer
+    `sinks.append_first_request_wins` — is exercised end-to-end by
+    tests/test_multimodal_streaming.py::test_streaming_available_now_dedup."""
     counts: list[int] = []
 
     def writer(batch_df: DataFrame, _batch_id: int) -> None:

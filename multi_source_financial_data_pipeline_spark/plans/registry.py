@@ -46,6 +46,7 @@ _GATE_PRIORITY = (
     # new in round 2 — no correctness row on record yet
     "return_correlation",
     "vol_outliers",
+    "database_stats",
 )
 
 
