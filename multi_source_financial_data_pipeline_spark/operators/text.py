@@ -178,3 +178,42 @@ def token_length_histogram(
         .groupBy("bucket_lo")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf, with a RATIONAL
+    idf — tf · (N − df + 0.5)/(df + 0.5), the BM25 idf argument without the
+    log — so every score is one exact integer-derived division and both
+    engines produce bit-identical doubles (ln is not correctly-rounded
+    across libms, so a log-idf cannot be oracle-hashed).
+
+    Plan shape: explode → (doc, term) hash-agg for tf → term hash-agg for
+    df → shuffle join on term (vocab-sized — at corpus scale this is the
+    canonical term-partitioned join, skew-bounded by stopword df being high
+    but per-term rows equal to that term's doc count) → broadcast 1-row
+    N → per-doc window top-k. Ties break on the term for determinism."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    tf = tok.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    total = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    score = F.col("tf") * (
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    scored = (
+        tf.join(dfreq, ["t"])
+        .crossJoin(F.broadcast(total))
+        .withColumn("tfidf", score)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("t").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("t").alias("term"), "tf", "df", "tfidf", "rank")
+    )

@@ -96,6 +96,37 @@ FROM m
 """
 
 
+# --- tf-idf characteristic terms ---------------------------------------------
+
+TFIDF_K = 5
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_topk(_t(spark, sf_dir, "documents"), k=TFIDF_K)
+
+
+SQL_TFIDF_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t
+), dfreq AS (
+  SELECT t, count(*) AS df FROM tf GROUP BY t
+), total AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.t AS term, tf.tf, dfreq.df,
+         tf.tf * ((total.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS tfidf
+  FROM tf JOIN dfreq ON tf.t = dfreq.t CROSS JOIN total
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_K}
+"""
+
+
 # --- fingerprint + exact dedup ----------------------------------------------
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,6 +622,12 @@ SPECS = {
         q_token_len_histogram,
         SQL_TOKEN_LEN_HISTOGRAM,
         "document-length distribution in fixed-width token buckets",
+        ("text",),
+    ),
+    "tfidf_topk": QuerySpec(
+        q_tfidf_topk,
+        SQL_TFIDF_TOPK,
+        "top-k characteristic terms per doc by tf x rational idf",
         ("text",),
     ),
     "ann_topk": QuerySpec(

@@ -47,6 +47,7 @@ _GATE_PRIORITY = (
     "return_correlation",
     "vol_outliers",
     "database_stats",
+    "tfidf_topk",
 )
 
 
