@@ -88,13 +88,19 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
     id_col: str = "doc_id",
+    keep_all_docs: bool = True,
 ) -> DataFrame:
     """Per-doc MinHash signature columns mh0..mh{k-1} (null for docs with no
     shingles). One explode + one map-side-combined groupBy, linear in corpus
     token count; each shingle is md5'd ONCE and the k hash family members
     are derived by universal hashing over the 32-bit digest prefix —
     integer-exact in both engines. Duplicate shingles don't change a min, so
-    the rows need no distinct pass."""
+    the rows need no distinct pass.
+
+    ``keep_all_docs=False`` skips the left join back to the input (and its
+    second scan), returning only (id, mh*) for docs with ≥1 shingle — the
+    right input for pair generation, where null-signature docs are dropped
+    anyway."""
     sh = shingle_rows(df.select(id_col, text_col), id_col, text_col, shingle_n)
     x = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
     hashed = sh.select(id_col, x.alias("x"))
@@ -106,6 +112,8 @@ def minhash_signatures(
             for j, (a, b) in enumerate(minhash_params(num_hashes))
         ]
     )
+    if not keep_all_docs:
+        return aggd
     return df.join(aggd, [id_col], "left")
 
 

@@ -181,7 +181,7 @@ FROM sh
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup.minhash_signatures(
-        _t(spark, sf_dir, "documents"), num_hashes=NUM_HASHES
+        _t(spark, sf_dir, "documents"), num_hashes=NUM_HASHES, keep_all_docs=False
     )
     return dedup.lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
 
@@ -346,7 +346,7 @@ def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream "keep canonical only" dedup). Pair work is bounded by the
     LSH banding; the component loop runs only over edge endpoints."""
     docs = _t(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES)
+    sig = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES, keep_all_docs=False)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
     sh = docs.select("doc_id", dedup.shingles(F.col("text")).alias("s"))
     j = (

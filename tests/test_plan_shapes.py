@@ -129,3 +129,37 @@ def test_cosine_neardup_is_distributed_block_pair(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # both replication joins are broadcast joins against the tiny tile table
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_lsh_pairs_scan_documents_once(spark, sf_dir):
+    # one-pass bucket pair generation: the md5-shingle signature pipeline
+    # (and thus the documents scan) is evaluated exactly once — a band
+    # self-join would scan twice
+    plan = _plan(spark, sf_dir, "minhash_lsh_pairs")
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_block_join_is_equi(spark, sf_dir):
+    # the MinHash block key keeps the pair join an equi join — a
+    # low-cardinality block would still be equi, but a missing/constant key
+    # degenerates to a nested-loop cross product, which this pins out
+    plan = _plan(spark, sf_dir, "ngram_jaccard_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_topk_no_global_sort(spark, sf_dir):
+    # per-doc window top-k sorts within partitions; a global range sort
+    # (Exchange rangepartitioning) would serialize the corpus
+    plan = _plan(spark, sf_dir, "tfidf_topk")
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_length_quantiles_single_lazy_plan(spark, sf_dir):
+    # the corpus total rides as a broadcast 1-row cross join inside ONE lazy
+    # plan — the histogram feeds both the cumulative window and the total,
+    # with no mid-plan collect forcing a separate job
+    df = QUERIES["doc_length_quantiles"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
