@@ -327,3 +327,27 @@ def lsh_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid in LONG form (label, dim, centroid, n_vecs) — the
+    coarse-quantizer construction step of an IVF index (bucket by nearest
+    centroid, probe a few buckets) and the usual class-prototype summary.
+
+    One posexplode → one map-side-combined groupBy on (label, dim): linear
+    in corpus × dim, no pair space, no Python. Long form keeps the oracle
+    comparison scalar-per-row; the mean is rounded to 6 decimals on both
+    engines because float summation order differs across partial
+    aggregates."""
+    expl = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(vec_col)).alias("dim", "x"),
+    )
+    return expl.groupBy("label", "dim").agg(
+        F.round(F.avg("x"), 6).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )

@@ -334,6 +334,21 @@ SELECT DISTINCT doc_id, fp FROM h WHERE fp % {WINNOW_MOD} = 0
 """
 
 
+# --- per-label embedding centroids (IVF coarse-quantizer construction) -------
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_CENTROIDS = """
+SELECT label, i - 1 AS dim,
+       round(avg(embedding[i]::DOUBLE), 6) AS centroid,
+       count(*) AS n_vecs
+FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+GROUP BY label, i - 1
+"""
+
+
 # --- end-to-end near-dup pipeline: LSH candidates → verify → canonicalize ----
 
 def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,6 +656,12 @@ SPECS = {
         SQL_EMBEDDING_NEARDUP,
         "embedding-cosine near-dup pairs above threshold",
         ("similarity", "dedup"),
+    ),
+    "embedding_centroids": QuerySpec(
+        q_embedding_centroids,
+        SQL_EMBEDDING_CENTROIDS,
+        "per-label embedding centroids (IVF coarse-quantizer construction)",
+        ("similarity", "agg"),
     ),
     "lsh_bucket": QuerySpec(
         q_lsh_bucket,

@@ -378,7 +378,56 @@ FROM events GROUP BY user_id
 """
 
 
+# --- streaming: stream-static enrichment join --------------------------------
+
+def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (broadcast per micro-batch — the static side is
+    re-resolved each batch, the streaming planner's standard dimension
+    lookup), then a complete-mode grouped aggregate per market segment.
+    This is the enrichment shape every streaming ETL needs: facts arrive,
+    dims sit in a table, no state beyond the aggregation."""
+    name = f"stream_enriched_{next(_qname)}"
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    with _event_stream(spark, sf_dir) as stream:
+        joined = stream.join(
+            F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
+        )
+        agg = joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).select("c_mktsegment", "n_events", "sum_value")
+
+
+SQL_STREAM_ENRICHED = """
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 SPECS = {
+    "stream_enriched_counts": QuerySpec(
+        q_stream_enriched_counts,
+        SQL_STREAM_ENRICHED,
+        "stream-static broadcast enrichment join + complete-mode aggregate",
+        ("streaming", "join"),
+    ),
     "media_features": QuerySpec(
         q_media_features,
         SQL_MEDIA_FEATURES,

@@ -48,6 +48,8 @@ _GATE_PRIORITY = (
     "vol_outliers",
     "database_stats",
     "tfidf_topk",
+    "embedding_centroids",
+    "stream_enriched_counts",
 )
 
 
