@@ -20,7 +20,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from multi_source_financial_data_pipeline_spark.plans import connector, eventstream, financial, llmdata, mmstream, tpch
+from multi_source_financial_data_pipeline_spark.plans import connector, eventstream, financial, llmdata, mmstream, tpch, tpch_ext
 from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 
 
@@ -55,7 +55,7 @@ _GATE_PRIORITY = (
 
 def _collect() -> dict[str, QuerySpec]:
     merged: dict[str, QuerySpec] = {}
-    for module in (financial, tpch, llmdata, eventstream, mmstream, connector):
+    for module in (financial, tpch, tpch_ext, llmdata, eventstream, mmstream, connector):
         merged.update(module.SPECS)
     registry: dict[str, QuerySpec] = {
         name: merged[name] for name in _GATE_PRIORITY if name in merged
