@@ -41,6 +41,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash",
     "ann_topk",
+    "ann_topk_ivf",
     "embedding_neardup",
     "lsh_neardup_pairs",
     "asof_join",

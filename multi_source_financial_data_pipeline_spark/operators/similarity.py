@@ -351,3 +351,130 @@ def label_centroids(
         F.round(F.avg("x"), 6).alias("centroid"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+def ivf_seed_row(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row DataFrame holding the IVF coarse quantizer: the `nlist`
+    lowest-id vectors as cell centers, as a sorted array of
+    (seed_id, sv, sn) structs. Deterministic by construction (a production
+    index would run a few Lloyd iterations with the same assign plan below —
+    the *index structure* is identical, only centroid quality differs).
+    The row is broadcast wherever it is used: the quantizer is tiny
+    (nlist × dim doubles) regardless of corpus size."""
+    seeds = embeddings.filter(F.col(id_col) < nlist).select(
+        F.col(id_col).alias("seed_id"), _as_double(vec_col).alias("sv")
+    )
+    seeds = seeds.withColumn("sn", sq_norm(F.col("sv")))
+    return seeds.agg(
+        F.sort_array(F.collect_list(F.struct("seed_id", "sv", "sn"))).alias("seeds")
+    )
+
+
+def _best_cells(vec: Column, vec_norm: Column) -> Column:
+    """Array of (neg_sim, cell) structs vs every seed, sorted best-first.
+    neg_sim = -round(cos, 6) so ascending struct order is (highest cosine,
+    lowest seed id) — the same tiebreak as every top-k in this module; a
+    null cosine (zero vector) sorts last via the +2.0 sentinel."""
+    scored = F.transform(
+        F.col("seeds"),
+        lambda s: F.struct(
+            F.coalesce(
+                -F.round(
+                    dot(vec, s["sv"])
+                    / F.nullif(F.sqrt(vec_norm * s["sn"]), F.lit(0.0)),
+                    6,
+                ),
+                F.lit(2.0),
+            ).alias("neg_sim"),
+            s["seed_id"].alias("cell"),
+        ),
+    )
+    return F.array_sort(scored)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF inverted-list assignment: each vector goes to its nearest cell
+    (argmax cosine over the broadcast quantizer). One linear pass, all
+    JVM-side array expressions — at 100 TB this is the index build, and the
+    output is what you'd `partitionBy(cell)` so probes touch only their
+    cells' partitions. `cell_sim + 0.0` normalizes IEEE -0.0 so both engines
+    emit the same bits for a zero cosine."""
+    seed_row = ivf_seed_row(embeddings, nlist, id_col, vec_col)
+    e = embeddings.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
+        "vn", sq_norm(F.col("v"))
+    )
+    best = _best_cells(F.col("v"), F.col("vn"))[0]
+    return (
+        e.join(F.broadcast(seed_row))
+        .select(
+            F.col(id_col),
+            F.col("v"),
+            F.col("vn"),
+            best["cell"].alias("cell"),
+            (-best["neg_sim"] + F.lit(0.0)).alias("cell_sim"),
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k with an IVF index: assign the corpus to `nlist`
+    cells once, probe each query's `nprobe` nearest cells, exact cosine
+    re-rank inside the probed cells (recall < 1 by design; brute_force_topk
+    is the exactness baseline). Unlike the LSH variant each corpus vector
+    lives in exactly ONE cell, so the probe join needs no candidate dedup.
+    The probe side is tiny (queries × nprobe rows) and hash-joins the
+    cell-partitioned corpus on `cell` — the crossjoin of `brute_force_topk`
+    is replaced by a ~nprobe/nlist fraction scan."""
+    assigned = ivf_assign(embeddings, nlist, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), F.col("v").alias("cv"),
+        F.col("vn").alias("cn"), "cell",
+    )
+    seed_row = ivf_seed_row(embeddings, nlist, id_col, vec_col)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", sq_norm(F.col("qv")))
+    probes = (
+        q.join(F.broadcast(seed_row))
+        .select(
+            "query_id", "qv", "qn",
+            F.explode(F.slice(_best_cells(F.col("qv"), F.col("qn")), 1, nprobe)).alias(
+                "probe"
+            ),
+        )
+        .select("query_id", "qv", "qn", F.col("probe")["cell"].alias("cell"))
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / F.nullif(
+        F.sqrt(F.col("qn") * F.col("cn")), F.lit(0.0)
+    )
+    scored = (
+        probes.join(assigned, ["cell"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )

@@ -487,6 +487,80 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
 """
 
 
+# --- IVF index: cell assignment + probed approximate top-k -------------------
+
+IVF_NLIST = 16
+IVF_NPROBE = 2
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_assign(
+        _t(spark, sf_dir, "embeddings"), nlist=IVF_NLIST
+    ).select("vec_id", "cell", "cell_sim")
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        emb, queries, k=TOPK, nlist=IVF_NLIST, nprobe=IVF_NPROBE
+    )
+
+
+#: assignment rank over seeds: best = highest rounded cosine, seed-id tiebreak;
+#: a null cosine (zero vector) sorts last (the Spark side's +2.0 sentinel).
+_SQL_IVF_RANK = (
+    "row_number() OVER (PARTITION BY {part} ORDER BY"
+    " coalesce(round({cos}, 6), -2.0) DESC, s.seed_id ASC)"
+)
+
+_SQL_IVF_COMMON = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {IVF_NLIST}),
+assign AS (
+  SELECT vec_id, v, cell, cell_sim FROM (
+    SELECT e.vec_id, e.v, s.seed_id AS cell,
+           coalesce(round({{cos_es}}, 6) + 0.0, -2.0) AS cell_sim,
+           {_SQL_IVF_RANK.format(part="e.vec_id", cos="{cos_es}")} AS rn
+    FROM e CROSS JOIN seeds s
+  ) WHERE rn = 1
+)
+"""
+
+
+def _sql_ivf_common() -> str:
+    return _SQL_IVF_COMMON.format(cos_es=_sql_cos("e.v", "s.sv"))
+
+
+SQL_IVF_ASSIGN = f"""
+{_sql_ivf_common()}
+SELECT vec_id, cell, cell_sim FROM assign
+"""
+
+SQL_ANN_TOPK_IVF = f"""
+{_sql_ivf_common()},
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, s.seed_id AS cell,
+           {_SQL_IVF_RANK.format(part="q.vec_id", cos=_sql_cos("q.v", "s.sv"))} AS rn
+    FROM e q CROSS JOIN seeds s WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS cand_id,
+         round({_sql_cos("qv", "a.v")}, 6) AS cos_sim
+  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+)
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, cand_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
 # --- embedding near-duplicate pairs -----------------------------------------
 
 COS_THRESHOLD = 0.3
@@ -662,6 +736,18 @@ SPECS = {
         SQL_EMBEDDING_CENTROIDS,
         "per-label embedding centroids (IVF coarse-quantizer construction)",
         ("similarity", "agg"),
+    ),
+    "ivf_assign": QuerySpec(
+        q_ivf_assign,
+        SQL_IVF_ASSIGN,
+        "IVF inverted-list cell assignment (index build, one linear pass)",
+        ("similarity",),
+    ),
+    "ann_topk_ivf": QuerySpec(
+        q_ann_topk_ivf,
+        SQL_ANN_TOPK_IVF,
+        "IVF-probed approximate top-k (nprobe nearest cells, exact re-rank)",
+        ("similarity", "bench"),
     ),
     "lsh_bucket": QuerySpec(
         q_lsh_bucket,
