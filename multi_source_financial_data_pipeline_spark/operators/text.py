@@ -35,6 +35,36 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: GPT-2-style pretokenizer, restricted to constructs RE2 and Java regex
+#: interpret identically (no lookahead — the original's `\s+(?!\S)` is
+#: dropped; trailing whitespace runs fold into the final `\s+` branch).
+#: Branch order matters and is part of the contract: contractions first,
+#: then space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+SUBWORD_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def subwords(text: Column) -> Column:
+    """BPE-ish pretokenization (the unit-count a byte-pair tokenizer would
+    see before merges — the standard proxy for LLM token budgeting when the
+    merge table isn't shipped with the engine). Pure JVM regex, no UDF."""
+    return F.regexp_extract_all(text, F.lit(SUBWORD_PATTERN), 0)
+
+
+def subword_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc subword counting next to whitespace counting: the ratio is
+    the fertility estimate (subwords per word) used to budget token counts
+    at corpus scale. One projection, linear, no shuffle."""
+    sw = subwords(F.col(text_col))
+    ws = tokens(F.col(text_col))
+    n_sub = F.size(sw)
+    return df.select(
+        "doc_id",
+        n_sub.alias("n_subwords"),
+        F.size(F.array_distinct(sw)).alias("n_distinct_subwords"),
+        (n_sub / F.size(ws)).alias("fertility"),
+    )
+
+
 def stopword_ratio(text: Column) -> Column:
     quoted = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     toks = tokens(text)
@@ -55,21 +85,30 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def doc_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Quality scoring from cheap structural signals: length band, lexical
-    diversity, mean token length. Deterministic double arithmetic only."""
+def quality_columns(text_col: str = "text") -> dict[str, Column]:
+    """Column-level quality metrics, so callers can fuse them into a wider
+    single-scan projection (the curation pipeline computes quality, lang-ID
+    and token counts in ONE pass instead of joining three scans)."""
     toks = tokens(F.col(text_col))
     n_tokens = F.size(toks)
     ttr = F.size(F.array_distinct(toks)) / n_tokens
     mean_tok_len = (F.length(text_col) - (n_tokens - 1)) / n_tokens
     length_score = F.when(n_tokens >= 50, F.lit(1.0)).otherwise(n_tokens / 50.0)
     quality = length_score * 0.5 + ttr * 0.3 + F.least(mean_tok_len / 10.0, F.lit(1.0)) * 0.2
+    return {
+        "n_tokens": n_tokens,
+        "type_token_ratio": ttr,
+        "mean_token_len": mean_tok_len,
+        "quality_score": quality,
+    }
+
+
+def doc_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring from cheap structural signals: length band, lexical
+    diversity, mean token length. Deterministic double arithmetic only."""
+    cols = quality_columns(text_col)
     return df.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        ttr.alias("type_token_ratio"),
-        mean_tok_len.alias("mean_token_len"),
-        quality.alias("quality_score"),
+        "doc_id", *[expr.alias(name) for name, expr in cols.items()]
     )
 
 

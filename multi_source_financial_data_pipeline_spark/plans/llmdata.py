@@ -56,6 +56,28 @@ FROM documents
 """
 
 
+# --- BPE-ish subword counting ------------------------------------------------
+
+def q_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.subword_stats(_t(spark, sf_dir, "documents"))
+
+
+#: Java regex and RE2 (DuckDB) both run leftmost-first alternation over this
+#: lookahead-free pattern, so the match streams are identical.
+SQL_SUBWORD_STATS = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks,
+         regexp_extract_all(text, '{text.SUBWORD_PATTERN.replace("'", "''")}') AS sw
+  FROM documents
+)
+SELECT doc_id,
+       len(sw) AS n_subwords,
+       len(list_distinct(sw)) AS n_distinct_subwords,
+       len(sw) / len(toks) AS fertility
+FROM d
+"""
+
+
 # --- language-ID heuristic ---------------------------------------------------
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -736,6 +758,12 @@ SPECS = {
         SQL_EMBEDDING_CENTROIDS,
         "per-label embedding centroids (IVF coarse-quantizer construction)",
         ("similarity", "agg"),
+    ),
+    "subword_stats": QuerySpec(
+        q_subword_stats,
+        SQL_SUBWORD_STATS,
+        "BPE-ish pretokenizer counts + fertility vs whitespace tokens",
+        ("text",),
     ),
     "ivf_assign": QuerySpec(
         q_ivf_assign,

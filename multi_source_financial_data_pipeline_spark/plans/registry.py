@@ -50,6 +50,18 @@ _GATE_PRIORITY = (
     "tfidf_topk",
     "embedding_centroids",
     "stream_enriched_counts",
+    "q8_market_share",
+    "q9_profit",
+    "q12_ship_priority",
+    "q13_order_distribution",
+    "q16_part_supplier",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q21_late_suppliers",
+    "q22_dormant_customers",
+    "ivf_assign",
+    "ann_topk_ivf",
+    "subword_stats",
 )
 
 

@@ -51,9 +51,17 @@ PROBE_QUERIES = [
     "q5_region_revenue",
     "q10_returned_revenue",
     "q18_large_orders",
+    # fact-fact shuffle joins: must scale linearly, no broadcast cliff
+    "q12_ship_priority",
+    "q13_order_distribution",
+    "q21_late_suppliers",
     "embedding_neardup",
     "lsh_neardup_pairs",
     "minhash_lsh_pairs",
+    # brute-vs-IVF crossover: brute grows with the corpus, IVF with
+    # corpus/nlist × nprobe
+    "ann_topk",
+    "ann_topk_ivf",
 ]
 
 

@@ -163,3 +163,55 @@ def test_length_quantiles_single_lazy_plan(spark, sf_dir):
     df = QUERIES["doc_length_quantiles"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_new_tpch_shapes_semi_anti_outer(spark, sf_dir):
+    """Round-2 TPC-H additions: the join *kinds* are the point of each query
+    — pin them. q13's priority filter must ride the join condition (a WHERE
+    would kill the zero-order bucket and silently turn the outer join
+    inner); q16/q22 exclude via anti join; q20 collapses through semi
+    joins; q21 must NOT self-join lineitem (the EXISTS/NOT-EXISTS pair is
+    rewritten as one per-order aggregate, so exactly one lineitem scan)."""
+    plan13 = _plan(spark, sf_dir, "q13_order_distribution")
+    assert "LeftOuter" in plan13
+    plan16 = _plan(spark, sf_dir, "q16_part_supplier")
+    assert "LeftAnti" in plan16
+    plan20 = _plan(spark, sf_dir, "q20_excess_suppliers")
+    assert "LeftSemi" in plan20
+    plan21 = _plan(spark, sf_dir, "q21_late_suppliers")
+    assert plan21.count("lineitem.parquet") == 1
+    plan22 = _plan(spark, sf_dir, "q22_dormant_customers")
+    assert "LeftAnti" in plan22
+
+
+def test_fact_fact_joins_carry_no_forced_broadcast(spark, sf_dir):
+    """q12 (orders⋈lineitem) and q13 (customer⋈orders) join two
+    scale-proportional tables: with auto-broadcast disabled both must
+    degrade to a shuffle join, proving neither side is pinned into executor
+    memory by a hint."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("q12_ship_priority", "q13_order_distribution"):
+            plan = _plan(spark, sf_dir, name)
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+            assert "BroadcastHashJoin" not in plan, name
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_ivf_topk_probe_join_is_hash_not_cartesian(spark, sf_dir):
+    """The IVF probe path's whole point is replacing the brute-force
+    crossjoin: the probe⋈corpus join must be an equi hash join on `cell`.
+    The only nested-loop joins allowed are the two broadcast 1-row quantizer
+    attachments; a CartesianProduct anywhere means the cell equi-join was
+    lost."""
+    plan = _plan(spark, sf_dir, "ann_topk_ivf")
+    assert "CartesianProduct" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "SortMergeJoin" in plan
+    )
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
