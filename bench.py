@@ -54,6 +54,7 @@ HEADLINE = [
     "return_correlation",
     "vol_outliers",
     "neardup_verified",
+    "curation_kept",
 ]
 
 

@@ -444,6 +444,75 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+# --- end-to-end curation: near-dup canonical → language → quality → tokens ---
+
+CURATION_QUALITY_MIN = 0.6
+
+
+def q_curation_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data curation decision as one dataflow: keep a doc
+    iff it is its near-dup component's canonical representative AND passes
+    the language heuristic AND the structural quality floor; emit the
+    whitespace + BPE-ish token counts a batch-budgeting step consumes.
+
+    Plan shape: every per-row metric (quality, stopword ratio, both token
+    counts) is fused into ONE projection over a single documents scan —
+    row-local filters run before the expensive part, then a LEFT SEMI join
+    against the canonical set (its cost is the LSH pipeline's, bounded by
+    banding). Dedup is decided on the FULL corpus before quality filtering —
+    the usual order, so a low-quality near-dup of a kept doc can't sneak in
+    as 'novel' later."""
+    docs = _t(spark, sf_dir, "documents")
+    canon = (
+        q_neardup_verified(spark, sf_dir)
+        .filter(~F.col("is_dup"))
+        .select("doc_id")
+    )
+    qc = text.quality_columns("text")
+    metrics = docs.select(
+        "doc_id",
+        qc["n_tokens"].alias("n_tokens"),
+        F.size(text.subwords(F.col("text"))).alias("n_subwords"),
+        qc["quality_score"].alias("quality_score"),
+        text.stopword_ratio(F.col("text")).alias("swr"),
+    )
+    return (
+        metrics.filter(
+            (F.col("swr") >= 0.05)
+            & (F.col("quality_score") >= CURATION_QUALITY_MIN)
+        )
+        .join(canon, "doc_id", "left_semi")
+        .select("doc_id", "n_tokens", "n_subwords", "quality_score")
+    )
+
+
+SQL_CURATION_KEPT = f"""
+WITH canon AS (
+  SELECT doc_id FROM ({SQL_NEARDUP_VERIFIED}) nv WHERE NOT is_dup
+),
+d AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks,
+         regexp_extract_all(text, '{text.SUBWORD_PATTERN.replace("'", "''")}') AS sw
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(sw) AS n_subwords,
+         CASE WHEN len(toks) >= 50 THEN 1.0 ELSE len(toks) / 50.0 END * 0.5
+           + (len(list_distinct(toks)) / len(toks)) * 0.3
+           + least(((length(text) - (len(toks) - 1)) / len(toks)) / 10.0, 1.0) * 0.2
+           AS quality_score,
+         len(list_filter(toks, x -> x IN ({_STOPLIST}))) / len(toks) AS swr
+  FROM d
+)
+SELECT doc_id, n_tokens, n_subwords, quality_score
+FROM m
+WHERE swr >= 0.05 AND quality_score >= {CURATION_QUALITY_MIN}
+  AND doc_id IN (SELECT doc_id FROM canon)
+"""
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,6 +827,12 @@ SPECS = {
         SQL_EMBEDDING_CENTROIDS,
         "per-label embedding centroids (IVF coarse-quantizer construction)",
         ("similarity", "agg"),
+    ),
+    "curation_kept": QuerySpec(
+        q_curation_kept,
+        SQL_CURATION_KEPT,
+        "end-to-end curation: canonical + language + quality + token budget",
+        ("text", "dedup", "bench"),
     ),
     "subword_stats": QuerySpec(
         q_subword_stats,

@@ -62,6 +62,7 @@ _GATE_PRIORITY = (
     "ivf_assign",
     "ann_topk_ivf",
     "subword_stats",
+    "curation_kept",
 )
 
 
