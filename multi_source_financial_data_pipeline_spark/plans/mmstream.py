@@ -267,6 +267,73 @@ FROM (SELECT DISTINCT user_id, event_type FROM events)
 """
 
 
+# --- streaming: stream-stream interval join ----------------------------------
+
+INTERVAL_JOIN_HORIZON = "1 hour"
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval: each view pairs
+    with the same user's purchases inside [view_ts, view_ts + 1 hour]. Both
+    sides carry watermarks and the join condition carries the time bound —
+    that pair is what lets the streaming planner expire buffered state (a
+    view older than watermark + horizon can never match again), so state is
+    bounded at any scale instead of growing with the stream. Drained with
+    availableNow into an append-mode memory sink; the full drain makes the
+    emitted pair set equal the batch interval join, which is the oracle.
+
+    At 100 TB/day this is THE shape for funnel attribution over two live
+    streams — shuffle both sides on user_id, buffer only the horizon."""
+    name = f"stream_ijoin_{next(_qname)}"
+    with _event_stream(spark, sf_dir) as stream:
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "1 day")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "1 day")
+        )
+        joined = views.join(
+            purchases,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr(f"INTERVAL {INTERVAL_JOIN_HORIZON}")
+            ),
+        )
+        query = (
+            joined.select("view_id", "purchase_id")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).select("view_id", "purchase_id")
+
+
+SQL_STREAM_INTERVAL_JOIN = """
+SELECT a.event_id AS view_id, b.event_id AS purchase_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+"""
+
+
 # --- streaming: session windows (gap-merged) ---------------------------------
 
 STREAM_GAP = "30 minutes"
@@ -422,6 +489,12 @@ GROUP BY c_mktsegment
 
 
 SPECS = {
+    "stream_interval_join": QuerySpec(
+        q_stream_interval_join,
+        SQL_STREAM_INTERVAL_JOIN,
+        "stream-stream interval join, watermark-bounded state, append drain",
+        ("streaming", "join"),
+    ),
     "stream_enriched_counts": QuerySpec(
         q_stream_enriched_counts,
         SQL_STREAM_ENRICHED,

@@ -63,6 +63,7 @@ _GATE_PRIORITY = (
     "ann_topk_ivf",
     "subword_stats",
     "curation_kept",
+    "stream_interval_join",
 )
 
 
