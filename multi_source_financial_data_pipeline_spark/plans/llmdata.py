@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from multi_source_financial_data_pipeline_spark.operators import dedup, similarity, text
+from multi_source_financial_data_pipeline_spark.operators import dedup, sampling, similarity, text
 from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 from multi_source_financial_data_pipeline_spark.sources import load_table
 
@@ -53,6 +53,25 @@ SELECT doc_id,
        len(list_distinct({_SQL_TOKS})) AS n_distinct_tokens,
        len(list_distinct({_SQL_TOKS})) / len({_SQL_TOKS}) AS type_token_ratio
 FROM documents
+"""
+
+
+# --- deterministic stratified sampling (mixture weights) ---------------------
+
+SAMPLE_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.stratified_sample(
+        _t(spark, sf_dir, "documents"), "lang", SAMPLE_RATES
+    ).select("doc_id", "lang", "source")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+      < {sampling.sample_rate_sql("lang", SAMPLE_RATES)}
 """
 
 
@@ -827,6 +846,12 @@ SPECS = {
         SQL_EMBEDDING_CENTROIDS,
         "per-label embedding centroids (IVF coarse-quantizer construction)",
         ("similarity", "agg"),
+    ),
+    "stratified_sample": QuerySpec(
+        q_stratified_sample,
+        SQL_STRATIFIED_SAMPLE,
+        "deterministic hash-threshold mixture sampling per language",
+        ("text", "sampling"),
     ),
     "curation_kept": QuerySpec(
         q_curation_kept,

@@ -64,6 +64,7 @@ _GATE_PRIORITY = (
     "subword_stats",
     "curation_kept",
     "stream_interval_join",
+    "stratified_sample",
 )
 
 
