@@ -139,3 +139,24 @@ def test_neardup_canonical_is_fixpoint(spark, sf_dir):
         "left_anti",
     ).count()
     assert dangling == 0
+
+
+def test_ivf_index_partitioned_probe_prunes(spark, sf_dir, tmp_path):
+    """The IVF deployment mode: the assignment is written partitionBy(cell)
+    once, and a probe for one cell must prune to that cell's directory
+    (PartitionFilters, not row filters) — this is what makes a probe read
+    ~1/nlist of a 100 TB index instead of scanning it."""
+    from multi_source_financial_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_assign(emb, nlist=8).select("vec_id", "v", "cell")
+    path = str(tmp_path / "ivf_index")
+    idx.write.partitionBy("cell").parquet(path)
+    probe = spark.read.parquet(path).filter(F.col("cell") == 3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "3" in pf, plan
+    assert probe.count() == idx.filter(F.col("cell") == 3).count()
