@@ -560,16 +560,23 @@ FROM bits GROUP BY doc_id
 TOPK = 10
 N_QUERIES = 10
 
-_SQL_DOT = (
-    "list_reduce(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]),"
-    " (acc, x) -> acc + x)"
-)
+#: embeddings are 64-dim (TESTDATA schema); the explicit unrolled sum below
+#: is the same left-associative float-op sequence as the JVM `aggregate`
+#: fold and the previous list_reduce oracle (bit-identical), but DuckDB
+#: evaluates the plain expression ~10× faster than the lambda — oracle-side
+#: cost only, the Spark plans are untouched.
+EMB_DIM = 64
+
+
+def _sql_dot(a: str, b: str) -> str:
+    terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, EMB_DIM + 1))
+    return f"(0.0 + {terms})"
 
 
 def _sql_cos(a: str, b: str) -> str:
     return (
-        f"({_SQL_DOT.format(a=a, b=b)}"
-        f" / nullif(sqrt({_SQL_DOT.format(a=a, b=a)} * {_SQL_DOT.format(a=b, b=b)}), 0))"
+        f"({_sql_dot(a, b)}"
+        f" / nullif(sqrt({_sql_dot(a, a)} * {_sql_dot(b, b)}), 0))"
     )
 
 
@@ -699,11 +706,13 @@ LSH_NEARDUP_PLANES = 8
 
 
 def _sql_plane_proj(plane: list[float]) -> str:
-    arr = "[" + ", ".join(f"{c:.1f}" for c in plane) + "]"
-    return (
-        f"list_reduce(list_transform(generate_series(1, {LSH_DIM}),"
-        f" i -> v[i] * ({arr})[i]), (acc, x) -> acc + x)"
-    )
+    """Signed projection as an explicit 64-term expression instead of a
+    list_reduce lambda: SQL's left-associative `0.0 + t1 + t2 + …` is the
+    SAME float-op sequence as the fold (bit-identical), and DuckDB evaluates
+    the plain expression ~an order of magnitude faster than the lambda —
+    this is pure oracle-side cost, the Spark plan is unchanged."""
+    terms = " + ".join(f"v[{i + 1}] * {c:.1f}" for i, c in enumerate(plane))
+    return f"(0.0 + {terms})"
 
 
 def _sql_bucket(num_planes: int) -> str:
