@@ -319,7 +319,45 @@ GROUP BY s.user_id, s.first_signup_us
 """
 
 
+# --- pivot: per-user activity profile (wide conditional aggregation) ---------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pivot` with an EXPLICIT value list: per-user event counts as wide
+    columns. The explicit list matters at scale — without it Spark runs an
+    eager distinct-collect job to discover the pivot values before it can
+    even plan; with it the whole thing compiles to ONE hash aggregate of
+    conditional counts (same plan as hand-written CASE sums, which is what
+    the oracle spells out). Null cells (user never produced that type)
+    are coalesced to 0 on both sides."""
+    ev = _events(spark, sf_dir)
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    )
+
+
+SQL_EVENT_PIVOT = f"""
+SELECT user_id,
+       {", ".join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}" for t in EVENT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
 SPECS = {
+    "event_pivot": QuerySpec(
+        q_event_pivot,
+        SQL_EVENT_PIVOT,
+        "pivot with explicit values: one hash agg, no discovery job",
+        ("events", "agg"),
+    ),
     "asof_join": QuerySpec(
         q_asof_join,
         SQL_ASOF_JOIN,

@@ -65,6 +65,7 @@ _GATE_PRIORITY = (
     "curation_kept",
     "stream_interval_join",
     "stratified_sample",
+    "event_pivot",
 )
 
 
