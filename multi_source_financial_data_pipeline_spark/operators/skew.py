@@ -53,3 +53,40 @@ def salted_agg(
             for name, (fn, _) in aggs.items()
         ]
     )
+
+
+def skew_split_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    hot_threshold: int = 100_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot/cold split join for Zipf-skewed join keys: keys whose LEFT-side
+    row count exceeds ``hot_threshold`` take the broadcast path (their
+    right-side rows are broadcast, so the hot keys' rows never converge on
+    single reducers), everything else takes the normal shuffle join; the
+    union is result-identical to the direct join.
+
+    Requires the right side's hot-key slice to be broadcastable — true in
+    the common fact⋈dim case where skew lives in the fact's foreign key.
+    The hot-key set itself is found with one aggregate over the join
+    columns only (map-side combined, output ≤ #distinct keys; at extreme
+    scale swap in a sampled count — the split stays correct for ANY hot
+    set, detection accuracy only affects performance). AQE's skew-join
+    covers sort-merge spills at runtime; this static rewrite additionally
+    keeps the hot keys off the sort path entirely."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_split_join supports inner/left, got {how!r}")
+    hot_keys = (
+        left.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > hot_threshold)
+        .select(*on)
+    )
+    left_hot = left.join(F.broadcast(hot_keys), on, "left_semi")
+    left_cold = left.join(F.broadcast(hot_keys), on, "left_anti")
+    right_hot = right.join(F.broadcast(hot_keys), on, "left_semi")
+    joined_hot = left_hot.join(F.broadcast(right_hot), on, how)
+    joined_cold = left_cold.join(right, on, how)
+    return joined_hot.unionByName(joined_cold)

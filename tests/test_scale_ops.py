@@ -160,3 +160,33 @@ def test_ivf_index_partitioned_probe_prunes(spark, sf_dir, tmp_path):
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "3" in pf, plan
     assert probe.count() == idx.filter(F.col("cell") == 3).count()
+
+
+def test_skew_split_join_matches_direct_join(spark, sf_dir):
+    """Hot/cold split join must be result-identical to the direct join, with
+    the hot keys on a broadcast path and the cold keys on a shuffle path."""
+    from multi_source_financial_data_pipeline_spark.operators.skew import skew_split_join
+
+    # one pathologically hot key (80% of rows), many cold keys
+    left = spark.range(0, 5000).select(
+        F.when(F.col("id") % 5 < 4, F.lit(7)).otherwise(F.col("id") % 97).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(0, 97).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("rv")
+    )
+    got = skew_split_join(left, right, ["k"], hot_threshold=500)
+    want = left.join(right, ["k"])
+    assert got.count() == want.count()
+    assert (
+        got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    )
+    # left join keeps unmatched cold rows
+    right_partial = right.filter(F.col("k") < 50)
+    got_l = skew_split_join(left, right_partial, ["k"], hot_threshold=500, how="left")
+    want_l = left.join(right_partial, ["k"], "left")
+    assert got_l.count() == want_l.count()
+    assert got_l.exceptAll(want_l).count() == 0
+    # plan: hot path broadcast join present
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
