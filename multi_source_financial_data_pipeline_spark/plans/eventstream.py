@@ -319,6 +319,41 @@ GROUP BY s.user_id, s.first_signup_us
 """
 
 
+# --- semi-structured: typed JSON extraction from the props column ------------
+
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the JSON `props` column: `from_json` with an
+    explicit struct schema (stays inside codegen, prunes to the one field —
+    the route for semi-structured event payloads at scale; the stringly
+    `get_json_object` re-parses per call and resists pruning), then a
+    grouped rollup of the extracted value. Malformed/null JSON yields null
+    and is counted, not dropped."""
+    ev = _events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+SQL_JSON_PROPS_STATS = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(json_extract(props, '$.k')) AS n_with_k,
+       min(json_extract(props, '$.k')::INT) AS min_k,
+       max(json_extract(props, '$.k')::INT) AS max_k,
+       sum(json_extract(props, '$.k')::INT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
 # --- pivot: per-user activity profile (wide conditional aggregation) ---------
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -352,6 +387,12 @@ FROM events GROUP BY user_id
 
 
 SPECS = {
+    "json_props_stats": QuerySpec(
+        q_json_props_stats,
+        SQL_JSON_PROPS_STATS,
+        "typed from_json extraction + grouped rollup (schema-on-read)",
+        ("events", "agg"),
+    ),
     "event_pivot": QuerySpec(
         q_event_pivot,
         SQL_EVENT_PIVOT,

@@ -66,6 +66,7 @@ _GATE_PRIORITY = (
     "stream_interval_join",
     "stratified_sample",
     "event_pivot",
+    "json_props_stats",
 )
 
 
