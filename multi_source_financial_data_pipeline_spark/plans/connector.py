@@ -10,6 +10,8 @@ two genuinely different connector reads.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from multi_source_financial_data_pipeline_spark.operators import crossval, series_stats
@@ -114,6 +116,67 @@ FROM d WHERE diff_pct > {TOLERANCE_PCT}
 """
 
 
+# --- streaming tick feed over the same connector (§2.9 extension) ------------
+
+_sname = itertools.count()
+
+
+def q_connector_stream_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The market connector consumed as a STREAM: `readStream` over the
+    Python Data Source's SimpleDataSourceStreamReader (day-index offsets,
+    deterministic replay via readBetweenOffsets), drained into an append
+    memory sink, then aggregated per ticker. Spark's Python micro-batch
+    stream lacks AvailableNow support (single-batch fallback), so the full
+    window rides one batch here; incremental multi-batch consumption and
+    offset-range replay are pinned by
+    tests/test_connector.py::test_stream_ticks_incremental_batches."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tune_for_session_cores(spark)
+    market_source.register(spark)
+    name = f"connector_ticks_{next(_sname)}"
+    stream = (
+        spark.readStream.format("market_sim")
+        .option("tickers", ",".join(TICKERS))
+        .option("start", START)
+        .option("end", END)
+        .option("source", "yahoo")
+        .option("days_per_batch", "1000")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("ticker")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.min("close").alias("min_close"),
+            F.max("close").alias("max_close"),
+            F.sum(F.col("close").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_close"),
+            F.sum("volume").alias("sum_volume"),
+        )
+    )
+
+
+SQL_CONNECTOR_STREAM_TICKS = f"""{_SQL_FEED}
+SELECT ticker,
+       count(*) AS n_days,
+       min(close0) AS min_close,
+       max(close0) AS max_close,
+       CAST(sum(CAST(close0 AS DECIMAL(12,2))) AS DOUBLE) AS sum_close,
+       sum(volume) AS sum_volume
+FROM feed GROUP BY ticker
+"""
+
+
 # --- macro series feed (S4-S6: category fan-out, per-series partitions) ------
 
 MACRO_CATEGORIES = ["rates", "inflation"]
@@ -193,6 +256,12 @@ SPECS = {
         SQL_CONNECTOR_CROSSVAL,
         "cross-source reconcile over two connector feeds (J1+F1+P3+F2)",
         ("source", "crossval"),
+    ),
+    "connector_stream_ticks": QuerySpec(
+        q_connector_stream_ticks,
+        SQL_CONNECTOR_STREAM_TICKS,
+        "market connector as a stream: day-offset reader, append drain",
+        ("source", "streaming"),
     ),
     "connector_macro": QuerySpec(
         q_connector_macro,

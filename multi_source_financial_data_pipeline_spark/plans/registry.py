@@ -67,6 +67,7 @@ _GATE_PRIORITY = (
     "stratified_sample",
     "event_pivot",
     "json_props_stats",
+    "connector_stream_ticks",
 )
 
 

@@ -24,7 +24,12 @@ import hashlib
 from datetime import date, timedelta
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA = (
     "ticker string, date date, open double, high double, low double, "
@@ -119,9 +124,53 @@ class MarketDataReader(DataSourceReader):
         return iter(rows)
 
 
+class MarketTickStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant of the market feed (§2.9 extension): the offset is
+    an index into the business-day sequence, each micro-batch emits
+    ``days_per_batch`` days of quotes for every ticker, and
+    ``readBetweenOffsets`` replays any committed range deterministically —
+    the exactly-once recovery contract (a real feed would store cursor/
+    sequence ids instead of day indices).
+
+    Caveat pinned by tests: Spark's Python micro-batch stream does not
+    support Trigger.AvailableNow (it falls back to a SINGLE batch covering
+    the first prefetched read), so a full-window drain sets
+    ``days_per_batch`` >= the window length, while incremental multi-batch
+    consumption uses a processingTime trigger."""
+
+    def __init__(self, options: dict) -> None:
+        self.tickers = [t for t in options.get("tickers", "").split(",") if t]
+        start = date.fromisoformat(options["start"])
+        end = date.fromisoformat(options["end"])
+        self.source = options.get("source", "yahoo")
+        self.days = list(business_days(start, end))
+        self.days_per_batch = int(options.get("days_per_batch", "1"))
+
+    def initialOffset(self) -> dict:
+        return {"day": 0}
+
+    def _rows(self, lo: int, hi: int) -> Iterator[tuple]:
+        return iter(
+            [
+                quote(t, d, self.source)
+                for d in self.days[lo:hi]
+                for t in self.tickers
+            ]
+        )
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = start["day"]
+        hi = min(lo + self.days_per_batch, len(self.days))
+        return self._rows(lo, hi), {"day": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return self._rows(start["day"], end["day"])
+
+
 class MarketDataSource(DataSource):
     """spark.read.format("market_sim").option("tickers", "AAPL,MSFT")
-    .option("start", "2024-01-01").option("end", "2024-03-29").load()"""
+    .option("start", "2024-01-01").option("end", "2024-03-29").load()
+    — or readStream with the same options for the tick-stream variant."""
 
     @classmethod
     def name(cls) -> str:
@@ -132,6 +181,9 @@ class MarketDataSource(DataSource):
 
     def reader(self, schema) -> MarketDataReader:
         return MarketDataReader(self.options)
+
+    def simpleStreamReader(self, schema) -> MarketTickStreamReader:
+        return MarketTickStreamReader(self.options)
 
 
 MACRO_SCHEMA = "series_id string, series_name string, date date, value double"

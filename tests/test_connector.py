@@ -96,3 +96,48 @@ def test_dead_partition_skips_and_reports(spark):
     assert summary["total_errors"] == 1
     assert summary["errors_by_operation"] == {"market_fetch": 1}
     assert "MSFT" in summary["errors"][0]["message"]
+
+
+def test_stream_ticks_incremental_batches(spark):
+    """The streaming reader's offset protocol: with days_per_batch=3 and a
+    processingTime trigger, the 8-business-day window arrives over several
+    micro-batches (availableNow would single-batch it — Python stream
+    sources lack that trigger), the drained row set equals the batch read,
+    and readBetweenOffsets replays an arbitrary committed range."""
+    market_source.register(spark)
+    opts = {
+        "tickers": "AAPL,MSFT",
+        "start": "2024-01-01",
+        "end": "2024-01-10",
+        "source": "yahoo",
+    }
+    stream = spark.readStream.format("market_sim").options(days_per_batch="3", **opts).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("inc_ticks")
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if spark.table("inc_ticks").count() >= 2 * 8:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = spark.table("inc_ticks")
+    want = spark.read.format("market_sim").options(**opts).load()
+    assert got.count() == want.count() == 2 * 8
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # ceil(8 days / 3 per batch) = 3 non-empty micro-batches
+    n_batches = len({r["date"] for r in got.select("date").collect()})
+    assert n_batches == 8
+    # deterministic replay of a committed offset range
+    from multi_source_financial_data_pipeline_spark.sources.market_source import MarketTickStreamReader
+
+    r = MarketTickStreamReader({**opts})
+    replay = list(r.readBetweenOffsets({"day": 2}, {"day": 5}))
+    assert len(replay) == 3 * 2
+    assert replay == list(r._rows(2, 5))
