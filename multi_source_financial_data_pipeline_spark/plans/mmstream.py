@@ -184,28 +184,45 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
 _qname = itertools.count()
 
 
+#: State-store partitions for the demo streams. Unlike batch shuffles, every
+#: stateful streaming partition materializes a state store (provider init +
+#: per-batch commit + checkpoint files) whose fixed cost dwarfs these tiny
+#: states: session_window over sf0.01 runs 7x faster at 8 partitions than at
+#: 32. The right number tracks STATE VOLUME, not core count — a production
+#: job with GBs of state raises it; it is pinned at the FIRST batch of a
+#: query (changing it later requires a checkpoint reset), which is why it is
+#: set here and not left to the session default.
+_STREAM_STATE_PARTITIONS = 8
+
+
 @contextlib.contextmanager
 def _event_stream(spark: SparkSession, sf_dir: str):
     """Stream the driver's events parquet: the file source wants a directory,
     so the single file is symlinked into a temp landing dir; nanos timestamps
     are read as long (same legacy conf as the batch scan) and converted with
-    integer division. Session tuning matters most here: an untouched
-    200-partition default means 200 state-store partitions per stateful
-    streaming aggregation."""
+    integer division. Shuffle partitions are clamped to
+    `_STREAM_STATE_PARTITIONS` for the stream's lifetime (state-store sizing,
+    see above) and restored for subsequent batch plans."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     tune_for_session_cores(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    clamped = str(min(int(prev), _STREAM_STATE_PARTITIONS))
     fields = [
         T.StructField(f.name, T.LongType() if isinstance(f.dataType, T.TimestampType) else f.dataType)
         for f in TESTDATA["events"].fields
     ]
-    with tempfile.TemporaryDirectory() as landing:
-        os.symlink(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(landing, "events.parquet"),
-        )
-        raw = ingest.read_event_stream(spark, landing, T.StructType(fields))
-        yield raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", clamped)
+        with tempfile.TemporaryDirectory() as landing:
+            os.symlink(
+                os.path.join(sf_dir, "events.parquet"),
+                os.path.join(landing, "events.parquet"),
+            )
+            raw = ingest.read_event_stream(spark, landing, T.StructType(fields))
+            yield raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
