@@ -55,6 +55,11 @@ HEADLINE = [
     "vol_outliers",
     "neardup_verified",
     "curation_kept",
+    "trailing_7d_sum",
+    "sequence_packing",
+    "gap_fill_ffill",
+    "event_cube",
+    "topn_orders_per_customer",
 ]
 
 

@@ -53,6 +53,77 @@ def rolling_std(value: Column, w_frame, n: int) -> Column:
     return F.when(F.count(value).over(w_frame) == n, F.stddev_samp(value).over(w_frame))
 
 
+def trailing_range_frame(key: str, ts_numeric_col: str, lookback):
+    """Event-time trailing window as a RANGE frame: every row aggregates the
+    rows whose order value lies in ``[ts - lookback, ts]`` — irregular
+    sampling handled by the frame itself, no calendar spine, no self-join.
+
+    Same scale shape as any window: one hash exchange on `key` + one sort per
+    partition; the range frame is evaluated by a sliding pointer pass, so cost
+    stays O(rows in partition), not O(rows × frame width). The order column
+    must be numeric (epoch micros) — Spark range frames don't take intervals
+    over timestamps directly.
+    """
+    return (
+        Window.partitionBy(key).orderBy(ts_numeric_col).rangeBetween(-lookback, 0)
+    )
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    key: str,
+    date_col: str,
+    value_col: str,
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Regularize an irregular per-key daily series: keep the last observation
+    per (key, day), generate each key's full calendar spine between its first
+    and last observed day, and forward-fill values across unobserved days
+    (pandas ``resample('D').last().ffill()``).
+
+    Shape: keep-last is one window pass; the spine is generated per key from
+    its 2-row bounds (`sequence` + explode — never collected, never a
+    calendar table join); the fill is `last(value, ignorenulls=True)` over an
+    unbounded-preceding frame. Spine size is |keys| × |days in span| — linear
+    in the output, independent of the fact-table row count. Keys whose span
+    starts at an observation (always true: the span is [min obs, max obs])
+    have no leading nulls, so the fill is total.
+    """
+    w_last = Window.partitionBy(key, date_col).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    daily = (
+        df.withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .select(key, F.col(date_col).alias("obs_date"), F.col(value_col).alias("__v"))
+    )
+    bounds = daily.groupBy(key).agg(
+        F.min("obs_date").alias("min_date"), F.max("obs_date").alias("max_date")
+    )
+    spine = bounds.select(
+        key,
+        F.explode(
+            F.sequence(F.col("min_date"), F.col("max_date"), F.expr("interval 1 day"))
+        ).alias("cal_date"),
+    )
+    joined = spine.join(
+        daily,
+        (spine[key] == daily[key]) & (spine["cal_date"] == daily["obs_date"]),
+        "left",
+    ).select(spine[key], "cal_date", "obs_date", "__v")
+    w_fill = (
+        Window.partitionBy(key)
+        .orderBy("cal_date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        key,
+        "cal_date",
+        F.last("__v", ignorenulls=True).over(w_fill).alias("value_filled"),
+        F.col("obs_date").isNotNull().cast("int").alias("is_observed"),
+    )
+
+
 def timeseries_features(
     df: DataFrame,
     key: str = "ticker",

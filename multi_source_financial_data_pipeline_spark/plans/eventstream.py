@@ -275,6 +275,39 @@ GROUP BY ROLLUP(event_type, date_trunc('day', ts))
 """
 
 
+# --- cube: all 2^2 grouping sets over (event_type, day) ----------------------
+
+def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(event_type, day): the full 2^k grouping-set lattice — per-cell,
+    per-type, per-day, and grand total in ONE pass. Like ROLLUP, Spark
+    compiles this to a single Expand (each input row emitted once per
+    grouping set) feeding one partially-aggregated shuffle — 4× the agg input
+    rows, but never a re-scan of the fact table per level. grouping_id
+    separates subtotal rows from genuine nulls."""
+    ev = _events(spark, sf_dir)
+    day_us = F.unix_micros(F.date_trunc("day", F.col("ts")))
+    return (
+        ev.select("event_type", day_us.alias("day_us"), "value")
+        .cube("event_type", "day_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
+SQL_EVENT_CUBE = """
+SELECT event_type,
+       epoch_us(date_trunc('day', ts)) AS day_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       CAST(grouping(event_type) * 2 + grouping(date_trunc('day', ts)) AS BIGINT) AS gid
+FROM events
+GROUP BY CUBE(event_type, date_trunc('day', ts))
+"""
+
+
 # --- funnel: signup → purchase conversion per user ---------------------------
 
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,6 +478,12 @@ SPECS = {
         q_event_rollup,
         SQL_EVENT_ROLLUP,
         "ROLLUP(event_type, day) grouping sets in one shuffle",
+        ("events", "agg"),
+    ),
+    "event_cube": QuerySpec(
+        q_event_cube,
+        SQL_EVENT_CUBE,
+        "CUBE(event_type, day): full grouping-set lattice in one Expand+shuffle",
         ("events", "agg"),
     ),
 }

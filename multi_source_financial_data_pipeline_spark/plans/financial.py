@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from multi_source_financial_data_pipeline_spark.operators import crossval, series_stats, validation
-from multi_source_financial_data_pipeline_spark.operators.timeseries import timeseries_features
+from multi_source_financial_data_pipeline_spark.operators.timeseries import (
+    gap_fill_daily,
+    timeseries_features,
+    trailing_range_frame,
+)
 from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 from multi_source_financial_data_pipeline_spark.sources import load_table
 
@@ -600,6 +604,83 @@ FROM scores
 """
 
 
+# --- event-time trailing sum: RANGE frame over epoch micros -----------------
+
+_7D_US = 7 * 86_400 * 1_000_000
+
+
+def q_trailing_7d_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing 7-day sum/count of `value` at every event, as a
+    RANGE window frame over event time — irregular sampling handled by the
+    frame bounds themselves (no calendar spine, no self-join, no re-scan).
+
+    One hash exchange on user_id + one sort; the frame is a sliding-pointer
+    pass, O(rows), any scale. Sums go through DECIMAL so the result is
+    identical regardless of either engine's within-frame accumulation order
+    (DuckDB windows aggregate via segment trees — float order differs).
+    """
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros(F.col("ts")))
+    w = trailing_range_frame("user_id", "ts_us", _7D_US)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double").alias("sum_7d"),
+        F.count("value").over(w).alias("n_7d"),
+    )
+
+
+SQL_TRAILING_7D_SUM = f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_7d,
+       count(value) OVER w AS n_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_7D_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- daily regularization: keep-last per day + calendar spine + ffill --------
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``resample('D').last().ffill()`` per key: last observation per
+    (user, day), full daily spine over each user's [first, last] observed
+    day, unobserved days forward-filled. Spine rows are generated per key
+    from 2-row bounds (sequence + explode) — never collected, never a
+    calendar-table join; fill is one unbounded-preceding window pass."""
+    ev = _t(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    return gap_fill_daily(
+        ev, "user_id", "date", "value", order_cols=("ts", "event_id")
+    )
+
+
+SQL_GAP_FILL = """
+WITH daily AS (
+  SELECT user_id, event_date AS obs_date, value FROM (
+    SELECT user_id, CAST(ts AS DATE) AS event_date, value,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+), bounds AS (
+  SELECT user_id, min(obs_date) AS min_date, max(obs_date) AS max_date
+  FROM daily GROUP BY user_id
+), cal AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(min_date, max_date, INTERVAL 1 DAY)) AS DATE) AS cal_date
+  FROM bounds
+)
+SELECT c.user_id, c.cal_date,
+       last_value(d.value IGNORE NULLS)
+         OVER (PARTITION BY c.user_id ORDER BY c.cal_date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       CAST(d.obs_date IS NOT NULL AS INT) AS is_observed
+FROM cal c
+LEFT JOIN daily d ON d.user_id = c.user_id AND d.obs_date = c.cal_date
+"""
+
+
 SPECS = {
     "ts_features": QuerySpec(
         q_ts_features,
@@ -693,5 +774,17 @@ SPECS = {
         SQL_VOL_OUTLIERS,
         "rolling-volatility 3-sigma outlier rows (report module)",
         ("window",),
+    ),
+    "trailing_7d_sum": QuerySpec(
+        q_trailing_7d_sum,
+        SQL_TRAILING_7D_SUM,
+        "per-user trailing 7-day sum/count as an event-time RANGE frame",
+        ("window",),
+    ),
+    "gap_fill_ffill": QuerySpec(
+        q_gap_fill,
+        SQL_GAP_FILL,
+        "daily regularization: keep-last per day + calendar spine + forward fill",
+        ("window", "join"),
     ),
 }

@@ -9,7 +9,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from multi_source_financial_data_pipeline_spark.operators import dedup, sampling, similarity, text
+from multi_source_financial_data_pipeline_spark.operators import (
+    dedup,
+    packing,
+    sampling,
+    similarity,
+    text,
+)
 from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 from multi_source_financial_data_pipeline_spark.sources import load_table
 
@@ -756,6 +762,46 @@ WHERE round({_sql_cos("a.v", "c.v")}, 6) >= {COS_THRESHOLD}
 """
 
 
+# --- sequence packing: per-shard concat-and-chunk ----------------------------
+
+SEQ_LEN = 512
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing: documents concatenated per source
+    shard in doc_id order, token stream chunked into SEQ_LEN sequences; each
+    doc gets its absolute offset + first/last sequence index. One window
+    cumsum per shard (see operators/packing.py) — the only distributed-safe
+    packing formulation, since placement depends only on the prefix sum."""
+    docs = _t(spark, sf_dir, "documents")
+    return packing.concat_chunk_packing(
+        docs,
+        seq_len=SEQ_LEN,
+        tokens=F.size(text.tokens(F.col("text"))),
+        shard_col="source",
+        order_col="doc_id",
+    )
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH n AS (
+  SELECT doc_id, source, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_offset
+  FROM n
+)
+SELECT doc_id, source, n_tokens,
+       end_offset - n_tokens AS start_offset,
+       (end_offset - n_tokens) // {SEQ_LEN} AS first_seq,
+       (end_offset - 1) // {SEQ_LEN} AS last_seq,
+       (end_offset - 1) // {SEQ_LEN} - (end_offset - n_tokens) // {SEQ_LEN} + 1 AS n_seqs_spanned
+FROM c
+"""
+
+
 SPECS = {
     "token_stats": QuerySpec(
         q_token_stats, SQL_TOKEN_STATS, "per-doc token counting + type-token ratio", ("text",)
@@ -861,6 +907,12 @@ SPECS = {
         SQL_STRATIFIED_SAMPLE,
         "deterministic hash-threshold mixture sampling per language",
         ("text", "sampling"),
+    ),
+    "sequence_packing": QuerySpec(
+        q_sequence_packing,
+        SQL_SEQUENCE_PACKING,
+        "concat-and-chunk packing offsets per doc: one window cumsum per shard",
+        ("text", "window"),
     ),
     "curation_kept": QuerySpec(
         q_curation_kept,

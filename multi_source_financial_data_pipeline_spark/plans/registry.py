@@ -68,6 +68,11 @@ _GATE_PRIORITY = (
     "event_pivot",
     "json_props_stats",
     "connector_stream_ticks",
+    "trailing_7d_sum",
+    "gap_fill_ffill",
+    "event_cube",
+    "topn_orders_per_customer",
+    "sequence_packing",
 )
 
 

@@ -538,6 +538,40 @@ ORDER BY n_name
 """
 
 
+# --- per-group top-N over a scale-proportional fact --------------------------
+
+def q_topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value per customer: rank window + early filter.
+
+    The per-group analogue of TakeOrderedAndProject: one hash exchange on
+    o_custkey, one per-partition sort, and the rank predicate drops non-top
+    rows before anything else sees them — no global sort at any scale, and
+    the output is bounded by 3×|customers| regardless of order count.
+    Deterministic tie-break on o_orderkey."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+SQL_TOPN_ORDERS = """
+SELECT o_custkey, CAST(rn AS INT) AS rank, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
 SPECS = {
     "q8_market_share": QuerySpec(
         q_q8_market_share,
@@ -592,5 +626,11 @@ SPECS = {
         SQL_Q22,
         "broadcast-scalar comparison + left-anti join rollup",
         ("join", "agg"),
+    ),
+    "topn_orders_per_customer": QuerySpec(
+        q_topn_orders_per_customer,
+        SQL_TOPN_ORDERS,
+        "per-group top-3 via rank window: no global sort, output bounded by 3|groups|",
+        ("window",),
     ),
 }

@@ -119,6 +119,49 @@ def test_rollup_is_single_pass(spark, sf_dir):
     assert "Expand" in plan
 
 
+def test_cube_is_single_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "event_cube")
+    # all 4 grouping sets from one Expand + one agg pipeline — never one
+    # scan per lattice level
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_topn_per_group_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topn_orders_per_customer")
+    # rank window: one hash exchange on the group key + per-partition sort;
+    # a global sort would show as Exchange rangepartitioning
+    assert "rangepartitioning" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan  # rank<=3 pushed below the window sort
+
+
+def test_trailing_range_sum_single_window_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "trailing_7d_sum")
+    # the RANGE frame is one window operator over one exchange — no
+    # self-join, no spine
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_sequence_packing_single_window_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sequence_packing")
+    # prefix-sum placement: one exchange on the shard key, no joins, no
+    # Python (packing math stays in codegen)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan and "FlatMap" not in plan
+
+
+def test_gap_fill_spine_join_is_hash(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "gap_fill_ffill")
+    # spine ⋈ daily is an equi hash join (never nested-loop), and the fill
+    # is a window pass — no collect anywhere in the plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
 def test_cosine_neardup_is_distributed_block_pair(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_neardup")
     # the exact all-pairs score runs as a cogrouped Arrow block-matmul over

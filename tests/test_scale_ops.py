@@ -190,3 +190,33 @@ def test_skew_split_join_matches_direct_join(spark, sf_dir):
     # plan: hot path broadcast join present
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_sketch_aggregates_within_error_bounds(spark, sf_dir):
+    """At 100 TB, exact distinct counts and exact quantiles are a full
+    shuffle of the key space; HLL++ and Greenwald-Khanna sketches are
+    one-pass, mergeable, and bounded-memory. Pin their accuracy contract
+    against the exact answers so the sketch path is a *verified* substitute:
+    approx_count_distinct's default rsd is 5%, approx_percentile is exact
+    within the accuracy parameter's rank error."""
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.select(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("event_id").alias("approx_events"),
+        F.countDistinct("event_id").alias("exact_events"),
+    ).collect()[0]
+    assert abs(row.approx_users - row.exact_users) <= 0.05 * row.exact_users + 1
+    assert abs(row.approx_events - row.exact_events) <= 0.05 * row.exact_events + 1
+
+    # approx_percentile(accuracy=a): rank error <= n/a ranks off the exact
+    n = ev.count()
+    acc = 1000
+    got = ev.select(
+        F.percentile_approx("value", [0.5, 0.9], acc).alias("p")
+    ).collect()[0]["p"]
+    exact_sorted = [r.value for r in ev.select("value").orderBy("value").collect()]
+    for q, v in zip([0.5, 0.9], got):
+        lo = max(0, int((q - 1.5 / acc * 1) * n) - int(n / acc) - 1)
+        hi = min(n - 1, int(q * n) + int(n / acc) + 1)
+        assert exact_sorted[lo] <= v <= exact_sorted[hi], (q, v)
