@@ -55,6 +55,7 @@ HEADLINE = [
     "vol_outliers",
     "neardup_verified",
     "curation_kept",
+    "doc_repetition",
     "trailing_7d_sum",
     "sequence_packing",
     "gap_fill_ffill",

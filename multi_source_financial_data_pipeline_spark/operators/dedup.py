@@ -21,25 +21,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from multi_source_financial_data_pipeline_spark.operators.text import tokens
+from multi_source_financial_data_pipeline_spark.operators.text import tokens, word_ngrams
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams as an array, built from zipped row-level array
-    slices: the transform lambda touches only its own element, so nothing is
-    re-evaluated per element (a lambda that indexes back into the token array
-    re-tokenizes the document once per shingle — O(doc²) per row). Docs with
-    < n tokens get an empty array, matching the oracle's empty
-    generate_series."""
-    toks = tokens(text)
-    width = F.size(toks) - (n - 1)
-    z = F.arrays_zip(*[F.slice(toks, k + 1, width) for k in range(n)])
-    gram = F.transform(
-        z, lambda g: F.concat_ws(" ", *[g[str(k)] for k in range(n)])
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Distinct word n-grams as an array (see text.word_ngrams for the
+    zipped-slice construction and why the lambda must not re-index the token
+    array). Docs with < n tokens get an empty array, matching the oracle's
+    empty generate_series."""
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def shingle_rows(

@@ -21,6 +21,83 @@ def tokens(text: Column) -> Column:
     return F.split(text, r"\s+")
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams as an array (duplicates KEPT — repetition analysis needs
+    multiplicity; `dedup.shingles` wraps this with array_distinct). Built
+    from zipped row-level array slices: the transform lambda touches only
+    its own element, so nothing is re-evaluated per element (a lambda that
+    indexes back into the token array re-tokenizes the document once per
+    gram — O(doc²) per row). Docs with < n tokens get an empty array."""
+    toks = tokens(text)
+    width = F.size(toks) - (n - 1)
+    z = F.arrays_zip(*[F.slice(toks, k + 1, width) for k in range(n)])
+    gram = F.transform(z, lambda g: F.concat_ws(" ", *[g[str(k)] for k in range(n)]))
+    return F.when(F.size(toks) >= n, gram).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+#: Gopher-style repetition thresholds (Rae et al. 2021, table A1 flavor):
+#: a doc is flagged when its most frequent bigram covers too much of the
+#: text or too many of its trigrams are repeats.
+REP_TOP_BIGRAM_MAX = 0.18
+REP_DUP_TRIGRAM_MAX = 0.30
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc repetition metrics for training-data curation:
+
+    - ``top_bigram_frac``: count of the single most frequent bigram over the
+      total bigram count (boilerplate/chorus detector);
+    - ``dup_trigram_frac``: 1 − distinct/total trigrams (local-loop detector);
+    - ``is_repetitive``: either metric over its Gopher-style threshold.
+
+    Shape: the trigram metric is pure array math in the row projection (no
+    shuffle); the bigram mode needs per-(doc, gram) counts — explode → one
+    map-side-combined groupBy → per-doc max/total — then a doc_id equi join
+    back. Everything is linear in corpus grams and JVM-side; no pair space,
+    no Python.
+    """
+    tri = word_ngrams(F.col(text_col), 3)
+    base = df.select(
+        id_col,
+        word_ngrams(F.col(text_col), 2).alias("__bg"),
+        F.when(
+            F.size(tri) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(tri)).cast("double")
+            / F.size(tri).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )
+    per_gram = (
+        base.select(id_col, F.explode("__bg").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        (
+            F.max("c").cast("double") / F.sum("c").cast("double")
+        ).alias("top_bigram_frac")
+    )
+    out = base.drop("__bg").join(per_doc, [id_col], "left")
+    top = F.coalesce("top_bigram_frac", F.lit(0.0))
+    return out.select(
+        id_col,
+        top.alias("top_bigram_frac"),
+        "dup_trigram_frac",
+        (
+            (top > REP_TOP_BIGRAM_MAX)
+            | (F.col("dup_trigram_frac") > REP_DUP_TRIGRAM_MAX)
+        )
+        .cast("int")
+        .alias("is_repetitive"),
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc token counting + type-token ratio."""
     toks = tokens(F.col(text_col))

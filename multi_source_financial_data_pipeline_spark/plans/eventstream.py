@@ -275,6 +275,41 @@ GROUP BY ROLLUP(event_type, date_trunc('day', ts))
 """
 
 
+# --- set operations: INTERSECT / EXCEPT / UNION DISTINCT ---------------------
+
+def q_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra over user ids: purchasers ∩ erroring users,
+    each side's exclusive set, and the distinct union — INTERSECT compiles
+    to a left-semi join over pre-distincted sides, EXCEPT to a left-anti,
+    so each count is one hash shuffle on user_id (no sort, no pair space).
+    The four 1-row counts meet as broadcast cross joins."""
+    ev = _events(spark, sf_dir)
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    n_both = purch.intersect(err).agg(F.count(F.lit(1)).alias("n_both"))
+    n_purch_only = purch.subtract(err).agg(
+        F.count(F.lit(1)).alias("n_purchase_only")
+    )
+    n_err_only = err.subtract(purch).agg(F.count(F.lit(1)).alias("n_error_only"))
+    n_either = (
+        purch.union(err).distinct().agg(F.count(F.lit(1)).alias("n_either"))
+    )
+    return (
+        n_both.crossJoin(n_purch_only).crossJoin(n_err_only).crossJoin(n_either)
+    )
+
+
+SQL_USER_SETOPS = """
+WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT
+  (SELECT count(*) FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)) AS n_both,
+  (SELECT count(*) FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)) AS n_purchase_only,
+  (SELECT count(*) FROM (SELECT user_id FROM e EXCEPT SELECT user_id FROM p)) AS n_error_only,
+  (SELECT count(*) FROM (SELECT user_id FROM p UNION SELECT user_id FROM e)) AS n_either
+"""
+
+
 # --- cube: all 2^2 grouping sets over (event_type, day) ----------------------
 
 def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,5 +520,11 @@ SPECS = {
         SQL_EVENT_CUBE,
         "CUBE(event_type, day): full grouping-set lattice in one Expand+shuffle",
         ("events", "agg"),
+    ),
+    "user_setops": QuerySpec(
+        q_user_setops,
+        SQL_USER_SETOPS,
+        "INTERSECT/EXCEPT/UNION-DISTINCT audience algebra as semi/anti joins",
+        ("events", "join"),
     ),
 }

@@ -762,6 +762,50 @@ WHERE round({_sql_cos("a.v", "c.v")}, 6) >= {COS_THRESHOLD}
 """
 
 
+# --- repetition filters (Gopher-style) ---------------------------------------
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition metrics: top-bigram coverage + duplicate-trigram
+    fraction + the Gopher-style keep/drop flag (operators/text.py
+    repetition_stats). Trigram metric is shuffle-free array math; bigram
+    mode is one explode + map-side-combined groupBy."""
+    return text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_REPETITION = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), tri AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE)
+         ELSE 0.0 END AS dup_trigram_frac
+  FROM (
+    SELECT doc_id, toks,
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+    FROM base
+  )
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM base
+), bgc AS (
+  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+), top AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+  FROM bgc GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+       dup_trigram_frac,
+       CAST(coalesce(top_bigram_frac, 0.0) > {text.REP_TOP_BIGRAM_MAX}
+            OR dup_trigram_frac > {text.REP_DUP_TRIGRAM_MAX} AS INT) AS is_repetitive
+FROM tri t LEFT JOIN top USING (doc_id)
+"""
+
+
 # --- sequence packing: per-shard concat-and-chunk ----------------------------
 
 SEQ_LEN = 512
@@ -913,6 +957,12 @@ SPECS = {
         SQL_SEQUENCE_PACKING,
         "concat-and-chunk packing offsets per doc: one window cumsum per shard",
         ("text", "window"),
+    ),
+    "doc_repetition": QuerySpec(
+        q_doc_repetition,
+        SQL_DOC_REPETITION,
+        "Gopher-style repetition filters: top-bigram + duplicate-trigram fractions",
+        ("text", "agg"),
     ),
     "curation_kept": QuerySpec(
         q_curation_kept,

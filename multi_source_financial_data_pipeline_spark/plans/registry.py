@@ -73,6 +73,8 @@ _GATE_PRIORITY = (
     "event_cube",
     "topn_orders_per_customer",
     "sequence_packing",
+    "doc_repetition",
+    "user_setops",
 )
 
 

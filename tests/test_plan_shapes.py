@@ -162,6 +162,16 @@ def test_gap_fill_spine_join_is_hash(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_doc_repetition_linear_no_pair_space(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "doc_repetition")
+    # trigram metric is row-local array math; bigram mode is explode → one
+    # map-side-combined groupBy — never a self-join or pair explosion
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_max" in plan or "partial_count" in plan  # map-side combine
+    assert "Python" not in plan
+
+
 def test_cosine_neardup_is_distributed_block_pair(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_neardup")
     # the exact all-pairs score runs as a cogrouped Arrow block-matmul over

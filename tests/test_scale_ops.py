@@ -220,3 +220,36 @@ def test_sketch_aggregates_within_error_bounds(spark, sf_dir):
         lo = max(0, int((q - 1.5 / acc * 1) * n) - int(n / acc) - 1)
         hi = min(n - 1, int(q * n) + int(n / acc) + 1)
         assert exact_sorted[lo] <= v <= exact_sorted[hi], (q, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """At cluster scale, a selective filter on one shuffle-join side should
+    become a runtime bloom filter on the other side's SCAN — rows drop
+    before the exchange, not after. The size thresholds that gate injection
+    are scaled to production scans, so force them to 0 and pin that this
+    engine's join shapes are ELIGIBLE (nothing — hints, non-equi conditions,
+    reused exchanges — blocks the optimizer from injecting)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        j = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "no bloom filter built from the filtered side"
+        assert "might_contain" in plan, "probe side scan not bloom-pruned"
+    finally:
+        for k in confs:
+            spark.conf.unset(k)
