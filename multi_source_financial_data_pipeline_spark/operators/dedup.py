@@ -53,6 +53,35 @@ def shingle_rows(
     )
 
 
+def probe_overlap(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Decontamination: corpus documents sharing any word n-gram with a
+    probe (eval/benchmark) set, with the distinct shared-gram count per doc.
+
+    Scale shape: the probe side is an eval set — bounded by construction
+    (thousands of docs, not corpus-scale) — so its distinct grams broadcast
+    and the corpus side never shuffles for the join: explode (linear in
+    corpus tokens) → per-doc-distinct grams → broadcast inner join → one
+    map-side-combined count. If the probe set ever outgrows broadcast,
+    drop the hint and this degrades to one hash shuffle on the gram —
+    still linear, never pairwise.
+    """
+    probe_grams = (
+        shingle_rows(probes, id_col, text_col, n).select("s").distinct()
+    )
+    corpus_grams = shingle_rows(corpus, id_col, text_col, n).distinct()
+    return (
+        corpus_grams.join(F.broadcast(probe_grams), "s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
 #: universal-hash modulus: the smallest prime above 2^32. With x < 2^32 and
 #: a < 2^31 the product stays under 2^63 — exact in any engine's BIGINT.
 MINHASH_P = 4_294_967_311

@@ -604,6 +604,42 @@ FROM scores
 """
 
 
+# --- exact grouped percentiles ----------------------------------------------
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark `percentile` ≡
+    DuckDB `quantile_cont`: same (n−1)·q rank + linear interpolation, one
+    IEEE op sequence → bit-identical). Exact percentiles need the group's
+    values together — one shuffle on the 5-value key with partial
+    collection; for 100 TB-scale groups the sketch path
+    (`percentile_approx`, accuracy-bounded in tests/test_scale_ops.py) is
+    the substitute, one pass and mergeable."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(value, array(0.25, 0.5, 0.9))").alias("__p"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("__p")[0].alias("p25"),
+            F.col("__p")[1].alias("p50"),
+            F.col("__p")[2].alias("p90"),
+        )
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type, count(*) AS n,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90
+FROM events GROUP BY event_type
+"""
+
+
 # --- event-time trailing sum: RANGE frame over epoch micros -----------------
 
 _7D_US = 7 * 86_400 * 1_000_000
@@ -786,5 +822,11 @@ SPECS = {
         SQL_GAP_FILL,
         "daily regularization: keep-last per day + calendar spine + forward fill",
         ("window", "join"),
+    ),
+    "value_percentiles_by_type": QuerySpec(
+        q_value_percentiles,
+        SQL_VALUE_PERCENTILES,
+        "exact interpolated percentiles per group (quantile_cont-identical)",
+        ("agg",),
     ),
 }

@@ -806,6 +806,42 @@ FROM tri t LEFT JOIN top USING (doc_id)
 """
 
 
+# --- decontamination: eval-set n-gram overlap --------------------------------
+
+DECON_NGRAM = 5
+DECON_PROBE_MOD = 20
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs (stand-in eval set: doc_id % 20 == 0)
+    donate their distinct 5-grams; every other doc sharing at least one is
+    flagged with its shared-gram count. Probe grams broadcast (eval sets are
+    bounded); corpus side stays linear — explode → distinct → broadcast join
+    → map-side-combined count (operators/dedup.probe_overlap)."""
+    docs = _t(spark, sf_dir, "documents")
+    is_probe = F.col("doc_id") % DECON_PROBE_MOD == 0
+    return dedup.probe_overlap(
+        docs.filter(~is_probe), docs.filter(is_probe), n=DECON_NGRAM
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(toks) - {DECON_NGRAM - 1}),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS s
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+), probe AS (
+  SELECT DISTINCT s FROM g WHERE doc_id % {DECON_PROBE_MOD} = 0
+), corpus AS (
+  SELECT doc_id, s FROM g WHERE doc_id % {DECON_PROBE_MOD} != 0
+)
+SELECT doc_id, count(*) AS n_shared_ngrams
+FROM corpus JOIN probe USING (s)
+GROUP BY doc_id
+"""
+
+
 # --- sequence packing: per-shard concat-and-chunk ----------------------------
 
 SEQ_LEN = 512
@@ -963,6 +999,12 @@ SPECS = {
         SQL_DOC_REPETITION,
         "Gopher-style repetition filters: top-bigram + duplicate-trigram fractions",
         ("text", "agg"),
+    ),
+    "decontaminate_overlap": QuerySpec(
+        q_decontaminate,
+        SQL_DECONTAMINATE,
+        "benchmark decontamination: 5-gram overlap vs a broadcast eval-probe set",
+        ("text", "join"),
     ),
     "curation_kept": QuerySpec(
         q_curation_kept,

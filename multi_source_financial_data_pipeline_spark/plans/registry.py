@@ -75,6 +75,8 @@ _GATE_PRIORITY = (
     "sequence_packing",
     "doc_repetition",
     "user_setops",
+    "decontaminate_overlap",
+    "value_percentiles_by_type",
 )
 
 
