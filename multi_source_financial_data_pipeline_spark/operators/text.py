@@ -54,44 +54,47 @@ def repetition_stats(
     - ``dup_trigram_frac``: 1 − distinct/total trigrams (local-loop detector);
     - ``is_repetitive``: either metric over its Gopher-style threshold.
 
-    Shape: the trigram metric is pure array math in the row projection (no
-    shuffle); the bigram mode needs per-(doc, gram) counts — explode → one
-    map-side-combined groupBy → per-doc max/total — then a doc_id equi join
-    back. Everything is linear in corpus grams and JVM-side; no pair space,
-    no Python.
+    Shape: ONE scan of the text column (it dominates IO at corpus scale —
+    a join-back formulation scans it twice). Bigrams and trigrams explode
+    together as (kind, gram) rows via explode_outer (gramless docs survive
+    as a null row), then two map-side-combined groupBys compute per-gram
+    counts and per-doc aggregates: bigram mode/total and trigram
+    distinct/total ride the same pass. Linear in corpus grams, JVM-side,
+    no pair space, no join, no Python.
     """
+    bi = word_ngrams(F.col(text_col), 2)
     tri = word_ngrams(F.col(text_col), 3)
-    base = df.select(
-        id_col,
-        word_ngrams(F.col(text_col), 2).alias("__bg"),
-        F.when(
-            F.size(tri) > 0,
-            F.lit(1.0)
-            - F.size(F.array_distinct(tri)).cast("double")
-            / F.size(tri).cast("double"),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("dup_trigram_frac"),
+    tag = lambda arr, k: F.transform(
+        arr, lambda g: F.struct(F.lit(k).alias("k"), g.alias("g"))
     )
-    per_gram = (
-        base.select(id_col, F.explode("__bg").alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("c"))
+    tagged = df.select(
+        id_col, F.explode_outer(F.concat(tag(bi, 0), tag(tri, 1))).alias("t")
     )
+    per_gram = tagged.groupBy(
+        id_col, F.col("t.k").alias("k"), F.col("t.g").alias("g")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    is_bi, is_tri = F.col("k") == 0, F.col("k") == 1
     per_doc = per_gram.groupBy(id_col).agg(
-        (
-            F.max("c").cast("double") / F.sum("c").cast("double")
-        ).alias("top_bigram_frac")
+        F.max(F.when(is_bi, F.col("c"))).alias("__max_bi"),
+        F.sum(F.when(is_bi, F.col("c"))).alias("__n_bi"),
+        F.count(F.when(is_tri, F.lit(1))).alias("__distinct_tri"),
+        F.sum(F.when(is_tri, F.col("c"))).alias("__n_tri"),
     )
-    out = base.drop("__bg").join(per_doc, [id_col], "left")
-    top = F.coalesce("top_bigram_frac", F.lit(0.0))
-    return out.select(
+    top = F.coalesce(
+        F.col("__max_bi").cast("double") / F.col("__n_bi").cast("double"),
+        F.lit(0.0),
+    )
+    dup = F.when(
+        F.col("__n_tri") > 0,
+        F.lit(1.0)
+        - F.col("__distinct_tri").cast("double") / F.col("__n_tri").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return per_doc.select(
         id_col,
         top.alias("top_bigram_frac"),
-        "dup_trigram_frac",
+        dup.alias("dup_trigram_frac"),
         (
-            (top > REP_TOP_BIGRAM_MAX)
-            | (F.col("dup_trigram_frac") > REP_DUP_TRIGRAM_MAX)
+            (top > REP_TOP_BIGRAM_MAX) | (dup > REP_DUP_TRIGRAM_MAX)
         )
         .cast("int")
         .alias("is_repetitive"),

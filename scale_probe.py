@@ -62,6 +62,11 @@ PROBE_QUERIES = [
     # corpus/nlist × nprobe
     "ann_topk",
     "ann_topk_ivf",
+    # round-2 additions with shuffling stages: gram-level agg (repetition),
+    # broadcast probe join (decontamination), per-shard window (packing)
+    "doc_repetition",
+    "decontaminate_overlap",
+    "sequence_packing",
 ]
 
 

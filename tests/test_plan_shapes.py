@@ -164,10 +164,11 @@ def test_gap_fill_spine_join_is_hash(spark, sf_dir):
 
 def test_doc_repetition_linear_no_pair_space(spark, sf_dir):
     plan = _plan(spark, sf_dir, "doc_repetition")
-    # trigram metric is row-local array math; bigram mode is explode → one
-    # map-side-combined groupBy — never a self-join or pair explosion
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # bigram + trigram metrics ride ONE scan of the text column (tagged-gram
+    # explode) — a join-back formulation reads the corpus twice — and the
+    # gram counts are map-side combined; never a self-join or pair explosion
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
     assert "partial_max" in plan or "partial_count" in plan  # map-side combine
     assert "Python" not in plan
 
