@@ -278,24 +278,37 @@ GROUP BY ROLLUP(event_type, date_trunc('day', ts))
 # --- set operations: INTERSECT / EXCEPT / UNION DISTINCT ---------------------
 
 def q_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audience set algebra over user ids: purchasers ∩ erroring users,
-    each side's exclusive set, and the distinct union — INTERSECT compiles
-    to a left-semi join over pre-distincted sides, EXCEPT to a left-anti,
-    so each count is one hash shuffle on user_id (no sort, no pair space).
-    The four 1-row counts meet as broadcast cross joins."""
+    """Audience set algebra over user ids: purchasers ∩ erroring users, each
+    side's exclusive set, and the distinct union.
+
+    Set-op operators exist and compile right (`intersect` → left-semi,
+    `subtract` → left-anti over pre-distincted sides; pinned in
+    tests/test_scale_ops.py::test_set_ops_compile_to_semi_anti_joins), but
+    when both sides derive from the SAME fact table the literal formulation
+    scans it once per leg — 8 scans for these four counts. The engine
+    computes the identical algebra in ONE scan: per-user membership flags
+    (`max(type = x)`) then four conditional counts in a single-row agg. The
+    DuckDB oracle deliberately keeps the literal INTERSECT/EXCEPT/UNION SQL,
+    so the hash-match PROVES the rewrite is equivalent."""
     ev = _events(spark, sf_dir)
-    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    err = ev.filter(F.col("event_type") == "error").select("user_id")
-    n_both = purch.intersect(err).agg(F.count(F.lit(1)).alias("n_both"))
-    n_purch_only = purch.subtract(err).agg(
-        F.count(F.lit(1)).alias("n_purchase_only")
+    flags = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("has_p"),
+            F.max((F.col("event_type") == "error").cast("int")).alias("has_e"),
+        )
     )
-    n_err_only = err.subtract(purch).agg(F.count(F.lit(1)).alias("n_error_only"))
-    n_either = (
-        purch.union(err).distinct().agg(F.count(F.lit(1)).alias("n_either"))
-    )
-    return (
-        n_both.crossJoin(n_purch_only).crossJoin(n_err_only).crossJoin(n_either)
+    both = (F.col("has_p") == 1) & (F.col("has_e") == 1)
+    return flags.agg(
+        F.count(F.when(both, 1)).alias("n_both"),
+        F.count(F.when((F.col("has_p") == 1) & (F.col("has_e") == 0), 1)).alias(
+            "n_purchase_only"
+        ),
+        F.count(F.when((F.col("has_p") == 0) & (F.col("has_e") == 1), 1)).alias(
+            "n_error_only"
+        ),
+        F.count(F.lit(1)).alias("n_either"),
     )
 
 

@@ -533,12 +533,21 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's dead-branch wiring fixed (SURVEY.md §4): inputs are this
     engine's own validation aggregates."""
     ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
-    nulls = ev.agg((F.count(F.lit(1)) - F.count("value")).alias("total_nulls"))
-    sizes = ev.groupBy("user_id", "event_date").agg(F.count(F.lit(1)).alias("n"))
-    dups = sizes.filter(F.col("n") > 1).agg(
-        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("dup_rows")
+    # null / nonpositive / duplicate counts all derive from ONE per-(user,
+    # day) pre-aggregate — one scan + one map-side-combined shuffle, where
+    # the three-separate-aggregates formulation reads events three times
+    sizes = ev.groupBy("user_id", "event_date").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("value")).alias("nn"),
+        validation.count_where(F.col("value") <= 0, "np"),
     )
-    nonpos = ev.agg(validation.count_where(F.col("value") <= 0, "n_nonpositive"))
+    stats = sizes.agg(
+        F.sum("nn").alias("total_nulls"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") > 1, F.col("n"))), F.lit(0)
+        ).cast("long").alias("dup_rows"),
+        F.sum("np").alias("n_nonpositive"),
+    )
     primary, secondary = _order_sources(spark, sf_dir)
     joined = primary.join(secondary, ["o_orderkey"], "inner").na.drop(
         subset=["yahoo_close", "alpha_close"]
@@ -554,7 +563,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("comparisons"),
         validation.count_where(diff_pct > CROSS_TOLERANCE_PCT, "discrepancies"),
     )
-    row = nulls.join(dups).join(nonpos).join(comp)
+    row = stats.join(comp)
     issues = F.col("dup_rows") + F.col("n_nonpositive")
     basic = F.greatest(
         F.lit(0.0), F.lit(100.0) - (issues + F.col("total_nulls") / 10.0) * 5.0

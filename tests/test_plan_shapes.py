@@ -119,6 +119,13 @@ def test_rollup_is_single_pass(spark, sf_dir):
     assert "Expand" in plan
 
 
+def test_user_setops_single_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "user_setops")
+    # same-table set algebra: one scan + membership flags, not one
+    # scan per INTERSECT/EXCEPT leg (the literal formulation reads 8x)
+    assert plan.count("Scan parquet") == 1
+
+
 def test_cube_is_single_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "event_cube")
     # all 4 grouping sets from one Expand + one agg pipeline — never one

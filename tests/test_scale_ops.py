@@ -253,3 +253,18 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k in confs:
             spark.conf.unset(k)
+
+
+def test_set_ops_compile_to_semi_anti_joins(spark, sf_dir):
+    """INTERSECT/EXCEPT must compile to hash semi/anti joins over
+    pre-distincted sides — one shuffle each, no sort, no pair space. (The
+    registered `user_setops` query computes same-table set algebra in one
+    scan instead; this pins the operators themselves for the two-table
+    case, where the join formulation is the right one.)"""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    ip = a.intersect(b)._jdf.queryExecution().executedPlan().toString()
+    ep = a.subtract(b)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in ip and "CartesianProduct" not in ip
+    assert "LeftAnti" in ep and "CartesianProduct" not in ep
