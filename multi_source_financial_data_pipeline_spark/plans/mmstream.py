@@ -351,6 +351,90 @@ FROM events a JOIN events b
 """
 
 
+# --- streaming: stream-stream LEFT OUTER interval join -----------------------
+
+STREAM_WM_DELAY = "1 day"
+
+
+def q_stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view pairs with the
+    user's purchases in [view_ts, view_ts + 1 h]; views that never match
+    are ALSO emitted (null purchase) — but only once their state expires,
+    because until the watermark passes `view_ts + horizon` a match could
+    still arrive. That coupling is the semantic difference from a batch
+    left join, and the oracle encodes it honestly: the unmatched leg keeps
+    rows only where `view_ts + horizon < final watermark`, with the final
+    watermark = min over both sides of (side's max event time − delay),
+    exactly the streaming planner's global watermark after a full
+    availableNow drain. Views newer than that are still in flight when the
+    drain ends and are correctly NOT emitted.
+
+    Scale: identical state bound to the inner join (buffer = horizon +
+    delay per user partition); the null-emission path adds no state, it
+    rides the eviction scan."""
+    name = f"stream_lojoin_{next(_qname)}"
+    with _event_stream(spark, sf_dir) as stream:
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", STREAM_WM_DELAY)
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", STREAM_WM_DELAY)
+        )
+        joined = views.join(
+            purchases,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr(f"INTERVAL {INTERVAL_JOIN_HORIZON}")
+            ),
+            "leftOuter",
+        )
+        query = (
+            joined.select("view_id", "purchase_id")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).select("view_id", "purchase_id")
+
+
+SQL_STREAM_LEFT_INTERVAL_JOIN = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT v.view_id, p.purchase_id
+  FROM v JOIN p ON v.user_id = p.user_id
+   AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+), wm AS (
+  SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p)) - INTERVAL 1 DAY AS w
+)
+SELECT view_id, purchase_id FROM m
+UNION ALL
+SELECT v.view_id, NULL::BIGINT AS purchase_id
+FROM v, wm
+WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id)
+  AND v.ts + INTERVAL 1 HOUR < wm.w
+"""
+
+
 # --- streaming: session windows (gap-merged) ---------------------------------
 
 STREAM_GAP = "30 minutes"
@@ -510,6 +594,12 @@ SPECS = {
         q_stream_interval_join,
         SQL_STREAM_INTERVAL_JOIN,
         "stream-stream interval join, watermark-bounded state, append drain",
+        ("streaming", "join"),
+    ),
+    "stream_left_interval_join": QuerySpec(
+        q_stream_left_interval_join,
+        SQL_STREAM_LEFT_INTERVAL_JOIN,
+        "LEFT OUTER interval join: null-emission gated on watermark eviction",
         ("streaming", "join"),
     ),
     "stream_enriched_counts": QuerySpec(

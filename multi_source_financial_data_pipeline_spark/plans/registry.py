@@ -77,6 +77,7 @@ _GATE_PRIORITY = (
     "user_setops",
     "decontaminate_overlap",
     "value_percentiles_by_type",
+    "stream_left_interval_join",
 )
 
 
