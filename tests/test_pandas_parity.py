@@ -130,3 +130,105 @@ def test_first_request_wins_excludes_only_existing_keys(spark):
     # d1 exists from an earlier request -> skipped; within-batch dup on d2 is
     # NOT deduped (reference probes existing data only, src/database.py:194)
     assert sorted(kept["close"]) == [2.0, 2.5]
+
+
+def test_gap_fill_matches_pandas_resample_ffill(spark):
+    """gap_fill_daily ≡ pandas per-key resample('D').last().ffill() over each
+    key's [first, last] observed day — including multi-observation days
+    (last-by-(ts, id) wins) and keys with no gaps at all."""
+    from multi_source_financial_data_pipeline_spark.operators.timeseries import gap_fill_daily
+
+    rows = [
+        # key 1: gap days 2024-01-02..03, two observations on the 4th
+        (1, "2024-01-01 10:00:00", 10.0, 1),
+        (1, "2024-01-04 09:00:00", 40.0, 2),
+        (1, "2024-01-04 16:00:00", 44.0, 3),
+        (1, "2024-01-06 10:00:00", 60.0, 4),
+        # key 2: contiguous, no gaps
+        (2, "2024-02-01 00:00:00", 1.0, 5),
+        (2, "2024-02-02 00:00:00", 2.0, 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double, event_id long"
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn("date", F.to_date("ts"))
+    got = (
+        gap_fill_daily(df, "user_id", "date", "value", order_cols=("ts", "event_id"))
+        .toPandas()
+        .sort_values(["user_id", "cal_date"])
+        .reset_index(drop=True)
+    )
+
+    pdf = df.toPandas()
+    want_parts = []
+    for uid, g in pdf.groupby("user_id"):
+        s = (
+            g.sort_values(["ts", "event_id"])
+            .set_index(pd.to_datetime(g.sort_values(["ts", "event_id"])["ts"]))["value"]
+            .resample("D")
+            .last()
+        )
+        observed = s.notna()
+        want_parts.append(
+            pd.DataFrame(
+                {
+                    "user_id": uid,
+                    "cal_date": s.index.date,
+                    "value_filled": s.ffill().to_numpy(),
+                    "is_observed": observed.astype("int32").to_numpy(),
+                }
+            )
+        )
+    want = pd.concat(want_parts).sort_values(["user_id", "cal_date"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_concat_chunk_packing_prefix_sums(spark):
+    """Packing offsets ≡ a literal per-shard prefix sum, and the seq spans
+    follow from integer division — including a doc straddling a boundary
+    and a doc exactly filling a sequence."""
+    from multi_source_financial_data_pipeline_spark.operators.packing import (
+        concat_chunk_packing,
+    )
+
+    rows = [  # shard A: token counts 3, 5 (straddles L=4), 4 (exact fill)
+        (1, "a", "t t t"),
+        (2, "a", "t t t t t"),
+        (3, "a", "t t t t"),
+        (4, "b", "t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in concat_chunk_packing(
+            df, seq_len=4, tokens=F.size(F.split(F.col("text"), r"\s+")),
+            shard_col="source", order_col="doc_id",
+        ).collect()
+    }
+    # doc1: [0,3) -> seq 0 only; doc2: [3,8) -> seqs 0..1; doc3: [8,12) -> seq 2
+    assert (got[1]["start_offset"], got[1]["first_seq"], got[1]["last_seq"]) == (0, 0, 0)
+    assert (got[2]["start_offset"], got[2]["first_seq"], got[2]["last_seq"]) == (3, 0, 1)
+    assert got[2]["n_seqs_spanned"] == 2
+    assert (got[3]["start_offset"], got[3]["first_seq"], got[3]["last_seq"]) == (8, 2, 2)
+    assert (got[4]["start_offset"], got[4]["first_seq"]) == (0, 0)  # shard b restarts
+
+
+def test_repetition_stats_literal_frames(spark):
+    """Repetition metrics against hand-computed values: a fully repetitive
+    doc, a no-repeat doc, and a doc too short for any gram."""
+    from multi_source_financial_data_pipeline_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "x y x y x y x y"),   # bigrams: xy*4,yx*3 -> top 4/7; trigrams: 6 total, 2 distinct
+        (2, "a b c d e f g h i j"),  # all grams unique, 9 bigrams -> top 1/9 < 0.18
+        (3, "solo"),              # no bigrams/trigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert got[1]["top_bigram_frac"] == pytest.approx(4 / 7)
+    assert got[1]["dup_trigram_frac"] == pytest.approx(1 - 2 / 6)
+    assert got[1]["is_repetitive"] == 1
+    assert got[2]["top_bigram_frac"] == pytest.approx(1 / 9)
+    assert got[2]["dup_trigram_frac"] == 0.0
+    assert got[2]["is_repetitive"] == 0
+    assert got[3]["top_bigram_frac"] == 0.0 and got[3]["dup_trigram_frac"] == 0.0
+    assert got[3]["is_repetitive"] == 0
