@@ -268,3 +268,38 @@ def test_set_ops_compile_to_semi_anti_joins(spark, sf_dir):
     ep = a.subtract(b)._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in ip and "CartesianProduct" not in ip
     assert "LeftAnti" in ep and "CartesianProduct" not in ep
+
+
+def test_corrupt_file_tolerance(spark, sf_dir, tmp_path):
+    """At 100 TB a scan WILL meet a truncated/corrupt object; the job must
+    skip it and keep the good rows rather than die mid-stage.
+    `spark.sql.files.ignoreCorruptFiles` is the scan-level contract."""
+    good = load_table(spark, sf_dir, "nation")
+    n_good = good.count()
+    d = tmp_path / "mixed"
+    good.write.mode("overwrite").parquet(str(d))
+    (d / "part-corrupt.parquet").write_bytes(b"PAR1 this is not a parquet file")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        assert spark.read.parquet(str(d)).count() == n_good
+    finally:
+        spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+
+
+def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
+    """Long-lived datasets grow columns; old files must remain readable next
+    to new ones. mergeSchema unions the file schemas and null-fills the
+    column missing from older files."""
+    base = load_table(spark, sf_dir, "nation")
+    d = tmp_path / "evolving"
+    base.select("n_nationkey", "n_name").write.parquet(str(d / "v1"))
+    base.select(
+        "n_nationkey", "n_name", F.lit("tier-1").alias("tier")
+    ).write.parquet(str(d / "v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(d / "v1"), str(d / "v2")
+    )
+    assert set(merged.columns) == {"n_nationkey", "n_name", "tier"}
+    n = base.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("tier").isNull()).count() == n
