@@ -275,6 +275,52 @@ GROUP BY ROLLUP(event_type, date_trunc('day', ts))
 """
 
 
+# --- cohort retention: first-activity week × weeks-since matrix --------------
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by first-activity week
+    (the cohort), counted distinct in each subsequent week offset. Shape:
+    one groupBy for cohort assignment, one equi join back on user_id
+    (cohort side is |users| rows — AQE broadcasts while it fits, shuffles
+    beyond), one (cohort, offset) count-distinct. The week offset is exact
+    integer day arithmetic on DATE — no timestamp truncation ambiguity
+    across engines."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    return (
+        ev.join(cohort, ["user_id"])
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("first_d")).cast("date").alias("cohort_week"),
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("d")).cast("date"),
+                    F.date_trunc("week", F.col("first_d")).cast("date"),
+                )
+                / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+), cohort AS (
+  SELECT user_id, min(d) AS first_d FROM ev GROUP BY user_id
+)
+SELECT CAST(date_trunc('week', first_d) AS DATE) AS cohort_week,
+       CAST(date_diff('day', date_trunc('week', first_d), date_trunc('week', d)) / 7 AS BIGINT) AS week_offset,
+       count(DISTINCT ev.user_id) AS n_active
+FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+GROUP BY 1, 2
+"""
+
+
 # --- set operations: INTERSECT / EXCEPT / UNION DISTINCT ---------------------
 
 def q_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -533,6 +579,12 @@ SPECS = {
         SQL_EVENT_CUBE,
         "CUBE(event_type, day): full grouping-set lattice in one Expand+shuffle",
         ("events", "agg"),
+    ),
+    "cohort_retention": QuerySpec(
+        q_cohort_retention,
+        SQL_COHORT_RETENTION,
+        "first-activity-week cohort × week-offset distinct-active matrix",
+        ("events", "agg", "join"),
     ),
     "user_setops": QuerySpec(
         q_user_setops,

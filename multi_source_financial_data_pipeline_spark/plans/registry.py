@@ -78,6 +78,7 @@ _GATE_PRIORITY = (
     "decontaminate_overlap",
     "value_percentiles_by_type",
     "stream_left_interval_join",
+    "cohort_retention",
 )
 
 
