@@ -222,3 +222,86 @@ def test_bucketed_range_join_matches_naive_pairs(spark, left_ts, right_ts, tol):
         if abs(rt - lt) * 1_000_000 <= tol_us
     )
     assert got_pairs == want_pairs
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=25),
+    seq_len=st.integers(min_value=2, max_value=8),
+)
+@settings(**SETTINGS)
+def test_packing_invariants(spark, toks, seq_len):
+    """Concat-and-chunk invariants on random token counts: offsets tile the
+    shard stream contiguously, spans follow from integer division, and the
+    last doc ends exactly at the total token count."""
+    from multi_source_financial_data_pipeline_spark.operators.packing import (
+        concat_chunk_packing,
+    )
+
+    rows = [(i, "s", " ".join(["t"] * n)) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = (
+        concat_chunk_packing(
+            df, seq_len=seq_len, tokens=F.size(F.split(F.col("text"), r"\s+")),
+            shard_col="source", order_col="doc_id",
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    expect_start = 0
+    for r, n in zip(out, toks):
+        assert r["n_tokens"] == n
+        assert r["start_offset"] == expect_start
+        assert r["first_seq"] == r["start_offset"] // seq_len
+        assert r["last_seq"] == (r["start_offset"] + n - 1) // seq_len
+        assert r["n_seqs_spanned"] == r["last_seq"] - r["first_seq"] + 1
+        expect_start += n
+    assert expect_start == sum(toks)
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # day offset
+            st.floats(min_value=1.0, max_value=99.0, allow_nan=False).map(
+                lambda x: round(x, 2)
+            ),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_gap_fill_matches_pandas_ffill(spark, obs):
+    """Random sparse daily observations for one key: the filled spine must
+    equal pandas resample('D').last().ffill() (last-in-day wins via the
+    event_id tiebreak)."""
+    from multi_source_financial_data_pipeline_spark.operators.timeseries import (
+        gap_fill_daily,
+    )
+
+    base = pd.Timestamp("2024-03-01")
+    rows = [
+        (7, (base + pd.Timedelta(days=d)).strftime("%Y-%m-%d 12:00:00"), v, i)
+        for i, (d, v) in enumerate(obs)
+    ]
+    df = (
+        spark.createDataFrame(rows, "user_id long, ts string, value double, event_id long")
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withColumn("date", F.to_date("ts"))
+    )
+    got = (
+        gap_fill_daily(df, "user_id", "date", "value", order_cols=("ts", "event_id"))
+        .orderBy("cal_date")
+        .toPandas()
+    )
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    s = (
+        pdf.sort_values(["ts", "event_id"]).set_index("ts")["value"].resample("D").last()
+    )
+    want_vals = s.ffill().to_numpy()
+    assert len(got) == len(s)
+    np.testing.assert_array_equal(got["value_filled"].to_numpy(), want_vals)
+    np.testing.assert_array_equal(
+        got["is_observed"].to_numpy(), s.notna().astype(int).to_numpy()
+    )
