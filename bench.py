@@ -61,6 +61,8 @@ HEADLINE = [
     "gap_fill_ffill",
     "event_cube",
     "topn_orders_per_customer",
+    "decontaminate_overlap",
+    "cohort_retention",
 ]
 
 
