@@ -806,6 +806,52 @@ FROM tri t LEFT JOIN top USING (doc_id)
 """
 
 
+# --- corpus mixture weights: per-source token shares → sampling rates --------
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input `stratified_sample` needs: per-source token counts, the
+    source's share of the corpus, and the sampling rate that would flatten
+    the mixture to uniform (capped at 1 — upsampling is a repeat-factor
+    decision, not a filter). One map-side-combined groupBy over token
+    counts + a broadcast 1-row total — the same broadcast-scalar pattern as
+    zscore/q15/q22, never a driver collect."""
+    docs = _t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(text.tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("__total_tokens"),
+        F.count(F.lit(1)).alias("__n_sources"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("__total_tokens").cast("double")
+    target = F.lit(1.0) / F.col("__n_sources").cast("double")
+    return per_source.join(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        F.least(F.lit(1.0), target / share).alias("uniform_rate"),
+    )
+
+
+SQL_MIXTURE_WEIGHTS = f"""
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), totals AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens, count(*) AS n_sources
+  FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+       least(1.0, (1.0 / CAST(n_sources AS DOUBLE))
+                  / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))) AS uniform_rate
+FROM per_source, totals
+"""
+
+
 # --- decontamination: eval-set n-gram overlap --------------------------------
 
 DECON_NGRAM = 5
@@ -998,6 +1044,12 @@ SPECS = {
         q_doc_repetition,
         SQL_DOC_REPETITION,
         "Gopher-style repetition filters: top-bigram + duplicate-trigram fractions",
+        ("text", "agg"),
+    ),
+    "mixture_weights": QuerySpec(
+        q_mixture_weights,
+        SQL_MIXTURE_WEIGHTS,
+        "per-source token shares + uniform-mixture sampling rates",
         ("text", "agg"),
     ),
     "decontaminate_overlap": QuerySpec(

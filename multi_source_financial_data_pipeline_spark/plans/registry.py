@@ -79,6 +79,7 @@ _GATE_PRIORITY = (
     "value_percentiles_by_type",
     "stream_left_interval_join",
     "cohort_retention",
+    "mixture_weights",
 )
 
 
