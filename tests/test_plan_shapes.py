@@ -119,6 +119,21 @@ def test_rollup_is_single_pass(spark, sf_dir):
     assert "Expand" in plan
 
 
+def test_mixture_weights_single_scan_broadcast_scalar(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "mixture_weights")
+    # one scan feeds both the per-source agg and (via re-agg, not re-scan)
+    # the 1-row totals; the totals come back as a broadcast, never a collect
+    assert plan.count("Scan parquet") == 1
+    assert "BroadcastExchange" in plan
+
+
+def test_cohort_retention_no_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cohort_retention")
+    # cohort assignment joins back on user_id as an equi hash join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_user_setops_single_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "user_setops")
     # same-table set algebra: one scan + membership flags, not one
