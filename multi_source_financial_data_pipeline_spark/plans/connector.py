@@ -172,7 +172,7 @@ SELECT ticker,
        min(close0) AS min_close,
        max(close0) AS max_close,
        CAST(sum(CAST(close0 AS DECIMAL(12,2))) AS DOUBLE) AS sum_close,
-       sum(volume) AS sum_volume
+       CAST(sum(volume) AS BIGINT) AS sum_volume
 FROM feed GROUP BY ticker
 """
 

@@ -476,7 +476,7 @@ SELECT event_type,
        count(json_extract(props, '$.k')) AS n_with_k,
        min(json_extract(props, '$.k')::INT) AS min_k,
        max(json_extract(props, '$.k')::INT) AS max_k,
-       sum(json_extract(props, '$.k')::INT) AS sum_k
+       CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -508,7 +508,7 @@ def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVENT_PIVOT = f"""
 SELECT user_id,
-       {", ".join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}" for t in EVENT_TYPES)}
+       {", ".join(f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in EVENT_TYPES)}
 FROM events GROUP BY user_id
 """
 

@@ -218,8 +218,8 @@ def q_q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q12 = f"""
 SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > {Q12_LATE_DAYS}
             THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE CAST(l_shipdate AS DATE) >= DATE '{Q12_START}'
   AND CAST(l_shipdate AS DATE) < DATE '{Q12_END}'

@@ -58,6 +58,14 @@ def test_oracle_parity(spark, sf_dir, name):
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
     for col in got.columns:
         g, w = got[col].to_numpy(), want[col].to_numpy()
+        # The driver hashes raw values, so 99111 (Spark bigint) vs 99111.0
+        # (DuckDB HUGEINT→float64 via pandas) is a hash MISMATCH even though
+        # the numbers are equal. Pin kind-parity: int stays int on both
+        # sides (cast the oracle's sum() to BIGINT when needed).
+        assert (g.dtype.kind == "f") == (w.dtype.kind == "f"), (
+            f"{name}.{col}: dtype kind mismatch {g.dtype} vs {w.dtype} "
+            "(driver hash-compares raw values; CAST the oracle to match)"
+        )
         if g.dtype.kind == "f" or w.dtype.kind == "f":
             g = g.astype(float)
             w = w.astype(float)
