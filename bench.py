@@ -75,25 +75,40 @@ def main() -> None:
     # untimed warm pass: whole-stage codegen compiles once per plan shape and
     # parquet footers/shuffle machinery initialize — one-time costs that a
     # long-running cluster amortizes to zero, so the timed pass measures the
-    # steady-state execution the engine actually sustains
+    # steady-state execution the engine actually sustains. Each query is
+    # isolated: one broken plan must cost ONE entry, not the whole report
+    # (r03 lost every timing to a single analysis error in the warm pass).
+    broken: dict[str, str] = {}
     for name in HEADLINE:
-        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        try:
+            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001 - report, don't abort
+            broken[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
+    total = 0.0
     for name in HEADLINE:
+        if name in broken:
+            timings[name] = {"err": broken[name]}
+            continue
         spec = QUERIES[name]
         t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+            continue
+        elapsed = round(time.perf_counter() - t0, 3)
+        timings[name] = elapsed
+        total += elapsed
 
-    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": total,
+                "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
@@ -101,6 +116,8 @@ def main() -> None:
         )
     )
     spark.stop()
+    if timings and all(isinstance(v, dict) for v in timings.values()):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -198,29 +198,44 @@ _STREAM_STATE_PARTITIONS = 8
 @contextlib.contextmanager
 def _event_stream(spark: SparkSession, sf_dir: str):
     """Stream the driver's events parquet: the file source wants a directory,
-    so the single file is symlinked into a temp landing dir; nanos timestamps
-    are read as long (same legacy conf as the batch scan) and converted with
-    integer division. Shuffle partitions are clamped to
-    `_STREAM_STATE_PARTITIONS` for the stream's lifetime (state-store sizing,
-    see above) and restored for subsequent batch plans."""
+    so the single file is symlinked into a temp landing dir. The declared
+    stream schema mirrors the file's PHYSICAL timestamp layout (probed with a
+    one-off batch read of the footer — cheap, no data scan) and the yielded
+    frame normalizes to TIMESTAMP: nanos-as-long divides to micros, naive
+    timestamp[us] (read as TIMESTAMP_NTZ) casts under the pinned UTC session
+    tz. Hard-coding either layout silently corrupts event times when the
+    testdata generation changes — r03 lost 4 streaming queries to exactly
+    that. Shuffle partitions are clamped to `_STREAM_STATE_PARTITIONS` for
+    the stream's lifetime (state-store sizing, see above) and restored for
+    subsequent batch plans."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     tune_for_session_cores(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     clamped = str(min(int(prev), _STREAM_STATE_PARTITIONS))
-    fields = [
-        T.StructField(f.name, T.LongType() if isinstance(f.dataType, T.TimestampType) else f.dataType)
-        for f in TESTDATA["events"].fields
-    ]
+    events_path = os.path.join(sf_dir, "events.parquet")
+    physical = dict(spark.read.parquet(events_path).dtypes)
+    fields = []
+    fixes = {}
+    for f in TESTDATA["events"].fields:
+        if isinstance(f.dataType, T.TimestampType):
+            phys = physical.get(f.name)
+            if phys == "bigint":
+                fields.append(T.StructField(f.name, T.LongType()))
+                fixes[f.name] = F.expr(f"timestamp_micros({f.name} div 1000)")
+            elif phys == "timestamp_ntz":
+                fields.append(T.StructField(f.name, T.TimestampNTZType()))
+                fixes[f.name] = F.col(f.name).cast("timestamp")
+            else:
+                fields.append(T.StructField(f.name, T.TimestampType()))
+        else:
+            fields.append(T.StructField(f.name, f.dataType))
     try:
         spark.conf.set("spark.sql.shuffle.partitions", clamped)
         with tempfile.TemporaryDirectory() as landing:
-            os.symlink(
-                os.path.join(sf_dir, "events.parquet"),
-                os.path.join(landing, "events.parquet"),
-            )
+            os.symlink(events_path, os.path.join(landing, "events.parquet"))
             raw = ingest.read_event_stream(spark, landing, T.StructType(fields))
-            yield raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            yield raw.withColumns(fixes) if fixes else raw
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 

@@ -41,6 +41,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # rejects; read nanos as long and convert with integer division (nanos
     # exceed double's 2^53 exact range — float division would corrupt them)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the NTZ->TIMESTAMP normalization below is tz-sensitive; pin UTC so a
+    # vanilla driver session (JVM-local tz) gets the same epoch micros as
+    # DuckDB's epoch_us over the same naive values
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     if name in TESTDATA:
         dtypes = dict(df.dtypes)
@@ -52,6 +56,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 df = df.withColumn(
                     field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
                 )
+            elif (
+                isinstance(field.dataType, T.TimestampType)
+                and dtypes.get(field.name) == "timestamp_ntz"
+            ):
+                # timezone-naive timestamp[us] parquet reads as TIMESTAMP_NTZ in
+                # Spark 4; event-time operators need TIMESTAMP (unix_micros,
+                # window, watermark). Session tz is pinned UTC, so this cast
+                # keeps epoch micros identical to DuckDB's epoch_us.
+                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
         df = df.select(*[f.name for f in TESTDATA[name].fields])
     return df
 
