@@ -109,7 +109,10 @@ def q_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = (
         li.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            # no broadcast hint: segment-filtered customer is ~1/5 of a
+            # scale-proportional table — at 100 TB it cannot broadcast.
+            # AQE picks broadcast at runtime when the SF makes it small.
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "o_orderpriority")
@@ -251,8 +254,10 @@ def q_q7_shipping_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
-        .join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey)
+        # supp_n/cust_n are nation-filtered slices of scale-proportional
+        # tables (~2/25 each) — no forced broadcast; AQE decides at runtime
+        .join(supp_n, li.l_suppkey == supp_n.s_suppkey)
+        .join(cust_n, orders.o_custkey == cust_n.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",

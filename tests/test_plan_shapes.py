@@ -36,17 +36,20 @@ def test_q5_join_tree_is_all_broadcast(spark, sf_dir):
 
 
 def test_customer_joins_carry_no_forced_broadcast(spark, sf_dir):
-    """customer is scale-proportional (150k × SF rows): q5/q10/q18 must NOT
-    pin it into executor memory with an explicit broadcast hint. With
-    auto-broadcast disabled, a hinted table still shows up as a
-    BroadcastHashJoin, so the customer join degrading to a shuffle join
-    proves the hint is absent — while the fixed-size dims (region, nation)
-    and the q18 HAVING-survivor set stay broadcast because they ARE hinted."""
+    """customer is scale-proportional (150k × SF rows): the five
+    customer-joining TPC-H queries must NOT pin it into executor memory
+    with an explicit broadcast hint. With auto-broadcast disabled, a hinted
+    table still shows up as a BroadcastHashJoin, so the customer join
+    degrading to a shuffle join proves the hint is absent — while the
+    fixed-size dims (region, nation) and the q18 HAVING-survivor set stay
+    broadcast because they ARE hinted."""
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
         for name, hinted_broadcasts in [
+            ("q3_top_revenue", 0),  # no fixed-size dim in the plan
             ("q5_region_revenue", 2),  # region, nation
+            ("q7_shipping_volume", 2),  # nation ×2 (supp/cust legs)
             ("q10_returned_revenue", 1),  # nation
             ("q18_large_orders", 1),  # HAVING survivors
         ]:
