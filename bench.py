@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+JSON line: {"metric": ..., "value": total_sec | null, "unit": "sec",
+"queries": {name: sec}, "errors": {name: msg}, "sf": ...}.
+
+Broken queries land in "errors" (never mixed into "queries", which stays
+{name: float}); any error makes "value" null and the exit code nonzero so a
+round-over-round comparison can't misread a shrunken total as a speedup.
 
 Each query is fully evaluated with a noop sink (forces every column, unlike
 count(), which lets Catalyst prune the projections we want measured).
@@ -87,18 +91,18 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - report, don't abort
             broken[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    timings: dict[str, object] = {}
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = dict(broken)
     total = 0.0
     for name in HEADLINE:
-        if name in broken:
-            timings[name] = {"err": broken[name]}
+        if name in errors:
             continue
         spec = QUERIES[name]
         t0 = time.perf_counter()
         try:
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001
-            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             continue
         elapsed = round(time.perf_counter() - t0, 3)
         timings[name] = elapsed
@@ -108,15 +112,17 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(total, 3),
+                # a partial total is not comparable across rounds — null it
+                "value": round(total, 3) if not errors else None,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": sf,
             }
         )
     )
     spark.stop()
-    if timings and all(isinstance(v, dict) for v in timings.values()):
+    if errors:
         sys.exit(1)
 
 

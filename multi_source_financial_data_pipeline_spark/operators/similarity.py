@@ -478,3 +478,97 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")
     )
+
+
+# --- materialized IVF index: build once, probe many --------------------------
+#
+# `ivf_topk` pays the index *build* (assign every corpus vector to its cell)
+# on every run. The deployment shape at 100 TB is build-once: write the
+# assignment partitioned by cell, then each probe run touches only the
+# ~nprobe/nlist fraction of partitions its queries hash to — dynamic
+# partition pruning turns the tiny probe side into a runtime partition
+# filter on the cell-partitioned scan, so the other (nlist - probed) cells'
+# files are never opened.
+
+def build_ivf_index(
+    spark,  # SparkSession (typed loosely to avoid a cyclic import dance)
+    embeddings: DataFrame,
+    index_dir: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index under ``index_dir``:
+
+    - ``cells/``: the corpus (cand_id, cv, cn) written ``partitionBy(cell)``
+      — the on-disk inverted lists;
+    - ``quantizer/``: the 1-row coarse-quantizer seeds (read + broadcast at
+      probe time, so probing never touches the source embeddings).
+    """
+    import os
+
+    assigned = ivf_assign(embeddings, nlist, id_col, vec_col)
+    (
+        assigned.select(
+            F.col(id_col).alias("cand_id"),
+            F.col("v").alias("cv"),
+            F.col("vn").alias("cn"),
+            "cell",
+        )
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(os.path.join(index_dir, "cells"))
+    )
+    ivf_seed_row(embeddings, nlist, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "quantizer"))
+
+
+def ivf_topk_probe(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a materialized IVF index (same semantics
+    and same results as `ivf_topk` with the same nlist/nprobe — pinned by a
+    shared oracle). The probe plan never scans the source embeddings: the
+    quantizer is a 1-row broadcast, and the equi join of the exploded probe
+    cells against the cell-partitioned ``cells/`` scan lets dynamic
+    partition pruning skip every unprobed cell's files."""
+    import os
+
+    cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+    seed_row = spark.read.parquet(os.path.join(index_dir, "quantizer"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", sq_norm(F.col("qv")))
+    probes = (
+        q.join(F.broadcast(seed_row))
+        .select(
+            "query_id", "qv", "qn",
+            F.explode(F.slice(_best_cells(F.col("qv"), F.col("qn")), 1, nprobe)).alias(
+                "probe"
+            ),
+        )
+        .select("query_id", "qv", "qn", F.col("probe")["cell"].alias("cell"))
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / F.nullif(
+        F.sqrt(F.col("qn") * F.col("cn")), F.lit(0.0)
+    )
+    scored = (
+        probes.join(cells, ["cell"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )

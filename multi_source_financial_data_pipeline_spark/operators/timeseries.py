@@ -92,12 +92,19 @@ def gap_fill_daily(
     w_last = Window.partitionBy(key, date_col).orderBy(
         *[F.col(c).desc() for c in order_cols]
     )
+    # the key is renamed on this leg: spine and daily share lineage, and a
+    # same-attribute `spine[key] == daily[key]` makes Spark construct (and
+    # warn about) a trivially-true predicate before auto-disambiguating
     daily = (
         df.withColumn("__rn", F.row_number().over(w_last))
         .filter(F.col("__rn") == 1)
-        .select(key, F.col(date_col).alias("obs_date"), F.col(value_col).alias("__v"))
+        .select(
+            F.col(key).alias("__k"),
+            F.col(date_col).alias("obs_date"),
+            F.col(value_col).alias("__v"),
+        )
     )
-    bounds = daily.groupBy(key).agg(
+    bounds = daily.groupBy(F.col("__k").alias(key)).agg(
         F.min("obs_date").alias("min_date"), F.max("obs_date").alias("max_date")
     )
     spine = bounds.select(
@@ -108,9 +115,9 @@ def gap_fill_daily(
     )
     joined = spine.join(
         daily,
-        (spine[key] == daily[key]) & (spine["cal_date"] == daily["obs_date"]),
+        (F.col(key) == F.col("__k")) & (F.col("cal_date") == F.col("obs_date")),
         "left",
-    ).select(spine[key], "cal_date", "obs_date", "__v")
+    ).select(key, "cal_date", "obs_date", "__v")
     w_fill = (
         Window.partitionBy(key)
         .orderBy("cal_date")

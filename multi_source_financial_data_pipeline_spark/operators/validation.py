@@ -111,14 +111,19 @@ def missing_business_days(
     relative to the fact table at any scale, and never wider than the data's
     own date span.
     """
-    observed = df.select(key, F.col(date_col).alias("obs_date")).distinct()
+    # key renamed on the observed leg: cal and observed share lineage, and a
+    # same-attribute `cal[key] == observed[key]` makes Spark construct (and
+    # warn about) a trivially-true predicate before auto-disambiguating
+    observed = df.select(
+        F.col(key).alias("__k"), F.col(date_col).alias("obs_date")
+    ).distinct()
     bounds = df.groupBy(key).agg(
         F.min(date_col).alias("min_date"), F.max(date_col).alias("max_date")
     )
     cal = business_day_calendar(bounds, key)
     missing = cal.join(
         observed,
-        (cal[key] == observed[key]) & (cal["cal_date"] == observed["obs_date"]),
+        (F.col(key) == F.col("__k")) & (F.col("cal_date") == F.col("obs_date")),
         "left_anti",
     )
     gaps = missing.groupBy(key).agg(F.count(F.lit(1)).alias("missing_bdays"))

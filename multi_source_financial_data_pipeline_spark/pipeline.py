@@ -145,6 +145,7 @@ def run_pipeline(
         )
 
     ledger_event("started")
+    cached: list[DataFrame] = []  # persisted frames, released in finally
     try:
         # --- extract (S1) + inclusive date-range filter (P2) ---------------
         raw = (
@@ -181,6 +182,7 @@ def run_pipeline(
                     primary, secondary, on=["ticker", "date"],
                     tolerance_pct=cfg.tolerance_pct,
                 ).persist()
+                cached.append(disc)
                 n_disc = disc.count()
                 n_comp = primary.join(secondary, ["ticker", "date"]).na.drop(
                     subset=["yahoo_close", "alpha_close"]
@@ -228,6 +230,7 @@ def run_pipeline(
 
         # --- load (K2) ------------------------------------------------------
         features = features.persist()
+        cached.append(features)
         to_store = features.withColumn("request_id", F.lit(req_id))
         saved_market = sinks.append_first_request_wins(
             to_store, os.path.join(cfg.db_dir, "market_data"), ["ticker", "date"]
@@ -324,3 +327,9 @@ def run_pipeline(
         # failure path (src/pipeline.py:302-311): ledger 'failed', re-raise
         ledger_event("failed", error_count=len(tracker.errors) + 1)
         raise
+    finally:
+        # release every persist taken this run — a long-lived session would
+        # otherwise leak one cached frame per pipeline invocation; the
+        # returned market_features DF stays valid (recomputed if re-used)
+        for df in cached:
+            df.unpersist(blocking=False)

@@ -41,10 +41,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # rejects; read nanos as long and convert with integer division (nanos
     # exceed double's 2^53 exact range — float division would corrupt them)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the NTZ->TIMESTAMP normalization below is tz-sensitive; pin UTC so a
-    # vanilla driver session (JVM-local tz) gets the same epoch micros as
-    # DuckDB's epoch_us over the same naive values
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The NTZ->TIMESTAMP normalization below is tz-sensitive. The engine is
+    # UTC-everywhere (get_spark pins it); for sessions the engine did NOT
+    # build (the driver's vanilla session inherits the JVM-local tz) the pin
+    # happens here, at the scan — deliberately overriding any caller-set
+    # timezone, because every oracle comparison assumes epoch micros
+    # computed under UTC. No-op for engine-built sessions.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     if name in TESTDATA:
         dtypes = dict(df.dtypes)
