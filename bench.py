@@ -46,6 +46,7 @@ HEADLINE = [
     "simhash",
     "ann_topk",
     "ann_topk_ivf",
+    "ann_topk_ivf_probe",
     "embedding_neardup",
     "lsh_neardup_pairs",
     "asof_join",

@@ -147,6 +147,71 @@ FROM r
 """
 
 
+# --- REAL byte-level media decode (BMP + WAV, pure stdlib codecs) ------------
+
+N_REAL_MEDIA = 200
+REAL_MEDIA_SEED = 7
+
+
+def q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode REAL format bytes: even ids are valid 24-bit BMPs, odd ids are
+    valid PCM-16 WAVs (operators/multimodal.synthetic_real_media). The
+    decoder (`_decode_bmp`/`_decode_wav`) parses the actual little-endian
+    headers AND the pixel/sample payloads — `require_codecs=True` proves no
+    row fell back to the md5 stub. The oracle recomputes every field from
+    the generation formulas: a header-only 'decoder' would still pass the
+    width/rate columns but fail feature0 (content mean)."""
+    media = multimodal.synthetic_real_media(
+        spark, n=N_REAL_MEDIA, seed=REAL_MEDIA_SEED
+    )
+    feats = multimodal.decode_media_features(media, require_codecs=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        "sample_rate",
+        "duration_ms",
+        F.element_at("feature", 1).cast("double").alias("feature0"),
+    )
+
+
+SQL_MEDIA_REAL_DECODE = f"""
+WITH m AS (SELECT i AS media_id FROM generate_series(0, {N_REAL_MEDIA - 1}) t(i)),
+img AS (
+  SELECT media_id, 2 + media_id % 6 AS w, 3 + media_id % 5 AS h
+  FROM m WHERE media_id % 2 = 0
+),
+aud AS (
+  SELECT media_id, 8000 + 500 * (media_id % 8) AS rate, 64 + media_id % 32 AS ns
+  FROM m WHERE media_id % 2 = 1
+)
+SELECT media_id, 'image' AS kind,
+       CAST(54 + ((3 * w + 3) // 4) * 4 * h AS INT) AS n_bytes,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(NULL AS INT) AS sample_rate, CAST(NULL AS DOUBLE) AS duration_ms,
+       CAST(CAST(
+         list_sum(list_transform(generate_series(0, h - 1),
+                                 y -> (media_id + {REAL_MEDIA_SEED} + y) % 256))
+         / (h * 255.0)
+       AS FLOAT) AS DOUBLE) AS feature0
+FROM img
+UNION ALL
+SELECT media_id, 'audio' AS kind,
+       CAST(44 + 2 * ns AS INT) AS n_bytes,
+       CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(ns AS DOUBLE) * 1000.0 / rate AS duration_ms,
+       CAST(CAST(
+         list_sum(list_transform(generate_series(0, ns - 1),
+                                 i -> ((media_id * 31 + i * 37 + {REAL_MEDIA_SEED}) % 65536) - 32768))
+         / (ns * 32768.0)
+       AS FLOAT) AS DOUBLE) AS feature0
+FROM aud
+"""
+
+
 # --- LSH-probed approximate top-k (ANN scale path) ---------------------------
 
 LSH_TOPK_PLANES = 4
@@ -639,6 +704,13 @@ SPECS = {
         q_media_resize,
         SQL_MEDIA_RESIZE,
         "aspect-preserving resize with byte-proportional payload (stub codec)",
+        ("multimodal",),
+    ),
+    "media_real_decode": QuerySpec(
+        q_media_real_decode,
+        SQL_MEDIA_REAL_DECODE,
+        "REAL byte-level BMP/WAV decode (headers + pixel/sample content, "
+        "pure stdlib) via Arrow mapInPandas",
         ("multimodal",),
     ),
     "ann_topk_lsh": QuerySpec(

@@ -62,6 +62,7 @@ PROBE_QUERIES = [
     # corpus/nlist × nprobe
     "ann_topk",
     "ann_topk_ivf",
+    "ann_topk_ivf_probe",
     # round-2 additions with shuffling stages: gram-level agg (repetition),
     # broadcast probe join (decontamination), per-shard window (packing)
     "doc_repetition",

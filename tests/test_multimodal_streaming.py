@@ -9,9 +9,14 @@ from pyspark.sql import functions as F
 
 from multi_source_financial_data_pipeline_spark.operators.multimodal import (
     FEATURE_SCHEMA,
+    _bmp_bytes,
+    _decode_bmp,
+    _decode_wav,
+    _wav_bytes,
     decode_media_features,
     sample_frames,
     synthetic_media,
+    synthetic_real_media,
 )
 from multi_source_financial_data_pipeline_spark.schemas import TESTDATA
 from multi_source_financial_data_pipeline_spark.sources import load_table
@@ -45,6 +50,42 @@ def test_media_decode_stub_raises_cleanly(spark):
     media = synthetic_media(spark, n=3)
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         decode_media_features(media, require_codecs=True).collect()
+
+
+def test_real_bmp_wav_decode_byte_level(spark):
+    """Real-format payloads decode without the stub (require_codecs=True
+    succeeds): BMP dimensions + pixel mean and WAV rate/duration + sample
+    mean all come from parsing the actual little-endian bytes."""
+    media = synthetic_real_media(spark, n=20, seed=7)
+    rows = {
+        r["media_id"]: r
+        for r in decode_media_features(media, require_codecs=True).collect()
+    }
+    assert len(rows) == 20
+    for mid, r in rows.items():
+        if mid % 2 == 0:
+            w, h = 2 + mid % 6, 3 + mid % 5
+            assert (r["kind"], r["width"], r["height"]) == ("image", w, h)
+            assert r["sample_rate"] is None
+            exp = sum((mid + 7 + y) % 256 for y in range(h)) / (h * 255.0)
+            assert abs(r["feature"][0] - exp) < 1e-6  # float32 storage
+        else:
+            rate, ns = 8000 + 500 * (mid % 8), 64 + mid % 32
+            assert (r["kind"], r["sample_rate"]) == ("audio", rate)
+            assert r["width"] is None
+            assert r["duration_ms"] == ns * 1000.0 / rate
+
+
+def test_bmp_parser_rejects_corrupt_headers():
+    bmp = _bmp_bytes(4, 3, [10, 20, 30])
+    assert _decode_bmp(bmp)["width"] == 4
+    assert _decode_bmp(bmp[:-1]) is None  # size field no longer matches
+    assert _decode_bmp(b"BM" + bmp[2:]) is not None
+    assert _decode_bmp(b"XX" + bmp[2:]) is None  # bad magic
+    wav = _wav_bytes(8000, [1, -1, 32767, -32768])
+    assert _decode_wav(wav)["sample_rate"] == 8000
+    assert _decode_wav(wav[:-2]) is None
+    assert _decode_bmp(wav) is None and _decode_wav(bmp) is None
 
 
 def test_frame_sampling_only_video(spark):

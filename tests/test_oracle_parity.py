@@ -60,9 +60,12 @@ def test_oracle_parity(spark, sf_dir, name):
         g, w = got[col].to_numpy(), want[col].to_numpy()
         # The driver hashes raw values, so 99111 (Spark bigint) vs 99111.0
         # (DuckDB HUGEINT→float64 via pandas) is a hash MISMATCH even though
-        # the numbers are equal. Pin kind-parity: int stays int on both
-        # sides (cast the oracle's sum() to BIGINT when needed).
-        assert (g.dtype.kind == "f") == (w.dtype.kind == "f"), (
+        # the numbers are equal. Pin kind-parity DIRECTLY for every column
+        # (int widths i/u collapse): an object-dtype HUGEINT/Decimal would
+        # compare == against a plain int yet hash differently, so it must
+        # fail here, not slip past a float/non-float split.
+        kind = lambda d: "i" if d.kind in "iu" else d.kind  # noqa: E731
+        assert kind(g.dtype) == kind(w.dtype), (
             f"{name}.{col}: dtype kind mismatch {g.dtype} vs {w.dtype} "
             "(driver hash-compares raw values; CAST the oracle to match)"
         )
