@@ -189,20 +189,101 @@ def _decode_any(data: bytes | None) -> dict:
     return out
 
 
-def _bmp_bytes(width: int, height: int, row_val: list[int]) -> bytes:
-    """A valid 24-bit BMP whose every pixel byte in image row y equals
-    ``row_val[y]`` (rows padded to 4-byte alignment per the spec)."""
+def _bmp_encode(width: int, height: int, logical_rows: list[bytes]) -> bytes:
+    """Encode a valid 24-bit BMP from top-down logical pixel rows (each
+    exactly 3*width bytes); rows are stored bottom-up and padded to 4-byte
+    alignment per the spec."""
     row_stride = ((3 * width + 3) // 4) * 4
     file_size = 54 + row_stride * height
     header = b"BM" + struct.pack("<IHHI", file_size, 0, 0, 54)
     header += struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
                           row_stride * height, 2835, 2835, 0, 0)
     pad = b"\x00" * (row_stride - 3 * width)
-    # BMP stores rows bottom-up; the mean is orientation-invariant
-    rows = b"".join(
-        bytes([row_val[y]] * (3 * width)) + pad for y in reversed(range(height))
+    return header + b"".join(row + pad for row in reversed(logical_rows))
+
+
+def _bmp_bytes(width: int, height: int, row_val: list[int]) -> bytes:
+    """A valid 24-bit BMP whose every pixel byte in image row y equals
+    ``row_val[y]``."""
+    return _bmp_encode(
+        width, height, [bytes([row_val[y]] * (3 * width)) for y in range(height)]
     )
-    return header + rows
+
+
+def _resize_bmp(data: bytes, max_side: int) -> bytes | None:
+    """REAL image resize, pure stdlib: decode the 24-bit BMP's pixel grid,
+    nearest-neighbor downsample so the longer side is at most ``max_side``
+    (aspect preserved, never upscaled), and re-encode a valid BMP. Source
+    pixel for destination (x, y) is (x*w//nw, y*h//nh). Returns None unless
+    the payload is a valid 24-bit BMP."""
+    if _decode_bmp(data) is None:
+        return None
+    pix_offset = struct.unpack_from("<I", data, 10)[0]
+    _, width, height = struct.unpack_from("<Iii", data, 14)
+    n_rows = abs(height)
+    row_stride = ((3 * width + 3) // 4) * 4
+    file_rows = [
+        data[pix_offset + r * row_stride : pix_offset + r * row_stride + 3 * width]
+        for r in range(n_rows)
+    ]
+    # positive height = bottom-up storage; normalize to top-down logical rows
+    logical = file_rows[::-1] if height > 0 else file_rows
+    scale = min(1.0, max_side / max(width, n_rows))
+    nw = max(1, int(width * scale))
+    nh = max(1, int(n_rows * scale))
+    out_rows = []
+    for y in range(nh):
+        src = logical[y * n_rows // nh]
+        out_rows.append(
+            b"".join(
+                src[3 * (x * width // nw) : 3 * (x * width // nw) + 3]
+                for x in range(nw)
+            )
+        )
+    return _bmp_encode(nw, nh, out_rows)
+
+
+def _y4m_bytes(width: int, height: int, frame_y_vals: list[int]) -> bytes:
+    """A valid YUV4MPEG2 (C420) stream: textual stream header, then per
+    frame a FRAME marker + planar YUV bytes. Frame j's luma plane is the
+    constant ``frame_y_vals[j]``; chroma planes are neutral 128."""
+    head = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420jpeg\n".encode()
+    chroma = bytes([128]) * ((width // 2) * (height // 2))
+    frames = b"".join(
+        b"FRAME\n" + bytes([v]) * (width * height) + chroma + chroma
+        for v in frame_y_vals
+    )
+    return head + frames
+
+
+def _parse_y4m(data: bytes) -> dict | None:
+    """Parse a YUV4MPEG2 C420 stream: stream dimensions + one entry per
+    frame holding its luma (Y) plane. Returns None unless the payload is a
+    well-formed Y4M whose frames all carry complete planes."""
+    if not data.startswith(b"YUV4MPEG2 "):
+        return None
+    nl = data.find(b"\n")
+    if nl < 0:
+        return None
+    width = height = None
+    for tok in data[10:nl].split(b" "):
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+    if not width or not height or width % 2 or height % 2:
+        return None
+    frame_len = width * height + 2 * ((width // 2) * (height // 2))
+    pos, frames = nl + 1, []
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            return None
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_len > len(data):
+            return None
+        frames.append(data[fnl + 1 : fnl + 1 + width * height])  # luma plane
+        pos = fnl + 1 + frame_len
+    return {"width": width, "height": height, "frames": frames}
 
 
 def _wav_bytes(sample_rate: int, samples: list[int]) -> bytes:
@@ -243,6 +324,32 @@ def synthetic_real_media(spark: SparkSession, n: int = 100, seed: int = 7) -> Da
                 rows.append(
                     {"media_id": mid, "kind": kind, "data": data,
                      "meta": {"codec": codec}}
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synthetic_real_video(spark: SparkSession, n: int = 60, seed: int = 7) -> DataFrame:
+    """Real YUV4MPEG2 (C420) video blobs, generated distributed: dimensions,
+    frame count, and per-frame luma as closed-form functions of (id, seed)
+    so a SQL oracle can recompute what the demuxer must extract."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w, h = 4 + 2 * (mid % 3), 2 + 2 * (mid % 2)
+                nf = 2 + mid % 4
+                data = _y4m_bytes(
+                    w, h, [(mid * 13 + j * 29 + seed) % 256 for j in range(nf)]
+                )
+                rows.append(
+                    {"media_id": mid, "kind": "video", "data": data,
+                     "meta": {"codec": "y4m/420"}}
                 )
             yield pd.DataFrame(rows)
 
@@ -307,28 +414,34 @@ RESIZED_SCHEMA = T.StructType(
 def resize_media(
     df: DataFrame, max_side: int = 128, require_codecs: bool = False
 ) -> DataFrame:
-    """Resize stub with real plumbing: decode dimensions (fake codec), scale
-    the longer side down to ``max_side`` preserving aspect ratio, and emit a
-    payload whose size shrinks proportionally (byte truncation stands in for
-    re-encoding). A real implementation swaps the body for
-    PIL.Image.thumbnail + re-encode; the Spark-side contract (schema,
-    Arrow batching, binary passthrough) is what's under test."""
+    """Aspect-preserving downscale of the longer side to ``max_side``.
+    24-bit BMP payloads are resized FOR REAL (`_resize_bmp`: pixel-grid
+    nearest-neighbor resample + re-encode, pure stdlib); other formats fall
+    back to the md5-stub dimensions with byte-proportional truncation, or
+    raise NotImplementedError when ``require_codecs=True`` (where
+    PIL.Image.thumbnail would plug in)."""
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        if require_codecs:
-            raise NotImplementedError(
-                "real image codecs (PIL) are not available in this "
-                "environment; deterministic fake resize is the default"
-            )
         for pdf in batches:
             widths, heights, blobs = [], [], []
             for d in pdf["data"]:
-                w, h, _ = _fake_decode(d)
-                if w is None:
+                if d is None:
                     widths.append(None), heights.append(None), blobs.append(None)
                     continue
+                real = _resize_bmp(bytes(d), max_side)
+                if real is not None:
+                    out = _decode_bmp(real)
+                    widths.append(out["width"]), heights.append(out["height"])
+                    blobs.append(real)
+                    continue
+                if require_codecs:
+                    raise NotImplementedError(
+                        "payload is not a 24-bit BMP and real image codecs "
+                        "(PIL) are not available in this environment"
+                    )
+                w, h, _ = _fake_decode(d)
                 scale = min(1.0, max_side / max(w, h))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
                 keep = max(1, int(len(d) * (nw * nh) / (w * h)))
@@ -347,10 +460,14 @@ def resize_media(
     return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_n_bytes: int = 32) -> DataFrame:
-    """Video frame sampling stub with real explode plumbing: one output row
-    per sampled 'frame' (here: every_n_bytes-sized slice of the payload).
-    A real implementation swaps the slicer for a keyframe decoder."""
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 32, every_n_frames: int = 1
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame. YUV4MPEG2
+    payloads are demuxed FOR REAL (`_parse_y4m` — every ``every_n_frames``-th
+    frame's luma plane, pure stdlib); other payloads fall back to
+    fixed-size ``every_n_bytes`` slicing (where an ffmpeg keyframe decoder
+    would plug in). ``frame_index`` is the index in the source stream."""
 
     def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -362,6 +479,13 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 32) -> DataFrame:
                 if data is None or row["kind"] != "video":
                     continue
                 data = bytes(data)
+                parsed = _parse_y4m(data)
+                if parsed is not None:
+                    for i in range(0, len(parsed["frames"]), every_n_frames):
+                        out_ids.append(row["media_id"])
+                        out_idx.append(i)
+                        out_bytes.append(parsed["frames"][i])
+                    continue
                 for i, start in enumerate(range(0, len(data), every_n_bytes)):
                     out_ids.append(row["media_id"])
                     out_idx.append(i)

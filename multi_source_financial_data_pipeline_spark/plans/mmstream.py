@@ -212,6 +212,101 @@ FROM aud
 """
 
 
+# --- REAL pixel-grid resize (BMP nearest-neighbor + re-encode) ---------------
+
+REAL_RESIZE_MAX_SIDE = 4
+
+
+def q_media_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize real BMPs for real: nearest-neighbor pixel resample +
+    re-encode (operators/multimodal._resize_bmp), then RE-DECODE the
+    re-encoded payload (`require_codecs=True` both times) — so the oracle's
+    dimension/byte-count/content-mean formulas verify the full
+    decode→resample→encode→decode loop on actual bytes."""
+    media = multimodal.synthetic_real_media(
+        spark, n=N_REAL_MEDIA, seed=REAL_MEDIA_SEED
+    ).filter(F.col("kind") == "image")
+    resized = multimodal.resize_media(
+        media, max_side=REAL_RESIZE_MAX_SIDE, require_codecs=True
+    )
+    feats = multimodal.decode_media_features(resized, require_codecs=True)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.element_at("feature", 1).cast("double").alias("feature0"),
+    )
+
+
+SQL_MEDIA_REAL_RESIZE = f"""
+WITH img AS (
+  SELECT i AS media_id, 2 + i % 6 AS w, 3 + i % 5 AS h
+  FROM generate_series(0, {N_REAL_MEDIA - 1}) t(i) WHERE i % 2 = 0
+),
+s AS (
+  SELECT media_id, w, h,
+         least(1.0, {REAL_RESIZE_MAX_SIDE}.0 / greatest(w, h)) AS scale
+  FROM img
+),
+r AS (
+  SELECT media_id, w, h,
+         greatest(1, CAST(trunc(w * scale) AS INT)) AS nw,
+         greatest(1, CAST(trunc(h * scale) AS INT)) AS nh
+  FROM s
+)
+SELECT media_id,
+       CAST(nw AS INT) AS width, CAST(nh AS INT) AS height,
+       CAST(54 + ((3 * nw + 3) // 4) * 4 * nh AS INT) AS n_bytes,
+       CAST(CAST(
+         list_sum(list_transform(generate_series(0, nh - 1),
+                  y -> (media_id + {REAL_MEDIA_SEED} + (y * h) // nh) % 256))
+         / (nh * 255.0)
+       AS FLOAT) AS DOUBLE) AS feature0
+FROM r
+"""
+
+
+# --- REAL video demux (YUV4MPEG2 frame sampling) -----------------------------
+
+N_REAL_VIDEO = 90
+FRAME_STRIDE = 2
+
+
+def q_media_real_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demux real YUV4MPEG2 streams: every FRAME_STRIDE-th frame's luma
+    plane, extracted by parsing the actual stream (header tokens + FRAME
+    markers + planar C420 layout). The oracle recomputes each sampled
+    frame's byte content from the generation formulas — hex-exact."""
+    media = multimodal.synthetic_real_video(
+        spark, n=N_REAL_VIDEO, seed=REAL_MEDIA_SEED
+    )
+    frames = multimodal.sample_frames(media, every_n_frames=FRAME_STRIDE)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.octet_length("frame_bytes").alias("n_frame_bytes"),
+        F.lower(F.hex("frame_bytes")).alias("frame_hex"),
+    )
+
+
+SQL_MEDIA_REAL_FRAMES = f"""
+WITH m AS (
+  SELECT i AS media_id, 4 + 2 * (i % 3) AS w, 2 + 2 * (i % 2) AS h,
+         2 + i % 4 AS nf
+  FROM generate_series(0, {N_REAL_VIDEO - 1}) t(i)
+),
+f AS (
+  SELECT media_id, w, h, unnest(generate_series(0, nf - 1)) AS j FROM m
+)
+SELECT media_id, CAST(j AS INT) AS frame_index,
+       CAST(w * h AS INT) AS n_frame_bytes,
+       repeat(printf('%02x', (media_id * 13 + j * 29 + {REAL_MEDIA_SEED}) % 256),
+              w * h) AS frame_hex
+FROM f WHERE j % {FRAME_STRIDE} = 0
+"""
+
+
 # --- LSH-probed approximate top-k (ANN scale path) ---------------------------
 
 LSH_TOPK_PLANES = 4
@@ -711,6 +806,20 @@ SPECS = {
         SQL_MEDIA_REAL_DECODE,
         "REAL byte-level BMP/WAV decode (headers + pixel/sample content, "
         "pure stdlib) via Arrow mapInPandas",
+        ("multimodal",),
+    ),
+    "media_real_resize": QuerySpec(
+        q_media_real_resize,
+        SQL_MEDIA_REAL_RESIZE,
+        "REAL BMP resize: nearest-neighbor pixel resample + re-encode + "
+        "re-decode, verified against closed-form resample formulas",
+        ("multimodal",),
+    ),
+    "media_real_frames": QuerySpec(
+        q_media_real_frames,
+        SQL_MEDIA_REAL_FRAMES,
+        "REAL YUV4MPEG2 demux: every 2nd frame's luma plane, hex-exact vs "
+        "the generation formulas",
         ("multimodal",),
     ),
     "ann_topk_lsh": QuerySpec(

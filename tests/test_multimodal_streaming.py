@@ -14,9 +14,11 @@ from multi_source_financial_data_pipeline_spark.operators.multimodal import (
     _decode_wav,
     _wav_bytes,
     decode_media_features,
+    resize_media,
     sample_frames,
     synthetic_media,
     synthetic_real_media,
+    synthetic_real_video,
 )
 from multi_source_financial_data_pipeline_spark.schemas import TESTDATA
 from multi_source_financial_data_pipeline_spark.sources import load_table
@@ -74,6 +76,29 @@ def test_real_bmp_wav_decode_byte_level(spark):
             assert (r["kind"], r["sample_rate"]) == ("audio", rate)
             assert r["width"] is None
             assert r["duration_ms"] == ns * 1000.0 / rate
+
+
+def test_real_bmp_resize_and_y4m_demux(spark):
+    """The real resize re-encodes a valid BMP (re-decode succeeds under
+    require_codecs); the Y4M demuxer extracts exact luma planes."""
+    media = synthetic_real_media(spark, n=10, seed=7).filter(F.col("kind") == "image")
+    resized = resize_media(media, max_side=4, require_codecs=True)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    for mid, r in rows.items():
+        w, h = 2 + mid % 6, 3 + mid % 5
+        scale = min(1.0, 4 / max(w, h))
+        assert r["width"] == max(1, int(w * scale))
+        assert r["height"] == max(1, int(h * scale))
+        assert _decode_bmp(bytes(r["data"]))["width"] == r["width"]
+
+    video = synthetic_real_video(spark, n=6, seed=7)
+    frames = sample_frames(video, every_n_frames=2).collect()
+    assert frames
+    for r in frames:
+        mid, j = r["media_id"], r["frame_index"]
+        w, h = 4 + 2 * (mid % 3), 2 + 2 * (mid % 2)
+        assert j % 2 == 0
+        assert bytes(r["frame_bytes"]) == bytes([(mid * 13 + j * 29 + 7) % 256]) * (w * h)
 
 
 def test_bmp_parser_rejects_corrupt_headers():
