@@ -735,9 +735,11 @@ def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey"), F.col("c_mktsegment")
     )
     with _event_stream(spark, sf_dir) as stream:
-        joined = stream.join(
-            F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
-        )
+        # no broadcast hint: customer is scale-proportional, and a hinted
+        # stream-static broadcast would pin it into executor memory at any
+        # size — size-based planning broadcasts it while small and shuffles
+        # each microbatch when it is not
+        joined = stream.join(cust, stream["user_id"] == cust["c_custkey"])
         agg = joined.groupBy("c_mktsegment").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,2)"))

@@ -364,7 +364,7 @@ def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(16,4)")
     out = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(zero))
             .cast("double")
@@ -482,7 +482,7 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_supp.join(F.broadcast(max_rev))
         .filter(F.col("total_revenue_dec") == F.col("max_revenue_dec"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -528,7 +528,7 @@ def q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 30)) & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(clause)
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )

@@ -12,10 +12,11 @@ aggregation and DuckDB's serial fold agree bitwise; ratios divide the two
 exact DOUBLEs (one IEEE op, engine-independent); counts are exact.
 
 Scale notes per query live on the function docstrings. The shared posture:
-`region`/`nation`/`supplier`/`part`-derived sides are broadcast (fixed-size
-or |fact|/30 dims), `customer`/`orders`/`lineitem`-derived sides never carry
-a broadcast hint — AQE promotes them only when runtime size allows, so no
-plan pins a scale-proportional table into executor memory.
+only genuinely fixed-size sides (`region`, `nation`, 1-row scalars) carry a
+broadcast hint; every scale-proportional side — `customer`/`orders`/
+`lineitem`-derived AND `part`/`supplier`-derived — is left to AQE, which
+promotes it to broadcast only when runtime size allows, so no plan pins a
+growing table into executor memory.
 """
 
 from __future__ import annotations
@@ -58,9 +59,10 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q8 shape: one nation's share of revenue by order year, within
     one part type and one customer region. `nation` plays two roles (supplier
     nation for the numerator flag, customer nation for the region filter) —
-    both broadcast. The two fact tables meet in a single orderkey shuffle;
-    part/supplier sides are broadcast so the lineitem scan is filtered by
-    p_type before the shuffle. The share is a conditional decimal sum over
+    both broadcast (fixed-size). The two fact tables meet in a single
+    orderkey shuffle; the part/supplier sides are unhinted (scale-
+    proportional — AQE broadcasts them while small) and filter the lineitem
+    scan by p_type before the shuffle. The share is a conditional decimal sum over
     the same aggregate pass — no second scan.
 
     Reference parity: the reference has no TPC-H surface; this extends the
@@ -88,8 +90,8 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("c_custkey")
     )
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp_nat, li.l_suppkey == supp_nat.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust_in_region, orders.o_custkey == cust_in_region.c_custkey)
     )
@@ -142,9 +144,10 @@ def q_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q9 shape: profit per supplier nation per order year, for parts
     whose name contains a token. Without partsupp, supply cost is modeled as
     half the part's retail price per unit (decimal grid, cross-engine exact).
-    Plan: lineitem filtered by the broadcast part side, broadcast
-    supplier→nation, single orderkey shuffle against orders, then a
-    (nation, year) hash aggregate with map-side combine."""
+    Plan: lineitem filtered by the name-matched part side and joined to
+    supplier→nation (both unhinted — scale-proportional, AQE-decided),
+    single orderkey shuffle against orders, then a (nation, year) hash
+    aggregate with map-side combine."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains(Q9_TOKEN))
     supp = _t(spark, sf_dir, "supplier")
@@ -159,8 +162,8 @@ def q_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(12,2)") * _dec("l_quantity")
     amount = (_revenue().cast("decimal(16,4)") - cost.cast("decimal(16,4)"))
     out = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp_nat, li.l_suppkey == supp_nat.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(F.sum(amount).cast("double").alias("sum_profit"))
@@ -279,9 +282,10 @@ def q_q16_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q16 shape: distinct suppliers per (brand, type, size), for a
     size IN-list, excluding one brand and excluding "complaint" suppliers
     (modeled as negative account balance — no s_comment in this schema).
-    The supplier exclusion is a broadcast ANTI join before the aggregate;
-    the part attributes ride a broadcast join onto the lineitem-derived
-    (partkey, suppkey) pairs, which replace the missing partsupp table.
+    The supplier exclusion is an ANTI join before the aggregate and the
+    part attributes join onto the lineitem-derived (partkey, suppkey) pairs
+    (both sides unhinted — scale-proportional, AQE-decided), which replace
+    the missing partsupp table.
     count(DISTINCT) over the shuffled group is exact."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     part = _t(spark, sf_dir, "part").filter(
@@ -291,8 +295,8 @@ def q_q16_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -328,14 +332,15 @@ def q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery `avg(l_quantity) per part` becomes a pre-aggregation computed
     once from the SAME brand-filtered join (the per-part average only
     depends on part identity, so filtering parts first is equivalent and
-    avoids a full-lineitem second scan); the tiny per-part averages are then
-    broadcast back onto the filtered lines. Two lineitem scans at worst —
-    never a per-row re-evaluation."""
+    avoids a full-lineitem second scan); the per-part averages are then
+    joined back onto the filtered lines (AQE broadcasts them while small —
+    no hint, the subset is scale-proportional). Two lineitem scans at
+    worst — never a per-row re-evaluation."""
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") == Q17_BRAND) & (F.col("p_size") <= Q17_MAX_SIZE)
     ).select("p_partkey")
     li = _t(spark, sf_dir, "lineitem")
-    lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    lines = li.join(part, li.l_partkey == part.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     per_part = lines.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
@@ -344,7 +349,7 @@ def q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_qty")
     )
     return (
-        lines.join(F.broadcast(per_part), lines.l_partkey == per_part.ap_partkey)
+        lines.join(per_part, lines.l_partkey == per_part.ap_partkey)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
@@ -381,8 +386,9 @@ def q_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q20 shape: suppliers who shipped more than a threshold quantity
     of any name-matched part in one year (partsupp availability becomes
     shipped-quantity, same nested-EXISTS plan shape). Inner to outer:
-    lineitem pre-agg on (suppkey, partkey) → broadcast part-name semi join →
-    threshold filter → DISTINCT suppkey → LEFT SEMI join against supplier.
+    lineitem pre-agg on (suppkey, partkey) → part-name semi join (unhinted,
+    AQE-decided) → threshold filter → DISTINCT suppkey → LEFT SEMI join
+    against supplier.
     The fact table collapses to |survivors| before touching any dimension."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.to_date("l_shipdate") >= F.lit(Q20_START).cast("date"))
@@ -392,7 +398,7 @@ def q_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     )
     shipped = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(_dec("l_quantity")).cast("double").alias("qty"))
         .filter(F.col("qty") > Q20_QTY)
@@ -401,7 +407,7 @@ def q_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier")
     return (
-        supp.join(F.broadcast(shipped), supp.s_suppkey == shipped.l_suppkey, "left_semi")
+        supp.join(shipped, supp.s_suppkey == shipped.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
@@ -455,7 +461,7 @@ def q_q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_order.groupBy("late_supp")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(supp), F.col("late_supp") == supp.s_suppkey)
+        .join(supp, F.col("late_supp") == supp.s_suppkey)
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
     )
@@ -582,7 +588,7 @@ SPECS = {
     "q9_profit": QuerySpec(
         q_q9_profit,
         SQL_Q9,
-        "multi-dim broadcast tree + fact-fact shuffle + (nation, year) rollup",
+        "two-role nation dims + fact-fact shuffle + (nation, year) rollup",
         ("join", "agg"),
     ),
     "q12_ship_priority": QuerySpec(
@@ -600,13 +606,13 @@ SPECS = {
     "q16_part_supplier": QuerySpec(
         q_q16_part_supplier,
         SQL_Q16,
-        "broadcast anti join + distinct aggregate per part attribute",
+        "anti-join supplier exclusion + distinct aggregate per part attribute",
         ("join", "agg"),
     ),
     "q17_small_qty_revenue": QuerySpec(
         q_q17_small_qty_revenue,
         SQL_Q17,
-        "correlated per-part average as broadcast pre-aggregation",
+        "correlated per-part average as a joined-back pre-aggregation",
         ("bench", "agg", "join"),
     ),
     "q20_excess_suppliers": QuerySpec(

@@ -283,6 +283,52 @@ def test_fact_fact_joins_carry_no_forced_broadcast(spark, sf_dir):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
+def test_part_supplier_joins_carry_no_forced_broadcast(spark, sf_dir):
+    """part and supplier are scale-proportional (200k / 10k × SF rows): the
+    queries joining them must not pin them into executor memory with a
+    broadcast hint — same policy as the customer joins. With auto-broadcast
+    disabled the remaining BroadcastHashJoins must be exactly the
+    fixed-size hinted sides (q8's ≤25-row nation⋈region membership list,
+    q18-style survivor sets), everything else degrading to shuffle joins."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, hinted_broadcasts in [
+            ("q14_promo_revenue", 0),
+            ("q15_top_supplier", 1),  # the 1-row max-revenue scalar
+            ("q19_disjunctive_revenue", 0),
+            ("q8_market_share", 1),  # nation⋈region membership (≤25 rows)
+            ("q9_profit", 0),
+            ("q16_part_supplier", 0),
+            ("q17_small_qty_revenue", 0),
+            ("q20_excess_suppliers", 0),
+            ("q21_late_suppliers", 0),
+        ]:
+            plan = _plan(spark, sf_dir, name)
+            assert plan.count("BroadcastHashJoin") == hinted_broadcasts, name
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_decontaminate_probe_carries_no_forced_broadcast(spark, sf_dir):
+    """The eval-set gram table must NOT be pinned into executor memory by a
+    broadcast hint — eval suites grow, and AQE cannot demote a hinted
+    broadcast (10× probe: hinted 16.9 s vs AQE-decided 2.1 s). With
+    auto-broadcast disabled the gram join must degrade to a shuffle join,
+    proving the hint is absent."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "decontaminate_overlap")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_ivf_index_probe_prunes_cell_partitions(spark, sf_dir):
     """The materialized-index probe must read cells/ with dynamic partition
     pruning driven by the probe side: the scan's PartitionFilters carry a
