@@ -52,11 +52,15 @@ def merge_discrepancy_flags(
     base: DataFrame, discrepancies: DataFrame, on: Sequence[str]
 ) -> DataFrame:
     """J2 + P7 (src/pipeline.py:174-181): left-join a discrepancy_flag and
-    fill false. The discrepancy side is a filtered (small) set → broadcast."""
+    fill false. The discrepancy side is usually a small filtered set, but it
+    is corpus-scale exactly when a source goes systematically bad — the very
+    case cross-validation exists to catch — so it carries NO broadcast hint:
+    AQE broadcasts it while small and shuffles when it is not (a hinted
+    broadcast cannot be demoted and would OOM on the bad-source day)."""
     flags = discrepancies.select(*on).distinct().withColumn(
         "discrepancy_flag", F.lit(True)
     )
-    return base.join(F.broadcast(flags), list(on), "left").withColumn(
+    return base.join(flags, list(on), "left").withColumn(
         "discrepancy_flag", F.coalesce(F.col("discrepancy_flag"), F.lit(False))
     )
 

@@ -889,6 +889,59 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the weights→sample loop: compute each source's uniform_rate
+    (exactly `mixture_weights`' formula) and APPLY it as the deterministic
+    hash-threshold filter, reporting kept docs per source. Data-dependent
+    rates, not a static dict — the rate table (one row per source) joins
+    back onto the corpus unhinted (AQE broadcasts it while small), the
+    keep/drop decision stays row-local and reproducible. Two corpus scans
+    by construction: the rates are a function of the full corpus and must
+    exist before any row can be filtered."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(text.tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    whole = Window.partitionBy()
+    share = (
+        F.col("n_tokens").cast("double") / F.sum("n_tokens").over(whole).cast("double")
+    )
+    target = F.lit(1.0) / F.count(F.lit(1)).over(whole).cast("double")
+    rates = per_source.select(
+        "source", F.least(F.lit(1.0), target / share).alias("uniform_rate")
+    )
+    kept = docs.join(rates, "source").filter(
+        sampling.hash_uniform(F.col("doc_id")) < F.col("uniform_rate")
+    )
+    return kept.groupBy("source", "uniform_rate").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+
+
+SQL_MIXTURE_RESAMPLE = f"""
+WITH per_source AS (
+  SELECT source, CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), totals AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens, count(*) AS n_sources
+  FROM per_source
+), rates AS (
+  SELECT source,
+         least(1.0, (1.0 / CAST(n_sources AS DOUBLE))
+                    / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)))
+           AS uniform_rate
+  FROM per_source, totals
+)
+SELECT d.source, uniform_rate, count(*) AS n_kept
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+      < uniform_rate
+GROUP BY d.source, uniform_rate
+"""
+
+
 SQL_MIXTURE_WEIGHTS = f"""
 WITH per_source AS (
   SELECT source, count(*) AS n_docs,
@@ -1105,6 +1158,13 @@ SPECS = {
         SQL_MIXTURE_WEIGHTS,
         "per-source token shares + uniform-mixture sampling rates",
         ("text", "agg"),
+    ),
+    "mixture_resample": QuerySpec(
+        q_mixture_resample,
+        SQL_MIXTURE_RESAMPLE,
+        "uniform-mixture rates APPLIED: data-dependent hash-threshold "
+        "resample, kept docs per source",
+        ("text", "sampling"),
     ),
     "decontaminate_overlap": QuerySpec(
         q_decontaminate,

@@ -37,7 +37,8 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #:   3. the remaining r02/r03-stale queries (connector / media / tpch_ext /
 #:      round-2 additions). The 50 r04-green queries roll past the cap and
 #:      keep their r04 record.
-#: Queries NEW in round 5 (`ann_topk_ivf_probe`, `media_real_decode`) are
+#: Queries NEW in round 5 (`ann_topk_ivf_probe`, `media_real_decode`,
+#: `media_real_resize`, `media_real_frames`, `mixture_resample`) are
 #: deliberately NOT in this window — all 50 slots go to the stale backlog;
 #: they are locally oracle-verified and front-load the r06 rotation.
 _GATE_PRIORITY = (
