@@ -69,6 +69,60 @@ def business_days(start: date, end: date) -> Iterator[date]:
         d += timedelta(days=1)
 
 
+def http_fetch_ohlcv(
+    base_url: str,
+    ticker: str,
+    start: date,
+    end: date,
+    source: str,
+    timeout_s: float = 10.0,
+    min_interval_ms: int = 0,
+) -> list[tuple]:
+    """REAL HTTP transport (stdlib urllib, no deps): GET
+    ``{base_url}/ohlcv?ticker=..&start=..&end=..&source=..`` and parse the
+    JSON body ``{"rows": [{ticker,date,open,high,low,close,adj_close,
+    volume,source}, ...]}`` into connector tuples. This is the exact seam
+    the reference's yfinance/Alpha Vantage calls occupy
+    (/root/reference/src/pipeline.py:28-42, src/validation.py:128-185):
+    retry-with-backoff wraps THIS call per task, and ``min_interval_ms``
+    applies the reference's politeness delay (src/validation.py:178) before
+    the request. Exercised in tests against a local HTTP server — real
+    sockets, real parsing, no external network."""
+    import json as _json
+    import time as _time
+    from urllib.parse import urlencode
+    from urllib.request import urlopen
+
+    if min_interval_ms > 0:
+        _time.sleep(min_interval_ms / 1000.0)
+    qs = urlencode(
+        {
+            "ticker": ticker,
+            "start": start.isoformat(),
+            "end": end.isoformat(),
+            "source": source,
+        }
+    )
+    with urlopen(f"{base_url}/ohlcv?{qs}", timeout=timeout_s) as resp:
+        if resp.status != 200:
+            raise ConnectionError(f"HTTP {resp.status} for {ticker}")
+        payload = _json.load(resp)
+    return [
+        (
+            r["ticker"],
+            date.fromisoformat(r["date"]),
+            float(r["open"]),
+            float(r["high"]),
+            float(r["low"]),
+            float(r["close"]),
+            float(r["adj_close"]),
+            int(r["volume"]),
+            r["source"],
+        )
+        for r in payload["rows"]
+    ]
+
+
 class MarketDataReader(DataSourceReader):
     """Per-ticker partition reads with §2.11 resilience semantics: the fetch
     body runs under retry-with-backoff (src/logger.py:75-132 formula), and a
@@ -84,6 +138,12 @@ class MarketDataReader(DataSourceReader):
         self.start = date.fromisoformat(options["start"])
         self.end = date.fromisoformat(options["end"])
         self.source = options.get("source", "yahoo")
+        #: "sim" (deterministic, oracle-checkable) | "http" (real urllib GET
+        #: against `base_url` — the slot a production feed plugs into)
+        self.transport = options.get("transport", "sim")
+        self.base_url = options.get("base_url", "")
+        self.timeout_s = float(options.get("timeout_s", "10"))
+        self.min_interval_ms = int(options.get("min_interval_ms", "0"))
         self.fail_tickers = {
             t for t in options.get("fail_tickers", "").split(",") if t
         }
@@ -105,6 +165,16 @@ class MarketDataReader(DataSourceReader):
 
         def fetch() -> list[tuple]:
             attempt_box["n"] += 1
+            if self.transport == "http":
+                return http_fetch_ohlcv(
+                    self.base_url,
+                    ticker,
+                    self.start,
+                    self.end,
+                    self.source,
+                    timeout_s=self.timeout_s,
+                    min_interval_ms=self.min_interval_ms,
+                )
             if ticker in self.fail_tickers and attempt_box["n"] <= self.fail_attempts:
                 raise ConnectionError(
                     f"simulated fetch failure for {ticker} (attempt {attempt_box['n']})"

@@ -141,3 +141,137 @@ def test_stream_ticks_incremental_batches(spark):
     replay = list(r.readBetweenOffsets({"day": 2}, {"day": 5}))
     assert len(replay) == 3 * 2
     assert replay == list(r._rows(2, 5))
+
+
+# --- real HTTP transport against a local server ------------------------------
+
+
+class _QuoteHandler:
+    """http.server handler factory serving /ohlcv as JSON from the same
+    deterministic quote() generator, optionally failing the first N
+    requests per ticker with a 500 (exercises the REAL retry loop over
+    REAL sockets)."""
+
+    @staticmethod
+    def make(fail_first: int = 0):
+        import json
+        from datetime import date
+        from http.server import BaseHTTPRequestHandler
+        from urllib.parse import parse_qs, urlparse
+
+        attempts: dict[str, int] = {}
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                ticker = q["ticker"]
+                attempts[ticker] = attempts.get(ticker, 0) + 1
+                if u.path != "/ohlcv":
+                    self.send_error(404)
+                    return
+                if attempts[ticker] <= fail_first:
+                    self.send_error(500, "flaky")
+                    return
+                rows = [
+                    dict(
+                        zip(
+                            ["ticker", "date", "open", "high", "low", "close",
+                             "adj_close", "volume", "source"],
+                            (r[0], r[1].isoformat(), *r[2:]),
+                        )
+                    )
+                    for r in (
+                        market_source.quote(ticker, d, q["source"])
+                        for d in market_source.business_days(
+                            date.fromisoformat(q["start"]),
+                            date.fromisoformat(q["end"]),
+                        )
+                    )
+                ]
+                body = json.dumps({"rows": rows}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        return Handler
+
+
+def _serve(fail_first: int = 0):
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _QuoteHandler.make(fail_first))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def test_http_transport_matches_sim(spark):
+    """The real urllib transport, through Spark tasks, against a live local
+    HTTP server: byte-identical rows to the in-process simulator — the
+    connector's production slot demonstrably works end-to-end."""
+    srv, url = _serve()
+    try:
+        market_source.register(spark)
+        via_http = (
+            spark.read.format("market_sim")
+            .option("tickers", "AAPL,MSFT")
+            .option("start", "2024-01-01")
+            .option("end", "2024-01-10")
+            .option("transport", "http")
+            .option("base_url", url)
+            .load()
+        )
+        rows_http = sorted(map(tuple, via_http.collect()))
+        rows_sim = sorted(map(tuple, _read(spark).collect()))
+        assert rows_http == rows_sim and len(rows_http) == 16
+    finally:
+        srv.shutdown()
+
+
+def test_http_transport_retries_real_500s(spark):
+    """First two requests per ticker answer HTTP 500: the per-task
+    retry-with-backoff must recover over real sockets and deliver the full
+    window; with retries exhausted the partition is skipped, not failed."""
+    srv, url = _serve(fail_first=2)
+    try:
+        market_source.register(spark)
+
+        def read(max_retries):
+            return (
+                spark.read.format("market_sim")
+                .option("tickers", "AAPL")
+                .option("start", "2024-01-01")
+                .option("end", "2024-01-10")
+                .option("transport", "http")
+                .option("base_url", url)
+                .option("max_retries", str(max_retries))
+                .option("backoff_factor", "0.01")
+                .load()
+            )
+
+        assert read(max_retries=3).count() == 8  # recovers on 3rd attempt
+    finally:
+        srv.shutdown()
+    srv2, url2 = _serve(fail_first=10)
+    try:
+        skipped = (
+            spark.read.format("market_sim")
+            .option("tickers", "AAPL")
+            .option("start", "2024-01-01")
+            .option("end", "2024-01-10")
+            .option("transport", "http")
+            .option("base_url", url2)
+            .option("max_retries", "1")
+            .option("backoff_factor", "0.01")
+            .load()
+        )
+        assert skipped.count() == 0  # exhausted -> skip-and-continue
+    finally:
+        srv2.shutdown()
