@@ -275,13 +275,18 @@ class MacroSeriesReader(DataSourceReader):
         )
         self.start = date.fromisoformat(options["start"])
         self.end = date.fromisoformat(options["end"])
+        # same transport seam as the market reader (S4/S5 slot — where the
+        # reference's FRED API calls live, src/macro.py:113-163)
+        self.transport = options.get("transport", "sim")
+        self.base_url = options.get("base_url", "")
+        self.timeout_s = float(options.get("timeout_s", "10"))
+        self.max_retries = int(options.get("max_retries", "3"))
+        self.backoff_factor = float(options.get("backoff_factor", "2.0"))
 
     def partitions(self) -> list[InputPartition]:
         return [InputPartition(s) for s in self.series]
 
-    def read(self, partition: InputPartition) -> Iterator[tuple]:
-        sid = partition.value
-        name = self.names.get(sid, sid)
+    def _sim_rows(self, sid: str, name: str) -> Iterator[tuple]:
         d = date(self.start.year, self.start.month, 1)
         if d < self.start:
             d = (
@@ -297,6 +302,41 @@ class MacroSeriesReader(DataSourceReader):
                 if d.month == 12
                 else date(d.year, d.month + 1, 1)
             )
+
+    def _http_rows(self, sid: str, name: str) -> list[tuple]:
+        import json as _json
+        from urllib.parse import urlencode
+        from urllib.request import urlopen
+
+        qs = urlencode(
+            {"series": sid, "start": self.start.isoformat(),
+             "end": self.end.isoformat()}
+        )
+        with urlopen(f"{self.base_url}/series?{qs}", timeout=self.timeout_s) as resp:
+            if resp.status != 200:
+                raise ConnectionError(f"HTTP {resp.status} for {sid}")
+            payload = _json.load(resp)
+        return [
+            (sid, name, date.fromisoformat(r["date"]), float(r["value"]))
+            for r in payload["observations"]
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        from multi_source_financial_data_pipeline_spark.functions.resilience import retry_with_backoff
+
+        sid = partition.value
+        name = self.names.get(sid, sid)
+        if self.transport != "http":
+            return self._sim_rows(sid, name)
+        wrapped = retry_with_backoff(
+            max_retries=self.max_retries, backoff_factor=self.backoff_factor
+        )(lambda: self._http_rows(sid, name))
+        try:
+            return iter(wrapped())
+        except Exception:
+            # retries exhausted: skip this series, keep the job alive —
+            # the reference's skip-on-error loop (src/macro.py:193-211)
+            return iter(())
 
 
 class MacroDataSource(DataSource):

@@ -275,3 +275,78 @@ def test_http_transport_retries_real_500s(spark):
         assert skipped.count() == 0  # exhausted -> skip-and-continue
     finally:
         srv2.shutdown()
+
+
+def test_macro_http_transport_matches_sim(spark):
+    """The FRED-shaped reader's http transport (S4/S5 slot): a live local
+    server serving /series observations must yield byte-identical rows to
+    the in-process simulator, and a failing series must be skipped without
+    failing the job."""
+    import json
+    import threading
+    from datetime import date
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    def month_firsts(start, end):
+        d = date(start.year, start.month, 1)
+        if d < start:
+            d = date(d.year + 1, 1, 1) if d.month == 12 else date(d.year, d.month + 1, 1)
+        while d <= end:
+            yield d
+            d = date(d.year + 1, 1, 1) if d.month == 12 else date(d.year, d.month + 1, 1)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            sid = q["series"]
+            if sid == "BROKEN":
+                self.send_error(500)
+                return
+            obs = [
+                {"date": d.isoformat(),
+                 "value": (market_source._h(f"{sid}|{d.isoformat()}") % 100000) / 100.0}
+                for d in month_firsts(
+                    date.fromisoformat(q["start"]), date.fromisoformat(q["end"])
+                )
+            ]
+            body = json.dumps({"observations": obs}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        market_source.register(spark)
+
+        def read_macro(transport, series):
+            r = (
+                spark.read.format("fred_sim")
+                .option("series", series)
+                .option("start", "2023-01-15")
+                .option("end", "2023-12-31")
+            )
+            if transport == "http":
+                r = (
+                    r.option("transport", "http")
+                    .option("base_url", url)
+                    .option("max_retries", "1")
+                    .option("backoff_factor", "0.01")
+                )
+            return sorted(map(tuple, r.load().collect()))
+
+        assert read_macro("http", "UNRATE,CPIAUCSL") == read_macro(
+            "sim", "UNRATE,CPIAUCSL"
+        )
+        # a broken series skips (rows only from the healthy one)
+        rows = read_macro("http", "UNRATE,BROKEN")
+        assert rows and all(r[0] == "UNRATE" for r in rows)
+    finally:
+        srv.shutdown()
