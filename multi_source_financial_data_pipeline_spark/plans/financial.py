@@ -726,6 +726,70 @@ LEFT JOIN daily d ON d.user_id = c.user_id AND d.obs_date = c.cal_date
 """
 
 
+# --- weekly OHLC bars: pandas resample('W').ohlc() as one grouped pass ------
+
+def q_weekly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample each user's irregular value series to weekly OHLC bars
+    (pandas ``resample('W-MON').ohlc()`` / the hypertable continuous-
+    aggregate shape). One window pass tags each (user, week)'s first and
+    last observation (ties broken on event_id, the explicit ingest order),
+    then a groupBy on the SAME keys folds open/high/low/close/volume in one
+    aggregate — Catalyst reuses the window's hash partitioning, so the
+    whole query is one exchange. Monday week-start in both engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        # project the bar key FIRST so the window partitioning and the
+        # final groupBy share the exact same attribute — otherwise the
+        # date cast makes the expressions incomparable and Catalyst adds a
+        # second exchange for the aggregate
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_asc = Window.partitionBy("user_id", "week").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_desc = Window.partitionBy("user_id", "week").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    tagged = ev.select(
+        "user_id",
+        "week",
+        "value",
+        F.row_number().over(w_asc).alias("__rn_a"),
+        F.row_number().over(w_desc).alias("__rn_d"),
+    )
+    return tagged.groupBy("user_id", "week").agg(
+        F.max(F.when(F.col("__rn_a") == 1, F.col("value"))).alias("open_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max(F.when(F.col("__rn_d") == 1, F.col("value"))).alias("close_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
+
+
+SQL_WEEKLY_BARS = """
+WITH w AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('week', ts)
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, date_trunc('week', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT user_id, week,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+       max(value) AS high_value,
+       min(value) AS low_value,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM w GROUP BY user_id, week
+"""
+
+
 SPECS = {
     "ts_features": QuerySpec(
         q_ts_features,
@@ -831,6 +895,13 @@ SPECS = {
         SQL_GAP_FILL,
         "daily regularization: keep-last per day + calendar spine + forward fill",
         ("window", "join"),
+    ),
+    "weekly_bars": QuerySpec(
+        q_weekly_bars,
+        SQL_WEEKLY_BARS,
+        "weekly OHLC downsample (resample('W').ohlc()): one window pass + "
+        "one reused-partitioning aggregate",
+        ("window", "agg"),
     ),
     "value_percentiles_by_type": QuerySpec(
         q_value_percentiles,

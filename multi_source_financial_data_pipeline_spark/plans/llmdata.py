@@ -959,6 +959,69 @@ FROM per_source, totals
 """
 
 
+# --- corpus unigram-LM scoring (perplexity-style quality signal) -------------
+
+def q_unigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document under the corpus's own unigram LM — the
+    KenLM-perplexity-filter shape with the LM trained in the same plan.
+    Per doc: mean and min token probability (rare-token detector). All
+    aggregates stay INTEGER until one final division, so both engines get
+    bit-identical doubles with no log/rounding games.
+
+    Plan: one scan → explode → groupBy (doc_id, token) [shuffle 1] →
+    window-sum per token for corpus counts (no re-aggregation of the
+    corpus, no second scan) [shuffle 2] → groupBy doc [shuffle 3] →
+    whole-frame window over the DOC-level rows (n_docs rows, not tokens)
+    for the corpus total. Linear in corpus tokens, three shuffles, no
+    subtree executed twice."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+    ).groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c_dt"))
+    w_tok = Window.partitionBy("tok")
+    scored = pairs.withColumn("c_t", F.sum("c_dt").over(w_tok))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("c_dt").alias("n_tokens"),
+        F.sum(F.col("c_dt") * F.col("c_t")).alias("__sum_ct"),
+        F.min("c_t").alias("__min_ct"),
+    )
+    whole = Window.partitionBy()
+    total = F.sum("n_tokens").over(whole).cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("__sum_ct").cast("double") / (F.col("n_tokens").cast("double") * total)
+         ).alias("mean_token_prob"),
+        (F.col("__min_ct").cast("double") / total).alias("min_token_prob"),
+    )
+
+
+SQL_UNIGRAM_PROB = f"""
+WITH pairs AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), cdt AS (
+  SELECT doc_id, tok, count(*) AS c_dt FROM pairs GROUP BY doc_id, tok
+), scored AS (
+  SELECT doc_id, c_dt, sum(c_dt) OVER (PARTITION BY tok) AS c_t FROM cdt
+), per_doc AS (
+  SELECT doc_id,
+         CAST(sum(c_dt) AS BIGINT) AS n_tokens,
+         CAST(sum(c_dt * c_t) AS BIGINT) AS sum_ct,
+         CAST(min(c_t) AS BIGINT) AS min_ct
+  FROM scored GROUP BY doc_id
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM per_doc
+)
+SELECT doc_id, n_tokens,
+       CAST(sum_ct AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * total)
+         AS mean_token_prob,
+       CAST(min_ct AS DOUBLE) / total AS min_token_prob
+FROM per_doc, tot
+"""
+
+
 # --- decontamination: eval-set n-gram overlap --------------------------------
 
 DECON_NGRAM = 5
@@ -1165,6 +1228,13 @@ SPECS = {
         "uniform-mixture rates APPLIED: data-dependent hash-threshold "
         "resample, kept docs per source",
         ("text", "sampling"),
+    ),
+    "unigram_prob": QuerySpec(
+        q_unigram_prob,
+        SQL_UNIGRAM_PROB,
+        "corpus unigram-LM doc scoring (mean/min token probability, "
+        "integer-exact until one final division)",
+        ("text", "agg"),
     ),
     "decontaminate_overlap": QuerySpec(
         q_decontaminate,

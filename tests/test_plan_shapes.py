@@ -76,6 +76,24 @@ def test_ts_features_single_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_unigram_prob_single_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "unigram_prob")
+    # the corpus-count window rides the (doc,token) aggregate — a second
+    # scan would mean the LM 'training' subtree executes twice; the only
+    # single-partition exchange is over the doc-level rows (corpus total)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_weekly_bars_single_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "weekly_bars")
+    # the OHLC groupBy reuses the window's (user_id, week) partitioning —
+    # projecting the bar key before the window is what makes the attributes
+    # identical; a second exchange here means that projection regressed
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Scan parquet") == 1
+
+
 def test_q1_aggregation_is_map_side_combined(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q1_pricing_summary")
     assert "partial_sum" in plan  # partial agg precedes the exchange
