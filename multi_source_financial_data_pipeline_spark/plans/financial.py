@@ -770,6 +770,47 @@ def q_weekly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown: the worst peak-to-trough ratio of the
+    value series in event order — THE portfolio risk summary. Running peak
+    is an unbounded-preceding max window; drawdown = value/peak − 1; the
+    groupBy min reuses the window's user partitioning (one exchange, same
+    pattern as weekly_bars). Bit-exact with no rounding: the ratio's
+    operands are raw input doubles, min/max are comparisons."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = ev.select(
+        "user_id",
+        "value",
+        (F.col("value") / F.nullif(F.max("value").over(w), F.lit(0.0)) - 1).alias(
+            "drawdown"
+        ),
+    )
+    return dd.groupBy("user_id").agg(
+        F.min("drawdown").alias("max_drawdown"),
+        F.max("value").alias("peak_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_MAX_DRAWDOWN = """
+WITH dd AS (
+  SELECT user_id, value,
+         value / nullif(max(value) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC
+                        ROWS UNBOUNDED PRECEDING), 0.0) - 1 AS drawdown
+  FROM events
+)
+SELECT user_id, min(drawdown) AS max_drawdown,
+       max(value) AS peak_value, count(*) AS n_events
+FROM dd GROUP BY user_id
+"""
+
+
 SQL_WEEKLY_BARS = """
 WITH w AS (
   SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week, value,
@@ -901,6 +942,13 @@ SPECS = {
         SQL_WEEKLY_BARS,
         "weekly OHLC downsample (resample('W').ohlc()): one window pass + "
         "one reused-partitioning aggregate",
+        ("window", "agg"),
+    ),
+    "max_drawdown": QuerySpec(
+        q_max_drawdown,
+        SQL_MAX_DRAWDOWN,
+        "per-user max drawdown: running-peak window + reused-partitioning "
+        "min (bit-exact, no rounding)",
         ("window", "agg"),
     ),
     "value_percentiles_by_type": QuerySpec(

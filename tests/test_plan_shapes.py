@@ -94,6 +94,13 @@ def test_weekly_bars_single_exchange(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
 
 
+def test_max_drawdown_single_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "max_drawdown")
+    # running-peak window and the per-user min share one user_id exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Scan parquet") == 1
+
+
 def test_q1_aggregation_is_map_side_combined(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q1_pricing_summary")
     assert "partial_sum" in plan  # partial agg precedes the exchange
