@@ -68,6 +68,10 @@ HEADLINE = [
     "topn_orders_per_customer",
     "decontaminate_overlap",
     "cohort_retention",
+    # round-5 additions
+    "unigram_prob",
+    "weekly_bars",
+    "max_drawdown",
 ]
 
 

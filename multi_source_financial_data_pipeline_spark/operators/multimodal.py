@@ -1,13 +1,15 @@
 """Multimodal column plumbing (north star: BASELINE.json — image/audio/video
 as opaque binary columns with typed metadata).
 
-The Spark-side design is fully real: explicit schemas, ``mapInPandas`` with
-Arrow-batched pandas DataFrames, per-partition batching, and deterministic
-output shapes — only the codec calls are stubbed, because the image/audio
-libraries are not in this container. ``decode_media_features`` uses a
-deterministic fake decoder by default (so tests pin the plumbing end-to-end);
-passing ``require_codecs=True`` raises NotImplementedError at the exact
-boundary where PIL/ffmpeg would plug in.
+The Spark side is fully real — explicit schemas, ``mapInPandas`` with
+Arrow-batched pandas DataFrames, per-partition batching, deterministic
+output shapes — and so are the codecs for every format the stdlib can
+carry: 24-bit BMP decode + nearest-neighbor resize + re-encode, PCM-16 WAV
+decode (headers AND pixel/sample content), and YUV4MPEG2 frame demux, all
+pure `struct`/bytes parsing with strict magic+length detection. Formats
+that genuinely need external libraries (JPEG/PNG/MP4…) fall back to a
+deterministic md5 stub; ``require_codecs=True`` raises NotImplementedError
+at exactly that boundary, where PIL/ffmpeg would plug in.
 
 Scale notes: binary payloads ride in parquet as byte arrays; keep
 ``spark.sql.files.maxPartitionBytes`` low enough that a partition of blobs

@@ -68,6 +68,8 @@ PROBE_QUERIES = [
     "doc_repetition",
     "decontaminate_overlap",
     "sequence_packing",
+    # corpus-LM scoring: gram-level aggregates must stay linear in tokens
+    "unigram_prob",
 ]
 
 
