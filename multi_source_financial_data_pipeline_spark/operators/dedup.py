@@ -19,7 +19,7 @@ oracle parity is not needed (≈3× faster, same semantics).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from multi_source_financial_data_pipeline_spark.operators.text import tokens, word_ngrams
 
@@ -81,6 +81,49 @@ def probe_overlap(
         corpus_grams.join(probe_grams, "s")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+) -> DataFrame:
+    """Substring-level duplication profile (the exact-substring-dedup shape
+    of C4/The-Pile curation, at token n-gram resolution): for every doc,
+    the fraction of its n-token spans that occur at least twice anywhere in
+    the corpus (other docs OR self-repeats). High ``dup_span_frac`` marks
+    boilerplate/templated documents that doc-level fingerprints miss.
+
+    Shape: project the token array ONCE, then one `transform` over an index
+    sequence (the array is a bound row value — no re-tokenize per span),
+    explode → corpus span counts as a window over the span partition (no
+    second scan, no self-join) → per-doc rollup. Linear in corpus tokens,
+    two shuffles. Docs with < n tokens emit zero spans and are dropped —
+    they have no substring of the profiled length."""
+    toks = df.select(id_col, tokens(F.col(text_col)).alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    width = F.size(F.col("__toks")) - (n - 1)
+    spans = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), width),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n)),
+            )
+        ).alias("s"),
+    )
+    w_span = Window.partitionBy("s")
+    counted = spans.withColumn("c_s", F.count(F.lit(1)).over(w_span))
+    return counted.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((F.col("c_s") > 1).cast("long")).alias("dup_spans"),
+        (
+            F.sum((F.col("c_s") > 1).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_span_frac"),
     )
 
 

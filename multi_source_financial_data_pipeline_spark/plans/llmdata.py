@@ -959,6 +959,42 @@ FROM per_source, totals
 """
 
 
+# --- substring-level duplication profile (exact-substring-dedup shape) -------
+
+DUP_SPAN_N = 20
+
+
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of 20-token spans occurring >= 2x corpus-wide
+    (operators/dedup.dup_span_stats) — the substring-granularity dedup
+    signal doc-level fingerprints miss."""
+    return dedup.dup_span_stats(
+        _t(spark, sf_dir, "documents"), n=DUP_SPAN_N
+    )
+
+
+SQL_DUP_SPAN_STATS = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(toks) - {DUP_SPAN_N - 1}),
+           i -> array_to_string(toks[i:i + {DUP_SPAN_N - 1}], ' ')
+         )) AS s
+  FROM base WHERE len(toks) >= {DUP_SPAN_N}
+), c AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY s) AS c_s FROM g
+)
+SELECT doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN c_s > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+       CAST(sum(CASE WHEN c_s > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_span_frac
+FROM c GROUP BY doc_id
+"""
+
+
 # --- corpus unigram-LM scoring (perplexity-style quality signal) -------------
 
 def q_unigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1235,6 +1271,13 @@ SPECS = {
         "corpus unigram-LM doc scoring (mean/min token probability, "
         "integer-exact until one final division)",
         ("text", "agg"),
+    ),
+    "dup_span_stats": QuerySpec(
+        q_dup_span_stats,
+        SQL_DUP_SPAN_STATS,
+        "substring-level dedup profile: per-doc fraction of 20-token spans "
+        "occurring >=2x corpus-wide",
+        ("text", "dedup"),
     ),
     "decontaminate_overlap": QuerySpec(
         q_decontaminate,

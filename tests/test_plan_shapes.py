@@ -76,6 +76,14 @@ def test_ts_features_single_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_dup_span_stats_single_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dup_span_stats")
+    # span counts come from a window over the exploded spans — a second
+    # corpus scan or a span self-join would double the dominant cost
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
 def test_unigram_prob_single_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "unigram_prob")
     # the corpus-count window rides the (doc,token) aggregate — a second
