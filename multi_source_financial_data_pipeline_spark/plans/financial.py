@@ -797,6 +797,79 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier profile: median + MAD (median absolute
+    deviation) + count of |x − median| > 3·MAD — the outlier rule that,
+    unlike the pooled z-score (A4), is itself immune to the outliers it
+    hunts. Medians are computed by rank positions (avg of the middle one or
+    two values as sum/count — IEEE addition is commutative, so the result
+    is engine-independent without rounding; NO quantile_cont interpolation,
+    whose a+(b−a)·q formula differs in the last ulp). Two ranked window
+    passes + two small per-user joins (AQE-decided), no collects."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def _median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(F.col(col).asc(), F.col("event_id").asc())
+        ranked = df.select(
+            "user_id",
+            F.col(col),
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("__cnt"),
+        )
+        mid = ranked.filter(
+            (F.col("__rn") == F.expr("(__cnt + 1) div 2"))
+            | (F.col("__rn") == F.expr("(__cnt + 2) div 2"))
+        )
+        return mid.groupBy("user_id").agg(
+            (F.sum(col) / F.count(F.lit(1))).alias(out)
+        )
+
+    med = _median(ev, "value", "median_value")
+    dev = ev.join(med, "user_id").select(
+        "user_id",
+        "event_id",
+        "median_value",
+        F.abs(F.col("value") - F.col("median_value")).alias("dev"),
+    )
+    mad = _median(dev.withColumnRenamed("dev", "value"), "value", "mad")
+    flagged = dev.join(mad, "user_id")
+    return flagged.groupBy("user_id", "median_value", "mad").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("dev") > 3.0 * F.col("mad")).cast("long")).alias("n_outliers"),
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH r1 AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+), med AS (
+  SELECT user_id, sum(value) / count(*) AS median_value
+  FROM r1 WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY user_id
+), dev AS (
+  SELECT e.user_id, e.event_id, m.median_value,
+         abs(e.value - m.median_value) AS dev
+  FROM events e JOIN med m USING (user_id)
+), r2 AS (
+  SELECT user_id, median_value, dev,
+         row_number() OVER (PARTITION BY user_id ORDER BY dev ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM dev
+), mad AS (
+  SELECT user_id, sum(dev) / count(*) AS mad
+  FROM r2 WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY user_id
+)
+SELECT d.user_id, d.median_value, a.mad,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN d.dev > 3.0 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad a USING (user_id)
+GROUP BY d.user_id, d.median_value, a.mad
+"""
+
+
 SQL_MAX_DRAWDOWN = """
 WITH dd AS (
   SELECT user_id, value,
@@ -949,6 +1022,13 @@ SPECS = {
         SQL_MAX_DRAWDOWN,
         "per-user max drawdown: running-peak window + reused-partitioning "
         "min (bit-exact, no rounding)",
+        ("window", "agg"),
+    ),
+    "mad_outliers": QuerySpec(
+        q_mad_outliers,
+        SQL_MAD_OUTLIERS,
+        "robust outliers: rank-exact median + MAD + |x-med| > 3*MAD count "
+        "per user (no quantile interpolation, engine-exact)",
         ("window", "agg"),
     ),
     "value_percentiles_by_type": QuerySpec(
