@@ -307,6 +307,77 @@ FROM f WHERE j % {FRAME_STRIDE} = 0
 """
 
 
+# --- streaming media ingest: real codecs inside a streaming pipeline ---------
+
+def q_stream_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal × streaming capstone: real-format media blobs land in a
+    directory, a file-source stream picks them up, the Arrow `mapInPandas`
+    decoder (REAL BMP/WAV byte parsing, `require_codecs=True`) runs inside
+    the streaming plan, and a complete-mode per-kind aggregate drains with
+    availableNow. Stateless decode + bounded-key aggregate: the streaming
+    state is |kinds| rows regardless of media volume. The oracle recomputes
+    the per-kind byte totals from the generation formulas."""
+    import tempfile as _tf
+
+    name = f"stream_media_{next(_qname)}"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tune_for_session_cores(spark)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(prev), _STREAM_STATE_PARTITIONS)),
+        )
+        with _tf.TemporaryDirectory() as tmp:
+            landing = os.path.join(tmp, "media")
+            multimodal.synthetic_real_media(
+                spark, n=N_REAL_MEDIA, seed=REAL_MEDIA_SEED
+            ).write.mode("overwrite").parquet(landing)
+            stream = (
+                spark.readStream.schema(multimodal.MEDIA_SCHEMA)
+                .format("parquet")
+                .option("path", landing)
+                .load()
+            )
+            feats = multimodal.decode_media_features(stream, require_codecs=True)
+            agg = feats.groupBy("kind").agg(
+                F.count(F.lit(1)).alias("n_media"),
+                F.sum(F.col("n_bytes").cast("long")).alias("total_bytes"),
+                F.min("n_bytes").alias("min_bytes"),
+                F.max("n_bytes").alias("max_bytes"),
+            )
+            query = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).select(
+        "kind", "n_media", "total_bytes", "min_bytes", "max_bytes"
+    )
+
+
+SQL_STREAM_MEDIA = f"""
+WITH m AS (
+  SELECT i,
+         CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         CASE WHEN i % 2 = 0
+              THEN 54 + ((3 * (2 + i % 6) + 3) // 4) * 4 * (3 + i % 5)
+              ELSE 44 + 2 * (64 + i % 32) END AS n_bytes
+  FROM generate_series(0, {N_REAL_MEDIA - 1}) t(i)
+)
+SELECT kind, count(*) AS n_media,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(min(n_bytes) AS INT) AS min_bytes,
+       CAST(max(n_bytes) AS INT) AS max_bytes
+FROM m GROUP BY kind
+"""
+
+
 # --- LSH-probed approximate top-k (ANN scale path) ---------------------------
 
 LSH_TOPK_PLANES = 4
@@ -823,6 +894,13 @@ SPECS = {
         "REAL YUV4MPEG2 demux: every 2nd frame's luma plane, hex-exact vs "
         "the generation formulas",
         ("multimodal",),
+    ),
+    "stream_media_features": QuerySpec(
+        q_stream_media_features,
+        SQL_STREAM_MEDIA,
+        "streaming media ingest: real BMP/WAV decode inside the streaming "
+        "plan, availableNow drain, per-kind byte totals",
+        ("multimodal", "streaming"),
     ),
     "ann_topk_lsh": QuerySpec(
         q_ann_topk_lsh,
