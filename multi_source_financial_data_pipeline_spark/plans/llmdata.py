@@ -736,6 +736,59 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
 """
 
 
+# --- ANN quality evaluation: IVF recall@k vs the exact baseline --------------
+
+def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness for the approximate index: recall@k of the
+    IVF-probed top-k against the brute-force exact top-k, in ONE plan
+    (the brute side IS the ground truth — this is how you tune
+    nlist/nprobe before deploying). Per-query hit counts via a left-semi
+    join of the exact result against the approximate one; the summary stays
+    integer until two final divisions (engine-exact)."""
+    brute = q_ann_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = q_ann_topk_ivf(spark, sf_dir).select("query_id", "cand_id")
+    hits = brute.join(approx, ["query_id", "cand_id"], "left_semi")
+    per_q = (
+        brute.select("query_id")
+        .distinct()
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+            "query_id",
+            "left",
+        )
+        .select("query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (
+            F.sum("n_hits").cast("double")
+            / (F.count(F.lit(1)) * TOPK).cast("double")
+        ).alias("recall_at_k"),
+        (F.min("n_hits").cast("double") / F.lit(float(TOPK))).alias("min_recall"),
+    )
+
+
+SQL_ANN_RECALL_IVF = f"""
+WITH brute AS (SELECT query_id, cand_id FROM ({SQL_ANN_TOPK})),
+approx AS (SELECT query_id, cand_id FROM ({SQL_ANN_TOPK_IVF})),
+joined AS (
+  SELECT b.query_id FROM brute b
+  JOIN approx a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+),
+qs AS (SELECT DISTINCT query_id FROM brute),
+per_q AS (
+  SELECT qs.query_id, count(j.query_id) AS n_hits
+  FROM qs LEFT JOIN joined j ON j.query_id = qs.query_id
+  GROUP BY qs.query_id
+)
+SELECT count(*) AS n_queries,
+       CAST(sum(n_hits) AS DOUBLE) / CAST(count(*) * {TOPK} AS DOUBLE)
+         AS recall_at_k,
+       CAST(min(n_hits) AS DOUBLE) / {TOPK}.0 AS min_recall
+FROM per_q
+"""
+
+
 # --- embedding near-duplicate pairs -----------------------------------------
 
 COS_THRESHOLD = 0.3
@@ -1315,6 +1368,13 @@ SPECS = {
         "IVF top-k against the materialized cell-partitioned index "
         "(build-once deployment mode; dynamic partition pruning on probe)",
         ("similarity", "bench"),
+    ),
+    "ann_recall_ivf": QuerySpec(
+        q_ann_recall_ivf,
+        SQL_ANN_RECALL_IVF,
+        "ANN quality eval: IVF recall@k vs the brute-force exact top-k in "
+        "one plan (integer-exact summary)",
+        ("similarity",),
     ),
     "lsh_bucket": QuerySpec(
         q_lsh_bucket,
