@@ -748,10 +748,16 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = q_ann_topk(spark, sf_dir).select("query_id", "cand_id")
     approx = q_ann_topk_ivf(spark, sf_dir).select("query_id", "cand_id")
     hits = brute.join(approx, ["query_id", "cand_id"], "left_semi")
+    # the query-id set comes straight from the source table — deriving it
+    # from `brute` would reference that subtree twice and execute the whole
+    # exact pipeline twice (the mixture_weights double-scan bug, again)
+    qset = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"))
+    )
     per_q = (
-        brute.select("query_id")
-        .distinct()
-        .join(
+        qset.join(
             hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
             "query_id",
             "left",
@@ -775,7 +781,7 @@ joined AS (
   SELECT b.query_id FROM brute b
   JOIN approx a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
 ),
-qs AS (SELECT DISTINCT query_id FROM brute),
+qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {N_QUERIES}),
 per_q AS (
   SELECT qs.query_id, count(j.query_id) AS n_hits
   FROM qs LEFT JOIN joined j ON j.query_id = qs.query_id

@@ -27,8 +27,10 @@ from multi_source_financial_data_pipeline_spark.operators import multimodal, sim
 from multi_source_financial_data_pipeline_spark.plans.llmdata import (
     COS_THRESHOLD,
     N_QUERIES,
+    SQL_ANN_TOPK,
     _sql_bucket,
     _sql_cos,
+    q_ann_topk,
 )
 from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 from multi_source_financial_data_pipeline_spark.schemas import TESTDATA
@@ -407,6 +409,64 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
                  ORDER BY cos_sim DESC, cand_id ASC) AS INTEGER) AS rank
   FROM scored
 ) WHERE rank <= {TOPK}
+"""
+
+
+# --- ANN quality evaluation: LSH recall@k vs the exact baseline --------------
+
+def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sign-LSH twin of `ann_recall_ivf`: recall@k of the bucket-probed
+    top-k against the brute-force exact top-k — with 4 hyperplanes the
+    candidate set is one bucket, so this measures what the bucketing
+    sacrifices (tune num_planes on exactly this number). A query whose
+    bucket holds < k neighbors contributes its misses. Integer-exact
+    summary, same structure as the IVF harness."""
+    brute = q_ann_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = q_ann_topk_lsh(spark, sf_dir).select("query_id", "cand_id")
+    hits = brute.join(approx, ["query_id", "cand_id"], "left_semi")
+    # query-id set straight from the source table — deriving it from
+    # `brute` would execute the whole exact pipeline twice
+    qset = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    per_q = (
+        qset.join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+            "query_id",
+            "left",
+        )
+        .select("query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (
+            F.sum("n_hits").cast("double")
+            / (F.count(F.lit(1)) * TOPK).cast("double")
+        ).alias("recall_at_k"),
+        (F.min("n_hits").cast("double") / F.lit(float(TOPK))).alias("min_recall"),
+    )
+
+
+SQL_ANN_RECALL_LSH = f"""
+WITH brute AS (SELECT query_id, cand_id FROM ({SQL_ANN_TOPK})),
+approx AS (SELECT query_id, cand_id FROM ({SQL_ANN_TOPK_LSH})),
+joined AS (
+  SELECT b.query_id FROM brute b
+  JOIN approx a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+),
+qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10),
+per_q AS (
+  SELECT qs.query_id, count(j.query_id) AS n_hits
+  FROM qs LEFT JOIN joined j ON j.query_id = qs.query_id
+  GROUP BY qs.query_id
+)
+SELECT count(*) AS n_queries,
+       CAST(sum(n_hits) AS DOUBLE) / CAST(count(*) * {TOPK} AS DOUBLE)
+         AS recall_at_k,
+       CAST(min(n_hits) AS DOUBLE) / {TOPK}.0 AS min_recall
+FROM per_q
 """
 
 
@@ -906,6 +966,13 @@ SPECS = {
         q_ann_topk_lsh,
         SQL_ANN_TOPK_LSH,
         "approximate top-k via LSH bucket probe + exact re-rank",
+        ("similarity",),
+    ),
+    "ann_recall_lsh": QuerySpec(
+        q_ann_recall_lsh,
+        SQL_ANN_RECALL_LSH,
+        "ANN quality eval: sign-LSH recall@k vs the brute-force exact "
+        "top-k (num_planes tuning harness)",
         ("similarity",),
     ),
     "stream_hourly_counts": QuerySpec(

@@ -40,7 +40,8 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #: Queries NEW in round 5 (`ann_topk_ivf_probe`, `media_real_decode`,
 #: `media_real_resize`, `media_real_frames`, `mixture_resample`,
 #: `unigram_prob`, `weekly_bars`, `max_drawdown`, `dup_span_stats`,
-#: `mad_outliers`, `stream_media_features`, `ann_recall_ivf`) are
+#: `mad_outliers`, `stream_media_features`, `ann_recall_ivf`,
+#: `ann_recall_lsh`) are
 #: deliberately NOT in this window — all 50 slots go to the stale backlog;
 #: they are locally oracle-verified and front-load the r06 rotation.
 _GATE_PRIORITY = (

@@ -24,6 +24,12 @@ _CONS: dict[str, duckdb.DuckDBPyConnection] = {}
 def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     if sf_dir not in _CONS:
         con = duckdb.connect()
+        # explicit resource caps: DuckDB's default memory limit is derived
+        # from host RAM at connect time, and sharing the box with a Spark
+        # JVM across a 113-oracle session has produced OutOfMemory flakes —
+        # a fixed budget keeps the oracle side deterministic
+        con.execute("SET memory_limit='16GB'")
+        con.execute("SET threads TO 8")
         for t in TABLE_NAMES:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         _CONS[sf_dir] = con

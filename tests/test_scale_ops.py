@@ -303,3 +303,32 @@ def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
     n = base.count()
     assert merged.count() == 2 * n
     assert merged.filter(F.col("tier").isNull()).count() == n
+
+
+def test_ivf_index_cache_invalidates_on_source_change(spark, tmp_path):
+    """`_ensure_ivf_index` must rebuild when the source embeddings parquet
+    changes (mtime/size identity in the marker) and reuse the cached index
+    when it does not — a stale cell assignment would silently serve results
+    for the previous corpus."""
+    import os
+    import shutil
+
+    from multi_source_financial_data_pipeline_spark.plans import llmdata
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet",
+                os.path.join(sf_dir, "embeddings.parquet"))
+
+    idx1 = llmdata._ensure_ivf_index(spark, sf_dir)
+    marker = os.path.join(idx1, "_built.json")
+    mtime1 = os.path.getmtime(marker)
+
+    # unchanged source -> reuse (marker untouched)
+    assert llmdata._ensure_ivf_index(spark, sf_dir) == idx1
+    assert os.path.getmtime(marker) == mtime1
+
+    # touch the source -> identity changes -> rebuild (marker rewritten)
+    os.utime(os.path.join(sf_dir, "embeddings.parquet"))
+    llmdata._ensure_ivf_index(spark, sf_dir)
+    assert os.path.getmtime(marker) > mtime1
