@@ -118,6 +118,8 @@ def _decode_bmp(data: bytes) -> dict | None:
     if hdr_size != 40 or planes != 1 or bpp != 24 or compression != 0:
         return None
     n_rows = abs(height)
+    if width <= 0 or n_rows <= 0:  # zero-area / negative-width headers are invalid
+        return None
     row_stride = ((3 * width + 3) // 4) * 4
     if pix_offset + row_stride * n_rows > len(data):
         return None
@@ -153,6 +155,8 @@ def _decode_wav(data: bytes) -> dict | None:
     if fmt is None or pcm is None or fmt[0] != 1 or fmt[3] != 16:
         return None
     _, channels, sample_rate, _ = fmt
+    if channels <= 0 or sample_rate <= 0:  # would divide by zero below
+        return None
     n_samples = len(pcm) // (2 * channels)
     samples = struct.unpack_from(f"<{n_samples * channels}h", pcm, 0)
     mean = (
@@ -176,11 +180,20 @@ def _decode_any(data: bytes | None) -> dict:
     if data is None:
         return out
     data = bytes(data)
-    parsed = _decode_bmp(data)
+    # a malformed payload must degrade to the stub, never fail the task —
+    # the parsers validate defensively but struct offsets on adversarial
+    # bytes are still belt-and-braces-guarded here
+    try:
+        parsed = _decode_bmp(data)
+    except (struct.error, ValueError, ZeroDivisionError):
+        parsed = None
     if parsed is not None:
         out["codec"] = "bmp"
     else:
-        parsed = _decode_wav(data)
+        try:
+            parsed = _decode_wav(data)
+        except (struct.error, ValueError, ZeroDivisionError):
+            parsed = None
         if parsed is not None:
             out["codec"] = "wav"
     if parsed is None:
@@ -268,11 +281,14 @@ def _parse_y4m(data: bytes) -> dict | None:
     if nl < 0:
         return None
     width = height = None
-    for tok in data[10:nl].split(b" "):
-        if tok[:1] == b"W":
-            width = int(tok[1:])
-        elif tok[:1] == b"H":
-            height = int(tok[1:])
+    try:
+        for tok in data[10:nl].split(b" "):
+            if tok[:1] == b"W":
+                width = int(tok[1:])
+            elif tok[:1] == b"H":
+                height = int(tok[1:])
+    except ValueError:  # non-numeric W/H token → malformed header, not a crash
+        return None
     if not width or not height or width % 2 or height % 2:
         return None
     frame_len = width * height + 2 * ((width // 2) * (height // 2))

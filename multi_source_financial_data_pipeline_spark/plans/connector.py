@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from multi_source_financial_data_pipeline_spark.operators import crossval, series_stats
 from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
-from multi_source_financial_data_pipeline_spark.session import tune_for_session_cores
+from multi_source_financial_data_pipeline_spark.session import pin_utc, tune_for_session_cores
 from multi_source_financial_data_pipeline_spark.sources import market_source, registry
 
 TICKERS = ["AAPL", "GLD", "MSFT", "TSLA"]
@@ -25,7 +25,7 @@ TOLERANCE_PCT = 0.5
 
 
 def _read(spark: SparkSession, source: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_utc(spark)
     tune_for_session_cores(spark)
     market_source.register(spark)
     return (
@@ -130,7 +130,7 @@ def q_connector_stream_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     window rides one batch here; incremental multi-batch consumption and
     offset-range replay are pinned by
     tests/test_connector.py::test_stream_ticks_incremental_batches."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_utc(spark)
     tune_for_session_cores(spark)
     market_source.register(spark)
     name = f"connector_ticks_{next(_sname)}"
@@ -184,7 +184,7 @@ MACRO_START, MACRO_END = "2020-01-01", "2023-12-31"
 
 
 def _read_macro(spark: SparkSession) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_utc(spark)
     tune_for_session_cores(spark)
     market_source.register(spark)
     series = registry.resolve_categories(MACRO_CATEGORIES)

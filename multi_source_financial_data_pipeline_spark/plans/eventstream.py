@@ -20,7 +20,6 @@ from multi_source_financial_data_pipeline_spark.sources import load_table
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return load_table(spark, sf_dir, "events")
 
 

@@ -21,7 +21,6 @@ from multi_source_financial_data_pipeline_spark.sources import load_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return load_table(spark, sf_dir, name)
 
 
@@ -632,40 +631,75 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_index_dir(sf_dir: str) -> str:
+def _ivf_cache_root() -> str:
+    """Per-user (uid-scoped, 0700) cache root — a shared world-writable path
+    would be open to pre-creation/poisoning on multi-user hosts."""
     import os
     import tempfile
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(
-        tempfile.gettempdir(), "msfdp_ivf_index", f"{tag}_nlist{IVF_NLIST}"
+    root = os.path.join(
+        tempfile.gettempdir(), f"msfdp_ivf_index_{os.getuid()}"
     )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    return root
+
+
+def _ivf_index_dir(sf_dir: str) -> str:
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(_ivf_cache_root(), f"{tag}_nlist{IVF_NLIST}")
 
 
 def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the materialized IVF index for this sf_dir if absent or stale
     (source parquet changed). The marker records the source identity so a
-    regenerated testdata tree invalidates the cached index."""
+    regenerated testdata tree invalidates the cached index.
+
+    Concurrency-safe: the index is built into a unique sibling temp dir
+    (marker written LAST, inside it) and atomically renamed into place, so a
+    concurrent session can never observe a half-built index; if two sessions
+    race, the rename loser discards its build and uses the winner's."""
     import json
     import os
+    import shutil
+    import tempfile
 
     index_dir = _ivf_index_dir(sf_dir)
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     ident = {"src": src, "mtime_ns": st.st_mtime_ns, "size": st.st_size,
              "nlist": IVF_NLIST}
-    marker = os.path.join(index_dir, "_built.json")
-    try:
-        with open(marker) as fh:
-            if json.load(fh) == ident:
-                return index_dir
-    except (OSError, ValueError):
-        pass
-    similarity.build_ivf_index(
-        spark, _t(spark, sf_dir, "embeddings"), index_dir, nlist=IVF_NLIST
+
+    def _marker_matches(d: str) -> bool:
+        try:
+            with open(os.path.join(d, "_built.json")) as fh:
+                return json.load(fh) == ident
+        except (OSError, ValueError):
+            return False
+
+    if _marker_matches(index_dir):
+        return index_dir
+    build_dir = tempfile.mkdtemp(
+        prefix=os.path.basename(index_dir) + ".build.",
+        dir=os.path.dirname(index_dir),
     )
-    with open(marker, "w") as fh:
-        json.dump(ident, fh)
+    try:
+        similarity.build_ivf_index(
+            spark, _t(spark, sf_dir, "embeddings"), build_dir, nlist=IVF_NLIST
+        )
+        with open(os.path.join(build_dir, "_built.json"), "w") as fh:
+            json.dump(ident, fh)
+        if os.path.isdir(index_dir):  # stale build from an older source tree
+            stale = index_dir + ".stale." + os.path.basename(build_dir)
+            os.rename(index_dir, stale)
+            shutil.rmtree(stale, ignore_errors=True)
+        os.rename(build_dir, index_dir)
+    except OSError:
+        # rename lost a race with a concurrent builder — use the winner's
+        shutil.rmtree(build_dir, ignore_errors=True)
+        if not _marker_matches(index_dir):
+            raise
     return index_dir
 
 

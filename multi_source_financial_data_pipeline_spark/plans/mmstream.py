@@ -34,7 +34,7 @@ from multi_source_financial_data_pipeline_spark.plans.llmdata import (
 )
 from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 from multi_source_financial_data_pipeline_spark.schemas import TESTDATA
-from multi_source_financial_data_pipeline_spark.session import tune_for_session_cores
+from multi_source_financial_data_pipeline_spark.session import pin_utc, tune_for_session_cores
 from multi_source_financial_data_pipeline_spark.sources import load_table
 from multi_source_financial_data_pipeline_spark.streaming import ingest
 
@@ -322,7 +322,7 @@ def q_stream_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tf
 
     name = f"stream_media_{next(_qname)}"
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_utc(spark)
     tune_for_session_cores(spark)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -387,7 +387,7 @@ TOPK = 10
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_utc(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -456,7 +456,7 @@ joined AS (
   SELECT b.query_id FROM brute b
   JOIN approx a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
 ),
-qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10),
+qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {N_QUERIES}),
 per_q AS (
   SELECT qs.query_id, count(j.query_id) AS n_hits
   FROM qs LEFT JOIN joined j ON j.query_id = qs.query_id
@@ -499,7 +499,7 @@ def _event_stream(spark: SparkSession, sf_dir: str):
     that. Shuffle partitions are clamped to `_STREAM_STATE_PARTITIONS` for
     the stream's lifetime (state-store sizing, see above) and restored for
     subsequent batch plans."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_utc(spark)
     tune_for_session_cores(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     prev = spark.conf.get("spark.sql.shuffle.partitions")

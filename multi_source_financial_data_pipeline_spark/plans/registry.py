@@ -108,7 +108,10 @@ def _collect() -> dict[str, QuerySpec]:
     # every gate name must resolve — a renamed/deleted query must fail at
     # import, not silently drop out of the driver's checked window
     unknown = set(_GATE_PRIORITY) - merged.keys()
-    assert not unknown, f"_GATE_PRIORITY names not in any SPECS: {sorted(unknown)}"
+    if unknown:  # not assert: must survive `python -O`
+        raise ValueError(
+            f"_GATE_PRIORITY names not in any SPECS: {sorted(unknown)}"
+        )
     registry: dict[str, QuerySpec] = {name: merged[name] for name in _GATE_PRIORITY}
     registry.update(merged)
     return registry

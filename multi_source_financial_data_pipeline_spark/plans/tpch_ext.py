@@ -28,7 +28,6 @@ from multi_source_financial_data_pipeline_spark.sources import load_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return load_table(spark, sf_dir, name)
 
 

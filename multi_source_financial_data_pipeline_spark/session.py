@@ -33,6 +33,21 @@ def tune_for_session_cores(spark: SparkSession) -> None:
         pass
 
 
+def pin_utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC iff it isn't already. The engine is
+    UTC-everywhere (``get_spark`` sets it at build time); for sessions the
+    engine did NOT build (the driver's vanilla session inherits the
+    JVM-local tz) the pin happens at the scan/plan entry — deliberately
+    overriding any caller-set timezone, because every oracle comparison
+    assumes epoch micros computed under UTC. Guarded so repeated scans don't
+    mutate session conf (ADVICE r05)."""
+    try:
+        if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # pragma: no cover - conf access never fails in practice
+        pass
+
+
 def get_spark(
     app_name: str = "msfdp-spark",
     master: str | None = None,

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from multi_source_financial_data_pipeline_spark.schemas import TESTDATA
-from multi_source_financial_data_pipeline_spark.session import tune_for_session_cores
+from multi_source_financial_data_pipeline_spark.session import pin_utc, tune_for_session_cores
 
 TABLE_NAMES = (
     "region",
@@ -41,14 +41,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # rejects; read nanos as long and convert with integer division (nanos
     # exceed double's 2^53 exact range — float division would corrupt them)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # The NTZ->TIMESTAMP normalization below is tz-sensitive. The engine is
-    # UTC-everywhere (get_spark pins it); for sessions the engine did NOT
-    # build (the driver's vanilla session inherits the JVM-local tz) the pin
-    # happens here, at the scan — deliberately overriding any caller-set
-    # timezone, because every oracle comparison assumes epoch micros
-    # computed under UTC. No-op for engine-built sessions.
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The NTZ->TIMESTAMP normalization below is tz-sensitive; see pin_utc.
+    pin_utc(spark)
     df = spark.read.parquet(path)
     if name in TESTDATA:
         dtypes = dict(df.dtypes)

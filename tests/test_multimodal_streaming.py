@@ -113,6 +113,41 @@ def test_bmp_parser_rejects_corrupt_headers():
     assert _decode_bmp(wav) is None and _decode_wav(bmp) is None
 
 
+def test_parsers_reject_degenerate_fields_without_raising():
+    """ADVICE r05: crafted headers with zero/negative geometry or rates must
+    return None (malformed), never raise inside a Spark task."""
+    import struct as _s
+
+    from multi_source_financial_data_pipeline_spark.operators.multimodal import (
+        _parse_y4m,
+        _y4m_bytes,
+    )
+
+    # BMP with width=0: rebuild header with zero width, fix file_size check
+    bmp = _bmp_bytes(4, 3, [10, 20, 30])
+    zero_w = bytearray(bmp)
+    _s.pack_into("<i", zero_w, 18, 0)  # width := 0
+    _s.pack_into("<I", zero_w, 2, len(zero_w))
+    assert _decode_bmp(bytes(zero_w)) is None
+    neg_w = bytearray(bmp)
+    _s.pack_into("<i", neg_w, 18, -4)
+    assert _decode_bmp(bytes(neg_w)) is None
+
+    # WAV with channels=0 / sample_rate=0: patch fmt chunk fields in place
+    wav = _wav_bytes(8000, [1, -1])
+    zero_ch = bytearray(wav)
+    _s.pack_into("<H", zero_ch, 22, 0)  # channels := 0 (fmt body offset 2)
+    assert _decode_wav(bytes(zero_ch)) is None
+    zero_rate = bytearray(wav)
+    _s.pack_into("<I", zero_rate, 24, 0)  # sample_rate := 0
+    assert _decode_wav(bytes(zero_rate)) is None
+
+    # Y4M with a non-numeric W token: None, not ValueError
+    y4m = _y4m_bytes(4, 2, [10])
+    assert _parse_y4m(y4m)["width"] == 4
+    assert _parse_y4m(y4m.replace(b"W4", b"Wx")) is None
+
+
 def test_frame_sampling_only_video(spark):
     media = synthetic_media(spark, n=30)
     frames = sample_frames(media, every_n_bytes=64)
