@@ -26,7 +26,7 @@ def test_gate_priority_typo_fails_at_collect(monkeypatch):
         "_GATE_PRIORITY",
         registry._GATE_PRIORITY[:-1] + ("no_such_query_typo",),
     )
-    with pytest.raises(AssertionError, match="no_such_query_typo"):
+    with pytest.raises(ValueError, match="no_such_query_typo"):
         registry._collect()
 
 
@@ -36,19 +36,24 @@ def test_every_query_has_oracle_or_documented_exemption():
     assert no_oracle == set(), f"queries without oracle SQL: {sorted(no_oracle)}"
 
 
-def test_round5_window_covers_all_r04_stale_queries():
-    """The round-5 gate window holds every STALE query: one with a driver
-    row in some earlier round but none in r04. Queries new in round 5
-    (never recorded anywhere) deliberately wait for the r06 rotation —
-    all 50 slots go to the stale backlog."""
+def test_round6_window_fronts_never_checked_then_oldest():
+    """The round-6 gate window front-loads every query the driver has NEVER
+    recorded (the 13 round-5 additions), then backfills exclusively with
+    queries whose latest row is the OLDEST on record (the r04 set — two
+    rounds old by r06). Nothing with a fresh r05 row wastes a slot."""
     root = pathlib.Path(__file__).resolve().parents[1]
-    r04_path = root / "CORRECTNESS_r04.json"
-    if not r04_path.exists():
-        pytest.skip("no r04 correctness record")
-    r04 = set(json.loads(r04_path.read_text()))
+    records = sorted(root.glob("CORRECTNESS_r*.json"))
+    if len(records) < 2:
+        pytest.skip("need at least two correctness records")
+    latest = set(json.loads(records[-1].read_text()))
     ever_recorded: set[str] = set()
-    for p in root.glob("CORRECTNESS_r*.json"):
+    for p in records:
         ever_recorded |= set(json.loads(p.read_text()))
     window = list(registry.QUERIES)[:50]
-    stale = (set(registry.QUERIES) & ever_recorded) - r04
-    assert stale <= set(window)
+    never = set(registry.QUERIES) - ever_recorded
+    # every never-checked query is in the window, ahead of all backfill
+    assert never <= set(window)
+    n_never = len(never)
+    assert set(window[:n_never]) == never
+    # no slot is wasted on a query checked in the latest round
+    assert not (set(window) & latest)
