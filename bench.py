@@ -1,7 +1,16 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec | null, "unit": "sec",
-"queries": {name: sec}, "errors": {name: msg}, "sf": ...}.
+"queries": {name: median_sec}, "min": {name: min_sec}, "reps": N,
+"errors": {name: msg}, "sf": ...}.
+
+Noise defense (r05 lesson: a busy shared host made a 1.3x round-over-round
+delta unattributable): each query is timed REPS times AFTER an untimed warm
+pass, the reported per-query number is the MEDIAN, the minimum is kept
+alongside (min is the better machine-noise floor; median the better
+expectation), and the headline total is the sum of medians. Reps are
+INTERLEAVED (rep-major, not query-major) so a transient host burst lands on
+one rep of many queries instead of all reps of one query.
 
 Broken queries land in "errors" (never mixed into "queries", which stays
 {name: float}); any error makes "value" null and the exit code nonzero so a
@@ -15,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -72,55 +82,72 @@ HEADLINE = [
     "unigram_prob",
     "weekly_bars",
     "max_drawdown",
+    # round-6 additions: the Python-heaviest operators in the repo (real
+    # stdlib codecs through the Arrow batch boundary) + the weights->apply
+    # resampling loop
+    "media_real_decode",
+    "media_real_resize",
+    "mixture_resample",
 ]
+
+
+def _run(name: str, sf_dir: str, spark) -> None:
+    QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     spark = get_spark("msfdp-bench")
     spark.sparkContext.setLogLevel("WARN")
 
     # untimed warm pass: whole-stage codegen compiles once per plan shape and
     # parquet footers/shuffle machinery initialize — one-time costs that a
-    # long-running cluster amortizes to zero, so the timed pass measures the
+    # long-running cluster amortizes to zero, so the timed passes measure the
     # steady-state execution the engine actually sustains. Each query is
     # isolated: one broken plan must cost ONE entry, not the whole report
     # (r03 lost every timing to a single analysis error in the warm pass).
-    broken: dict[str, str] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         try:
-            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            _run(name, sf_dir, spark)
         except Exception as exc:  # noqa: BLE001 - report, don't abort
-            broken[name] = f"{type(exc).__name__}: {exc}"[:500]
-
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = dict(broken)
-    total = 0.0
-    for name in HEADLINE:
-        if name in errors:
-            continue
-        spec = QUERIES[name]
-        t0 = time.perf_counter()
-        try:
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            continue
-        elapsed = round(time.perf_counter() - t0, 3)
-        timings[name] = elapsed
-        total += elapsed
+
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    for _rep in range(reps):
+        for name in HEADLINE:
+            if name in errors:
+                continue
+            t0 = time.perf_counter()
+            try:
+                _run(name, sf_dir, spark)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                continue
+            samples[name].append(time.perf_counter() - t0)
+
+    medians = {
+        n: round(statistics.median(s), 3)
+        for n, s in samples.items()
+        if s and n not in errors
+    }
+    mins = {
+        n: round(min(s), 3) for n, s in samples.items() if s and n not in errors
+    }
+    total = round(sum(medians.values()), 3)
 
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 # a partial total is not comparable across rounds — null it
-                "value": round(total, 3) if not errors else None,
+                "value": total if not errors else None,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
+                "min": mins,
+                "reps": reps,
                 "errors": errors,
                 "sf": sf,
             }
