@@ -177,6 +177,65 @@ FROM feed GROUP BY ticker
 """
 
 
+# --- K7 export-shape parity as data (§1.3 ret/return quirk) ------------------
+
+def q_export_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CSV export contract (K7, src/output_manager.py:27-67 +
+    SURVEY.md §1.3) pinned as a driver-checkable result: run the REAL
+    validate→transform→export projection over the connector feed and emit
+    (position, column_name) for every exported column, plus whether the
+    duplicated `ret`/`return` pair is value-identical across the whole frame
+    (the §1.3 quirk). The oracle is the golden header hardcoded literally —
+    a drift in CSV_EXPORT_COLUMNS, a renamed transform output, or a ret !=
+    return divergence each breaks the match."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import Window
+
+    from multi_source_financial_data_pipeline_spark import pipeline
+    from multi_source_financial_data_pipeline_spark.operators.timeseries import (
+        pct_change,
+    )
+    from multi_source_financial_data_pipeline_spark.sources.sinks import (
+        CSV_EXPORT_COLUMNS,
+    )
+
+    run_ts = datetime(2024, 4, 1, 12, 0, tzinfo=timezone.utc)
+    df = _read(spark, "yahoo")
+    w = Window.partitionBy("ticker").orderBy("date")
+    with_ret = df.withColumn("ret", pct_change(F.col("close"), w))
+    out = pipeline.transform(with_ret, run_ts)
+    export = (
+        out.withColumn("Ticker", F.col("ticker"))
+        .withColumn("request_id", F.lit("req-export-shape"))
+        .withColumn("export_timestamp", F.lit(run_ts.isoformat()))
+        .select(*CSV_EXPORT_COLUMNS)
+    )
+    quirk = export.agg(F.min(F.expr("ret <=> `return`")).alias("ok"))
+    cols = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(export.columns)],
+        "position INT, column_name STRING",
+    )
+    # 16-row metadata frame × 1-row aggregate: scalar broadcast, no shuffle
+    return cols.crossJoin(F.broadcast(quirk)).select(
+        "position", "column_name", F.col("ok").alias("ret_return_identical")
+    )
+
+
+#: golden header of the reference CSV, hardcoded on purpose (NOT derived
+#: from CSV_EXPORT_COLUMNS, so an accidental edit to either side mismatches)
+SQL_EXPORT_SHAPE = """
+SELECT CAST(c.pos AS INT) AS position, c.col AS column_name,
+       TRUE AS ret_return_identical
+FROM (VALUES
+  (0, 'date'), (1, 'Ticker'), (2, 'open'), (3, 'high'), (4, 'low'),
+  (5, 'close'), (6, 'adj_close'), (7, 'volume'), (8, 'ret'), (9, 'return'),
+  (10, 'ma20'), (11, 'ma50'), (12, 'vol20'), (13, 'updated_at'),
+  (14, 'request_id'), (15, 'export_timestamp')
+) c(pos, col)
+"""
+
+
 # --- macro series feed (S4-S6: category fan-out, per-series partitions) ------
 
 MACRO_CATEGORIES = ["rates", "inflation"]
@@ -274,5 +333,11 @@ SPECS = {
         SQL_CONNECTOR_MACRO_SUMMARY,
         "per-series validation summary (A8) over the macro connector",
         ("source", "agg"),
+    ),
+    "export_shape": QuerySpec(
+        q_export_shape,
+        SQL_EXPORT_SHAPE,
+        "K7 CSV export header + ret/return quirk pinned as data (§1.3)",
+        ("sink", "parity"),
     ),
 }
