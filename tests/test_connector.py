@@ -153,8 +153,9 @@ class _QuoteHandler:
     REAL sockets)."""
 
     @staticmethod
-    def make(fail_first: int = 0):
+    def make(fail_first: int = 0, times: list | None = None):
         import json
+        import time
         from datetime import date
         from http.server import BaseHTTPRequestHandler
         from urllib.parse import parse_qs, urlparse
@@ -170,6 +171,8 @@ class _QuoteHandler:
                 q = {k: v[0] for k, v in parse_qs(u.query).items()}
                 ticker = q["ticker"]
                 attempts[ticker] = attempts.get(ticker, 0) + 1
+                if times is not None:
+                    times.append(time.monotonic())
                 if u.path != "/ohlcv":
                     self.send_error(404)
                     return
@@ -202,11 +205,13 @@ class _QuoteHandler:
         return Handler
 
 
-def _serve(fail_first: int = 0):
+def _serve(fail_first: int = 0, times: list | None = None):
     import threading
     from http.server import ThreadingHTTPServer
 
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), _QuoteHandler.make(fail_first))
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), _QuoteHandler.make(fail_first, times)
+    )
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, f"http://127.0.0.1:{srv.server_address[1]}"
@@ -275,6 +280,43 @@ def test_http_transport_retries_real_500s(spark):
         assert skipped.count() == 0  # exhausted -> skip-and-continue
     finally:
         srv2.shutdown()
+
+
+def test_alpha_http_transport_rate_limited(spark):
+    """The SECONDARY-source leg (S3, Alpha Vantage-shaped) end-to-end over
+    real sockets: `source=alpha` via http matches the in-process simulator,
+    and the reference's per-request politeness delay
+    (/root/reference/src/validation.py:178 — 12 s between Alpha Vantage
+    calls, shortened here to keep the test fast) is actually observed ON THE
+    SERVER between consecutive requests from the same task (retry after a
+    real 500 issues a second request; both must be throttled)."""
+    times: list = []
+    srv, url = _serve(fail_first=1, times=times)
+    interval_ms = 400
+    try:
+        market_source.register(spark)
+        via_http = (
+            spark.read.format("market_sim")
+            .option("tickers", "AAPL")
+            .option("start", "2024-01-01")
+            .option("end", "2024-01-10")
+            .option("source", "alpha")
+            .option("transport", "http")
+            .option("base_url", url)
+            .option("min_interval_ms", str(interval_ms))
+            .option("max_retries", "2")
+            .option("backoff_factor", "0.01")
+            .load()
+        )
+        rows_http = sorted(map(tuple, via_http.collect()))
+        rows_sim = sorted(map(tuple, _read(spark, source="alpha", tickers="AAPL").collect()))
+        assert rows_http == rows_sim and len(rows_http) == 8
+        assert all(r[-1] == "alpha" for r in rows_http)
+        # server saw the failed attempt + the successful retry, throttled
+        assert len(times) == 2
+        assert times[1] - times[0] >= interval_ms / 1000.0 * 0.95
+    finally:
+        srv.shutdown()
 
 
 def test_macro_http_transport_matches_sim(spark):
