@@ -577,6 +577,173 @@ FROM (
 """
 
 
+# --- q2: minimum-cost supplier per part (correlated min as window) -----------
+
+Q2_SIZE = 15
+Q2_TYPE = "ECONOMY"
+Q2_REGION = "EUROPE"
+Q2_LIMIT = 100
+
+
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape (/root/reference has no analog; public TPC-H spec):
+    for each part of one size and type, the region's minimum-cost supplier.
+    Without partsupp, the (supplier, part) supply cost is the supplier's
+    observed unit price: exact-decimal sums of extendedprice and quantity
+    per (suppkey, partkey), divided once (one IEEE op, engine-exact).
+    The correlated `cost = (SELECT min ...)` subquery becomes a window MIN
+    over the part — the Spark-native form that avoids re-scanning the cost
+    relation. Plan: lineitem pre-agg on its natural (partkey, suppkey)
+    grain → part semi (selective size+type filter, AQE-decided) → supplier
+    → nation→region (fixed-size dims, broadcast) → window min per part →
+    filter to the min → TakeOrderedAndProject top-{limit}."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == Q2_SIZE) & (F.col("p_type") == Q2_TYPE)
+    ).select("p_partkey", "p_brand")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
+    region_nations = F.broadcast(
+        nat.join(reg, nat.n_regionkey == reg.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    cost = (
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .withColumn("supply_cost", F.col("sum_price") / F.col("sum_qty"))
+    )
+    eligible = (
+        cost.join(supp, cost.l_suppkey == supp.s_suppkey)
+        .join(region_nations, supp.s_nationkey == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        eligible.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("p_partkey"), "p_brand", "supply_cost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(Q2_LIMIT)
+    )
+
+
+SQL_Q2 = f"""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           AS supply_cost
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_size = {Q2_SIZE} AND p_type = '{Q2_TYPE}')
+  GROUP BY l_partkey, l_suppkey
+), eligible AS (
+  SELECT c.l_partkey, c.supply_cost, s.s_acctbal, s.s_name, n.n_name,
+         min(c.supply_cost) OVER (PARTITION BY c.l_partkey) AS min_cost
+  FROM cost c
+  JOIN supplier s ON c.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = '{Q2_REGION}'
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand, e.supply_cost
+FROM eligible e JOIN part p ON e.l_partkey = p.p_partkey
+WHERE e.supply_cost = e.min_cost
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+LIMIT {Q2_LIMIT}
+"""
+
+
+# --- q11: important stock value (whole-frame share threshold) ----------------
+
+Q11_NATION = "NATION_3"  # has suppliers at every SF incl. sf0.001
+Q11_AVG_FACTOR = 1.5  # exactly representable in binary; multiply stays deterministic
+
+
+def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape: parts whose stock value from one nation's suppliers
+    exceeds a multiple of the nation's AVERAGE per-part value (TPC-H's
+    fixed `fraction * total` cutoff is 1/|parts|-relative, i.e. not
+    scale-invariant; an average-relative cutoff keeps the result non-trivial
+    at every SF). Without partsupp, stock value is the shipped
+    extendedprice. Exactness: per-part values are DECIMAL sums kept decimal
+    through the grand-total aggregate (decimal sum + integer count are
+    order-independent), and only the final threshold comparison uses one
+    double multiply per side. Plan: the nation's supplier keys (selective
+    dim filter) semi-join the fact, ONE partkey shuffle aggregate; the
+    total/count come from a second aggregate OVER THE SAME per-part frame,
+    whose shuffle Spark deduplicates via ReusedExchange (pinned by
+    test_plan_shapes) — a parallel partial-agg tree, NOT a whole-frame
+    window, which would single-partition a scale-proportional frame
+    (|parts| grows with SF; mixture_weights can window because its
+    aggregate is 5 rows). The supplier side is one nation's slice but
+    still scale-proportional (|supplier|/25 grows with SF), so it carries
+    NO hint — AQE broadcasts it while small; only the 25-row nation dim
+    inside it is hinted."""
+    li = _t(spark, sf_dir, "lineitem")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
+    supp = _t(spark, sf_dir, "supplier")
+    nation_supp = supp.join(
+        F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey")
+    per_part = (
+        li.join(nation_supp, li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("sv_dec"))
+    )
+    totals = per_part.agg(
+        F.sum("sv_dec").alias("total_dec"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("sv_dec").cast("double") * F.col("n_parts")
+            > F.col("total_dec").cast("double") * F.lit(Q11_AVG_FACTOR)
+        )
+        .select(
+            "l_partkey", F.col("sv_dec").cast("double").alias("stock_value")
+        )
+        .orderBy(F.col("stock_value").desc(), "l_partkey")
+    )
+
+
+SQL_Q11 = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sv_dec
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = '{Q11_NATION}'
+  )
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(sv_dec AS DOUBLE) AS stock_value
+FROM (
+  SELECT l_partkey, sv_dec,
+         sum(sv_dec) OVER () AS total_dec,
+         count(*) OVER () AS n_parts
+  FROM per_part
+)
+WHERE CAST(sv_dec AS DOUBLE) * n_parts
+      > CAST(total_dec AS DOUBLE) * {Q11_AVG_FACTOR}
+ORDER BY stock_value DESC, l_partkey
+"""
+
+
 SPECS = {
     "q8_market_share": QuerySpec(
         q_q8_market_share,
@@ -637,5 +804,17 @@ SPECS = {
         SQL_TOPN_ORDERS,
         "per-group top-3 via rank window: no global sort, output bounded by 3|groups|",
         ("window",),
+    ),
+    "q2_min_cost_supplier": QuerySpec(
+        q_q2_min_cost_supplier,
+        SQL_Q2,
+        "correlated min-cost subquery as window min + region dim chain + top-100",
+        ("join", "window"),
+    ),
+    "q11_important_stock": QuerySpec(
+        q_q11_important_stock,
+        SQL_Q11,
+        "nation-filtered semi join + whole-frame share threshold (one fact scan)",
+        ("join", "window", "agg"),
     ),
 }

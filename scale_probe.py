@@ -92,6 +92,83 @@ def replicate(spark, src_dir: str, dst_dir: str, k: int) -> None:
         out.write.mode("overwrite").parquet(os.path.join(dst_dir, f"{name}.parquet"))
 
 
+def ann_frontier(spark, sf_dir: str) -> dict:
+    """Recall-vs-cost frontier for the approximate ANN paths at this
+    replica's corpus size — the tuning loop a real deployment runs before
+    picking (nlist, nprobe) / num_planes. Ground truth = brute-force exact
+    top-k (collected once; |queries|*k rows). IVF measures the DEPLOYMENT
+    path: the materialized index is built once, each nprobe setting pays
+    only its probe. Numbers land in PERF.md."""
+    from multi_source_financial_data_pipeline_spark.operators import similarity
+    from multi_source_financial_data_pipeline_spark.plans import llmdata
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < llmdata.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = llmdata.TOPK
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=k)
+        .select("query_id", "cand_id")
+        .collect()
+    }
+
+    def recall_and_sec(df_fn) -> dict:
+        df_fn().write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        df_fn().write.format("noop").mode("overwrite").save()
+        sec = round(time.perf_counter() - t0, 3)
+        got = {
+            (r["query_id"], r["cand_id"])
+            for r in df_fn().select("query_id", "cand_id").collect()
+        }
+        return {"recall_at_k": round(len(exact & got) / len(exact), 4), "sec": sec}
+
+    index_dir = tempfile.mkdtemp(prefix="msfdp_frontier_ivf_")
+    out: dict = {"ivf_nprobe": {}, "lsh_planes": {}, "nlist": llmdata.IVF_NLIST, "k": k}
+    try:
+        t0 = time.perf_counter()
+        similarity.build_ivf_index(spark, emb, index_dir, nlist=llmdata.IVF_NLIST)
+        out["ivf_build_sec"] = round(time.perf_counter() - t0, 3)
+        for nprobe in (1, 2, 4):
+            out["ivf_nprobe"][str(nprobe)] = recall_and_sec(
+                lambda: similarity.ivf_topk_probe(
+                    spark, index_dir, queries, k=k, nprobe=nprobe
+                )
+            )
+        for planes in (2, 4, 6):
+            out["lsh_planes"][str(planes)] = recall_and_sec(
+                lambda: similarity.lsh_topk(emb, queries, k=k, num_planes=planes)
+            )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    return out
+
+
+def media_real_scaled(spark, k: int) -> dict:
+    """Throughput of the real stdlib codecs through the Arrow batch boundary
+    at k× media volume — the Python-heaviest operator in the repo, where a
+    hidden per-row cost would surface as superlinear growth."""
+    from multi_source_financial_data_pipeline_spark.operators import multimodal
+    from multi_source_financial_data_pipeline_spark.plans import mmstream
+
+    n = mmstream.N_REAL_MEDIA * k
+
+    def run():
+        media = multimodal.synthetic_real_media(
+            spark, n=n, seed=mmstream.REAL_MEDIA_SEED
+        )
+        multimodal.decode_media_features(media, require_codecs=True).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    run()  # warm
+    t0 = time.perf_counter()
+    run()
+    return {"n_media": n, "sec": round(time.perf_counter() - t0, 3)}
+
+
 def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     k = int(os.environ.get("SPARK_GRAFT_SCALE_K", "10"))
@@ -108,6 +185,8 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name].fn(spark, dst).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+        frontier = ann_frontier(spark, dst)
+        media = media_real_scaled(spark, k)
         print(
             json.dumps(
                 {
@@ -116,6 +195,8 @@ def main() -> None:
                     "k": k,
                     "gen_sec": gen_s,
                     "queries": timings,
+                    "ann_frontier": frontier,
+                    "media_real_decode_scaled": media,
                     "unit": "sec",
                 }
             )

@@ -70,6 +70,38 @@ def test_q3_topk_avoids_global_sort(spark, sf_dir):
     assert "GlobalSort" not in plan
 
 
+def test_q2_topk_and_single_fact_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    # correlated min is a window over the cost aggregate, top-100 bounded
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalSort" not in plan
+    # lineitem is scanned exactly once (cost relation); part twice (semi
+    # filter + attribute join) is fine — it's the small side
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q11_reused_exchange_no_supplier_hint(spark, sf_dir):
+    """The grand total aggregates the SAME per-part frame the output reads:
+    Spark must deduplicate that shuffle (ReusedExchange), never re-scan
+    lineitem, and never single-partition a whole-frame window over the
+    scale-proportional per-part frame. The nation-filtered supplier slice
+    is scale-proportional so it must NOT be pinned broadcast."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _final_plan(spark, sf_dir, "q11_important_stock")
+        assert "ReusedExchange" in plan or plan.count("lineitem.parquet") == 1
+        assert "Window" not in plan
+        # the 1-row totals ride a broadcast cross join (no equi-key)
+        assert "BroadcastNestedLoopJoin" in plan
+        # only the 25-row nation dim is hash-join-hinted; the supplier semi
+        # join degrades to a shuffle join when auto-broadcast is off
+        assert plan.count("BroadcastHashJoin") == 1
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_ts_features_single_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_features")
     # one shuffle by ticker key feeds every window frame
