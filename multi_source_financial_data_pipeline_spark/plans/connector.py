@@ -177,6 +177,38 @@ FROM feed GROUP BY ticker
 """
 
 
+# --- VWAP per ticker over the connector feed ---------------------------------
+
+def q_connector_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per ticker over the full window — the
+    execution-quality benchmark every trading pipeline reports. One
+    map-side-combined groupBy on the per-ticker-partitioned feed (the
+    connector's input partitioning already co-locates each group, so at
+    cluster scale this is a near-shuffle-free aggregate). Exactness:
+    close (2-decimal grid) × volume (int) summed as DECIMAL, one final
+    division of two exact doubles."""
+    df = _read(spark, "yahoo")
+    wsum = F.sum(
+        F.col("close").cast("decimal(12,2)") * F.col("volume")
+    ).cast("double")
+    vsum = F.sum("volume")
+    return df.groupBy("ticker").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        vsum.alias("total_volume"),
+        (wsum / vsum.cast("double")).alias("vwap"),
+    )
+
+
+SQL_CONNECTOR_VWAP = f"""{_SQL_FEED}
+SELECT ticker,
+       count(*) AS n_days,
+       CAST(sum(volume) AS BIGINT) AS total_volume,
+       CAST(sum(CAST(close0 AS DECIMAL(12,2)) * volume) AS DOUBLE)
+         / CAST(sum(volume) AS DOUBLE) AS vwap
+FROM feed GROUP BY ticker
+"""
+
+
 # --- K7 export-shape parity as data (§1.3 ret/return quirk) ------------------
 
 def q_export_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,5 +371,11 @@ SPECS = {
         SQL_EXPORT_SHAPE,
         "K7 CSV export header + ret/return quirk pinned as data (§1.3)",
         ("sink", "parity"),
+    ),
+    "connector_vwap": QuerySpec(
+        q_connector_vwap,
+        SQL_CONNECTOR_VWAP,
+        "volume-weighted average price per ticker (decimal-exact weighted agg)",
+        ("source", "agg"),
     ),
 }

@@ -903,6 +903,135 @@ FROM w GROUP BY user_id, week
 """
 
 
+# --- Bollinger bands (W2/W4 extension: band + breakout classification) ------
+
+BOLL_N = 20
+BOLL_K = 2.0
+
+
+def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over each user's value series: 20-row moving mean ±
+    2σ with a breakout classification — the natural next step after W2/W4's
+    ma20/vol20. One window partitioning feeds all three frames (same single-
+    exchange shape as ts_features); bands are null until a full window
+    (min_periods), classification compares against the ROUNDED bands so
+    both engines branch on bit-identical values."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-(BOLL_N - 1), 0)
+    )
+    full = F.count("value").over(w) == BOLL_N
+    mid = F.when(full, F.avg("value").over(w))
+    sd = F.when(full, F.stddev_samp("value").over(w))
+    upper = F.round(mid + BOLL_K * sd, 6)
+    lower = F.round(mid - BOLL_K * sd, 6)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(mid, 6).alias("mid"),
+        upper.alias("upper"),
+        lower.alias("lower"),
+        F.when(upper.isNull(), F.lit("warmup"))
+        .when(F.col("value") > upper, F.lit("above"))
+        .when(F.col("value") < lower, F.lit("below"))
+        .otherwise(F.lit("inside"))
+        .alias("band_position"),
+    )
+
+
+SQL_BOLLINGER_BANDS = f"""
+WITH b AS (
+  SELECT event_id, user_id, value,
+         CASE WHEN count(value) OVER w = {BOLL_N}
+              THEN avg(value) OVER w END AS mid_raw,
+         CASE WHEN count(value) OVER w = {BOLL_N}
+              THEN stddev_samp(value) OVER w END AS sd_raw
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN {BOLL_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, value,
+       round(mid_raw, 6) AS mid,
+       round(mid_raw + {BOLL_K} * sd_raw, 6) AS upper,
+       round(mid_raw - {BOLL_K} * sd_raw, 6) AS lower,
+       CASE WHEN mid_raw IS NULL THEN 'warmup'
+            WHEN value > round(mid_raw + {BOLL_K} * sd_raw, 6) THEN 'above'
+            WHEN value < round(mid_raw - {BOLL_K} * sd_raw, 6) THEN 'below'
+            ELSE 'inside' END AS band_position
+FROM b
+"""
+
+
+# --- RSI (simple-average Cutler's variant, window-expressible) ---------------
+
+RSI_N = 14
+
+
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI (simple moving averages of gains/losses — the window-
+    expressible variant; Wilder's EWMA recursion is the `ewma_last` operator
+    family): rsi = 100·avg_gain/(avg_gain+avg_loss) over the last 14 diffs,
+    null until 14 diffs exist, 100 when losses are zero, null when the
+    series is flat (0/0). Two stacked windows on ONE user partitioning
+    (lag, then the rolling sums) — single exchange."""
+    ev = _t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    diff = F.col("value") - F.lag("value").over(w_ord)
+    # first row per user: diff is null and must STAY null (Spark's greatest
+    # skips nulls, DuckDB's propagates them — an unguarded greatest would
+    # silently shift the 14-diff warmup boundary between engines)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(diff.isNotNull(), F.greatest(diff, F.lit(0.0))).alias("gain"),
+        F.when(diff.isNotNull(), F.greatest(-diff, F.lit(0.0))).alias("loss"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-(RSI_N - 1), 0)
+    )
+    full = F.count("gain").over(w) == RSI_N
+    sum_gain = F.when(full, F.sum("gain").over(w))
+    sum_loss = F.when(full, F.sum("loss").over(w))
+    rsi = F.round(
+        F.lit(100.0) * sum_gain / F.nullif(sum_gain + sum_loss, F.lit(0.0)), 6
+    )
+    return base.select("event_id", "user_id", "value", rsi.alias("rsi"))
+
+
+SQL_RSI = f"""
+WITH d0 AS (
+  SELECT event_id, user_id, ts, value,
+         value - lag(value) OVER (PARTITION BY user_id
+                  ORDER BY ts ASC, event_id ASC) AS diff
+  FROM events
+), d AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN diff IS NOT NULL THEN greatest(diff, 0.0) END AS gain,
+         CASE WHEN diff IS NOT NULL THEN greatest(-diff, 0.0) END AS loss
+  FROM d0
+)
+SELECT event_id, user_id, value,
+       round(100.0 * (CASE WHEN count(gain) OVER w = {RSI_N}
+                           THEN sum(gain) OVER w END)
+             / nullif((CASE WHEN count(gain) OVER w = {RSI_N}
+                            THEN sum(gain) OVER w END)
+                      + (CASE WHEN count(loss) OVER w = {RSI_N}
+                              THEN sum(loss) OVER w END), 0.0), 6) AS rsi
+FROM d
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN {RSI_N - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
 SPECS = {
     "ts_features": QuerySpec(
         q_ts_features,
@@ -1035,5 +1164,17 @@ SPECS = {
         SQL_VALUE_PERCENTILES,
         "exact interpolated percentiles per group (quantile_cont-identical)",
         ("agg",),
+    ),
+    "bollinger_bands": QuerySpec(
+        q_bollinger_bands,
+        SQL_BOLLINGER_BANDS,
+        "20-row mean ± 2σ bands + breakout classification, single exchange",
+        ("window",),
+    ),
+    "rsi_14": QuerySpec(
+        q_rsi,
+        SQL_RSI,
+        "Cutler's RSI over 14 diffs (stacked windows, one user partitioning)",
+        ("window",),
     ),
 }

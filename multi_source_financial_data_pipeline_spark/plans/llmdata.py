@@ -283,6 +283,231 @@ WHERE len(list_intersect(a.s, b.s)) / nullif(len(list_distinct(a.s || b.s)), 0) 
 """
 
 
+# --- SemDeDup: embedding semantic dedup scoped to IVF cells ------------------
+
+def q_semdedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023, public paper):
+    cluster the corpus (here: the IVF quantizer's cells — the same build
+    the ANN path materializes), then drop any vector that has a
+    lower-id in-cell neighbor above the cosine threshold. Keeping the pair
+    search INSIDE cells is the entire scale story: candidate pairs are
+    Σ|cell|² instead of n², and the cluster assignment is the one linear
+    pass the index already pays. No transitive closure is needed for this
+    screening rule — "has an earlier near-twin in my cell" is row-local
+    given the cell pairs, so the plan is assign → cell self-join →
+    distinct dropped ids → anti join, all equi joins."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = similarity.ivf_assign(emb, nlist=IVF_NLIST)
+    b = assign.select(
+        F.col("vec_id").alias("bid"),
+        F.col("v").alias("bv"),
+        F.col("cell").alias("bcell"),
+    )
+    dropped = (
+        assign.join(
+            b,
+            (F.col("cell") == F.col("bcell")) & (F.col("bid") < F.col("vec_id")),
+        )
+        .filter(
+            F.round(similarity.cosine(F.col("v"), F.col("bv")), 6)
+            >= COS_THRESHOLD
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    return assign.join(dropped, "vec_id", "left_anti").select("vec_id", "cell")
+
+
+def _sql_semdedup() -> str:
+    return f"""
+{_sql_ivf_common()},
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE round({_sql_cos("a.v", "b.v")}, 6) >= {COS_THRESHOLD}
+)
+SELECT a.vec_id, a.cell FROM assign a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+# --- MinHash estimator accuracy (evaluation harness) -------------------------
+
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How good is the MinHash estimate the LSH pipeline banks on? For every
+    LSH candidate pair, compare the signature-estimated Jaccard (fraction of
+    equal components — the collision-probability estimator) to the exact
+    shingle Jaccard, summarized as mean/max absolute error. This is the
+    dedup twin of `ann_recall_*`: the harness you run before trusting
+    NUM_HASHES/BAND_SIZE at corpus scale.
+
+    Plan: candidate pairs come from the one-scan bucket pipeline
+    (`lsh_candidate_pairs`); the per-side payload frame recomputes
+    signatures IN-ROW from the shingle array (array_min∘transform — scan +
+    project, NO shuffle, exactly the same universal-hash family as the
+    explode path, and duplicate shingles can't change a min), so each side
+    join adds a linear scan, never a second signature shuffle. Exactness:
+    est = equal-count/8.0 (/2^3 — exact), exact Jaccard = one division,
+    per-pair error rounded to the 1e-6 grid and summed as DECIMAL."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES, keep_all_docs=False)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
+    def _mh(a: int, b: int):
+        # 1-arg lambda via closure (a 2-arg lambda would be read by
+        # F.transform as an (element, index) lambda)
+        return lambda s: (
+            F.lit(a) * F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+            + F.lit(b)
+        ) % F.lit(dedup.MINHASH_P)
+
+    payload = docs.select(
+        F.col("doc_id"),
+        dedup.shingles(F.col("text"), 3).alias("sh"),
+    ).select(
+        "doc_id",
+        "sh",
+        *[
+            F.array_min(F.transform("sh", _mh(a, b))).alias(f"mh{j}")
+            for j, (a, b) in enumerate(dedup.minhash_params(NUM_HASHES))
+        ],
+    )
+    pa = payload.alias("pa")
+    pb = payload.alias("pb")
+    est = (
+        sum(
+            (F.col(f"pa.mh{j}") == F.col(f"pb.mh{j}")).cast("int")
+            for j in range(NUM_HASHES)
+        )
+        / F.lit(float(NUM_HASHES))
+    )
+    exact = F.size(F.array_intersect("pa.sh", "pb.sh")) / F.nullif(
+        F.size(F.array_union("pa.sh", "pb.sh")), F.lit(0)
+    )
+    err = F.round(F.abs(est - exact), 6)
+    per_pair = (
+        pairs.join(pa, pairs.id_a == F.col("pa.doc_id"))
+        .join(pb, pairs.id_b == F.col("pb.doc_id"))
+        .select(err.alias("err"))
+    )
+    return per_pair.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.sum(F.col("err").cast("decimal(10,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_abs_err"),
+        F.max("err").alias("max_abs_err"),
+    )
+
+
+def _sql_minhash_equal_frac() -> str:
+    cases = " + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(NUM_HASHES)
+    )
+    return f"({cases}) / {float(NUM_HASHES)}"
+
+
+SQL_MINHASH_ACCURACY = f"""
+WITH cand AS (SELECT * FROM ({SQL_MINHASH_LSH_PAIRS})),
+d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM d),
+p AS (
+  SELECT doc_id, s,
+         {", ".join(f"{_sql_minhash(j)} AS mh{j}" for j in range(NUM_HASHES))}
+  FROM sh
+),
+e AS (
+  SELECT round(abs({_sql_minhash_equal_frac()}
+                   - len(list_intersect(a.s, b.s))
+                     / nullif(len(list_distinct(a.s || b.s)), 0)), 6) AS err
+  FROM cand c
+  JOIN p a ON a.doc_id = c.id_a
+  JOIN p b ON b.doc_id = c.id_b
+)
+SELECT count(*) AS n_pairs,
+       CAST(sum(CAST(err AS DECIMAL(10,6))) AS DOUBLE) / count(*) AS mean_abs_err,
+       max(err) AS max_abs_err
+FROM e
+"""
+
+
+# --- curation funnel: per-stage survivor counts ------------------------------
+
+FUNNEL_QUALITY_MIN = 0.5
+
+
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's per-stage attrition report: how many docs
+    survive (cumulatively) language-ID → quality threshold → exact-dedup
+    canonicalization. One documents scan computes every per-doc flag in-row
+    (stopword ratio, quality score, fingerprint); the only shuffle is the
+    fingerprint window for canonical selection; the four stage counts are
+    conditional sums in ONE aggregate, unpivoted to (stage, n_docs) rows.
+    Counts are integers — engine-exact by construction."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    quality = text.quality_columns("text")["quality_score"]
+    fp = F.md5(F.concat_ws(" ", text.tokens(F.lower(F.col("text")))))
+    flagged = docs.select(
+        F.col("doc_id"),
+        (text.stopword_ratio(F.col("text")) >= 0.05).alias("is_en"),
+        (quality >= FUNNEL_QUALITY_MIN).alias("is_quality"),
+        fp.alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    canon = flagged.withColumn(
+        "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
+    )
+    agg = canon.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("is_en").cast("long")).alias("en"),
+        F.sum((F.col("is_en") & F.col("is_quality")).cast("long")).alias("q"),
+        F.sum(
+            (F.col("is_en") & F.col("is_quality") & F.col("is_canonical")).cast(
+                "long"
+            )
+        ).alias("kept"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, '0_total', total, '1_lang_en', en,"
+            " '2_quality', q, '3_canonical', kept) AS (stage, n_docs)"
+        )
+    )
+
+
+SQL_QUALITY_FILTER_FUNNEL = f"""
+WITH d AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ({_STOPLIST}))) / len(toks)
+           >= 0.05 AS is_en,
+         (CASE WHEN len(toks) >= 50 THEN 1.0 ELSE len(toks) / 50.0 END) * 0.5
+           + (len(list_distinct(toks)) / len(toks)) * 0.3
+           + least(((length(text) - (len(toks) - 1)) / len(toks)) / 10.0,
+                   1.0) * 0.2 >= {FUNNEL_QUALITY_MIN} AS is_quality,
+         md5(array_to_string(regexp_split_to_array(lower(text), '\\s+'), ' ')) AS fp
+  FROM d
+),
+c AS (
+  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical FROM m
+),
+agg AS (
+  SELECT count(*) AS total,
+         sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS en,
+         sum(CASE WHEN is_en AND is_quality THEN 1 ELSE 0 END) AS q,
+         sum(CASE WHEN is_en AND is_quality AND is_canonical THEN 1 ELSE 0 END)
+           AS kept
+  FROM c
+)
+SELECT '0_total' AS stage, CAST(total AS BIGINT) AS n_docs FROM agg
+UNION ALL SELECT '1_lang_en', CAST(en AS BIGINT) FROM agg
+UNION ALL SELECT '2_quality', CAST(q AS BIGINT) FROM agg
+UNION ALL SELECT '3_canonical', CAST(kept AS BIGINT) FROM agg
+"""
+
+
 # --- corpus vocabulary + length-distribution profiles ------------------------
 
 VOCAB_K = 50
@@ -1427,5 +1652,23 @@ SPECS = {
         SQL_LSH_NEARDUP,
         "near-dup pairs within LSH buckets (linear-scale candidate path)",
         ("similarity", "dedup"),
+    ),
+    "minhash_accuracy": QuerySpec(
+        q_minhash_accuracy,
+        SQL_MINHASH_ACCURACY,
+        "MinHash-estimated vs exact Jaccard error over LSH candidate pairs",
+        ("dedup", "eval"),
+    ),
+    "semdedup_kept": QuerySpec(
+        q_semdedup_kept,
+        _sql_semdedup(),
+        "SemDeDup: cell-scoped cosine screening, survivors per IVF cell",
+        ("dedup", "similarity"),
+    ),
+    "quality_filter_funnel": QuerySpec(
+        q_quality_filter_funnel,
+        SQL_QUALITY_FILTER_FUNNEL,
+        "curation funnel: cumulative survivor counts per filter stage",
+        ("text", "agg"),
     ),
 }

@@ -579,7 +579,7 @@ FROM (
 
 # --- q2: minimum-cost supplier per part (correlated min as window) -----------
 
-Q2_SIZE = 15
+Q2_SIZE_MAX = 25  # size RANGE, not equality: a single (size,type) cell is empty at sf0.001
 Q2_TYPE = "ECONOMY"
 Q2_REGION = "EUROPE"
 Q2_LIMIT = 100
@@ -587,7 +587,7 @@ Q2_LIMIT = 100
 
 def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q2 shape (/root/reference has no analog; public TPC-H spec):
-    for each part of one size and type, the region's minimum-cost supplier.
+    for each part of one type within a size band, the region's minimum-cost supplier.
     Without partsupp, the (supplier, part) supply cost is the supplier's
     observed unit price: exact-decimal sums of extendedprice and quantity
     per (suppkey, partkey), divided once (one IEEE op, engine-exact).
@@ -601,7 +601,7 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(
-        (F.col("p_size") == Q2_SIZE) & (F.col("p_type") == Q2_TYPE)
+        (F.col("p_size") <= Q2_SIZE_MAX) & (F.col("p_type") == Q2_TYPE)
     ).select("p_partkey", "p_brand")
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
@@ -648,7 +648,7 @@ WITH cost AS (
            AS supply_cost
   FROM lineitem
   WHERE l_partkey IN (SELECT p_partkey FROM part
-                      WHERE p_size = {Q2_SIZE} AND p_type = '{Q2_TYPE}')
+                      WHERE p_size <= {Q2_SIZE_MAX} AND p_type = '{Q2_TYPE}')
   GROUP BY l_partkey, l_suppkey
 ), eligible AS (
   SELECT c.l_partkey, c.supply_cost, s.s_acctbal, s.s_name, n.n_name,

@@ -185,7 +185,11 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name].fn(spark, dst).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
-        frontier = ann_frontier(spark, dst)
+        # frontier runs on the BASE dir: the key-shifted replica duplicates
+        # every vector k times, so each query's top-k fills with its own
+        # clones in its own cell and recall@k reads ~1.0 at any nprobe —
+        # a degenerate corpus for recall measurement
+        frontier = ann_frontier(spark, src)
         media = media_real_scaled(spark, k)
         print(
             json.dumps(
