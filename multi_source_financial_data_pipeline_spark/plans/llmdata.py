@@ -1376,6 +1376,79 @@ FROM per_doc, tot
 """
 
 
+# --- bigram LM scoring (conditional-probability extension of unigram_prob) ---
+
+def q_bigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document under the corpus's own bigram LM: per doc, the
+    mean and min conditional probability p(w2|w1) = c(w1 w2)/c(w1 ·) of its
+    bigram instances — the rare-TRANSITION detector that unigram_prob's
+    per-token frequencies can't see (a doc of common words in an
+    unprecedented order scores low here, high there). No smoothing needed:
+    the LM is trained on the same corpus, so every observed bigram has
+    count ≥ 1.
+
+    Exactness without logs: each p is ONE division of exact integers
+    (engine-identical double); min is comparison-only; the mean sums
+    round(p, 12) as DECIMAL(14,12) (identical rounding inputs → identical
+    decimals; both engines round half away from zero), then divides once.
+    Plan: one scan → bigram explode → (doc, gram) hash-agg [shuffle 1] →
+    corpus counts via windows over gram and over its first word
+    [shuffles 2-3, no re-scan] → doc rollup [shuffle 4]. Linear in corpus
+    tokens throughout."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(
+            "doc_id", F.explode(text.word_ngrams(F.col("text"), 2)).alias("gram")
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c_dg"))
+    )
+    w_gram = Window.partitionBy("gram")
+    w_ctx = Window.partitionBy("w1")
+    scored = (
+        pairs.withColumn("c2", F.sum("c_dg").over(w_gram))
+        .withColumn("w1", F.substring_index("gram", " ", 1))
+        .withColumn("c1", F.sum("c_dg").over(w_ctx))
+        .withColumn("p", F.col("c2").cast("double") / F.col("c1").cast("double"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("c_dg").alias("n_bigrams"),
+        (
+            F.sum(F.col("c_dg") * F.round("p", 12).cast("decimal(16,12)"))
+            .cast("double")
+            / F.sum("c_dg").cast("double")
+        ).alias("mean_bigram_prob"),
+        F.min("p").alias("min_bigram_prob"),
+    )
+
+
+_SQL_BIGRAMS = (
+    "list_transform(generate_series(1, len(toks) - 1),"
+    " i -> toks[i] || ' ' || toks[i+1])"
+)
+
+SQL_BIGRAM_PROB = f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, unnest({_SQL_BIGRAMS}) AS gram FROM d),
+cdg AS (SELECT doc_id, gram, count(*) AS c_dg FROM g GROUP BY doc_id, gram),
+scored AS (
+  SELECT doc_id, c_dg,
+         CAST(sum(c_dg) OVER (PARTITION BY gram) AS DOUBLE)
+           / CAST(sum(c_dg) OVER (PARTITION BY split_part(gram, ' ', 1))
+                  AS DOUBLE) AS p
+  FROM cdg
+)
+SELECT doc_id,
+       CAST(sum(c_dg) AS BIGINT) AS n_bigrams,
+       CAST(sum(c_dg * CAST(round(p, 12) AS DECIMAL(16,12))) AS DOUBLE)
+         / CAST(sum(c_dg) AS DOUBLE) AS mean_bigram_prob,
+       min(p) AS min_bigram_prob
+FROM scored GROUP BY doc_id
+"""
+
+
 # --- decontamination: eval-set n-gram overlap --------------------------------
 
 DECON_NGRAM = 5
@@ -1664,6 +1737,12 @@ SPECS = {
         _sql_semdedup(),
         "SemDeDup: cell-scoped cosine screening, survivors per IVF cell",
         ("dedup", "similarity"),
+    ),
+    "bigram_prob": QuerySpec(
+        q_bigram_prob,
+        SQL_BIGRAM_PROB,
+        "corpus bigram-LM doc scoring: mean/min p(w2|w1), integer-exact",
+        ("text", "window"),
     ),
     "quality_filter_funnel": QuerySpec(
         q_quality_filter_funnel,
