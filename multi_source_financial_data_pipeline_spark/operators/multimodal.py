@@ -348,6 +348,144 @@ def synthetic_real_media(spark: SparkSession, n: int = 100, seed: int = 7) -> Da
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synthetic_rgb_media(spark: SparkSession, n: int = 100, seed: int = 7) -> DataFrame:
+    """Like `synthetic_real_media`, but the BMPs carry DISTINCT per-channel
+    patterns (BGR bytes differ), so a per-channel decoder can't pass by
+    reading any one byte stream: even ids are 24-bit BMPs whose row-y pixel
+    is (B, G, R) = ((id+s+y), (2id+s+y), (3id+s+y)) mod 256 constant across
+    the row; odd ids are the same PCM-16 WAVs as synthetic_real_media."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    w, h = 2 + mid % 6, 3 + mid % 5
+                    logical = [
+                        bytes(
+                            [
+                                (mid + seed + y) % 256,
+                                (2 * mid + seed + y) % 256,
+                                (3 * mid + seed + y) % 256,
+                            ]
+                            * w
+                        )
+                        for y in range(h)
+                    ]
+                    data = _bmp_encode(w, h, logical)
+                    kind, codec = "image", "bmp/24"
+                else:
+                    rate = 8000 + 500 * (mid % 8)
+                    ns = 64 + mid % 32
+                    data = _wav_bytes(
+                        rate,
+                        [((mid * 31 + i * 37 + seed) % 65536) - 32768
+                         for i in range(ns)],
+                    )
+                    kind, codec = "audio", "wav/pcm16"
+                rows.append(
+                    {"media_id": mid, "kind": kind, "data": data,
+                     "meta": {"codec": codec}}
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+#: per-channel image means + audio energy, one row per media payload
+CHANNEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def _bmp_channel_means(data: bytes) -> tuple[float, float, float] | None:
+    """Per-channel (B, G, R — BMP byte order) pixel means over the actual
+    pixel grid. Integer byte sums, one division per channel — engine-exact
+    against a closed-form oracle."""
+    if _decode_bmp(data) is None:
+        return None
+    pix_offset = struct.unpack_from("<I", data, 10)[0]
+    _, width, height = struct.unpack_from("<Iii", data, 14)
+    n_rows = abs(height)
+    row_stride = ((3 * width + 3) // 4) * 4
+    sums = [0, 0, 0]
+    for r in range(n_rows):
+        row = data[pix_offset + r * row_stride : pix_offset + r * row_stride + 3 * width]
+        for c in range(3):
+            sums[c] += sum(row[c::3])
+    denom = width * n_rows * 255.0
+    return (sums[0] / denom, sums[1] / denom, sums[2] / denom)
+
+
+def _wav_rms(data: bytes) -> float | None:
+    """RMS energy of the PCM-16 samples, normalized to [0, 1]: integer
+    sum of squares, one division, one IEEE sqrt (correctly rounded, so
+    engine-identical), one final division."""
+    import math
+
+    parsed = _decode_wav(data)
+    if parsed is None:
+        return None
+    # re-walk chunks for the raw samples (decode_wav returns summaries only)
+    pos, pcm, channels = 12, None, 1
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        clen = struct.unpack_from("<I", data, pos + 4)[0]
+        if cid == b"fmt ":
+            channels = struct.unpack_from("<H", data, pos + 8 + 2)[0]
+        elif cid == b"data":
+            pcm = data[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    n = len(pcm) // (2 * channels) * channels
+    samples = struct.unpack_from(f"<{n}h", pcm, 0)
+    if not samples:
+        return None
+    sum_sq = sum(s * s for s in samples)
+    return math.sqrt(sum_sq / len(samples)) / 32768.0
+
+
+def media_channel_stats(media: DataFrame) -> DataFrame:
+    """Per-channel image means (B/G/R) + audio RMS energy in ONE Arrow
+    `mapInPandas` pass — the feature-extraction stage a multimodal curation
+    pipeline runs before filtering (e.g. drop near-black images, drop
+    near-silent audio). Real byte-level decoding, no stub path: payloads
+    that parse as neither BMP nor WAV yield all-null stats."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                data = bytes(row["data"]) if row["data"] is not None else None
+                rec = {
+                    "media_id": row["media_id"], "kind": row["kind"],
+                    "mean_b": None, "mean_g": None, "mean_r": None, "rms": None,
+                }
+                if data:
+                    means = _bmp_channel_means(data)
+                    if means is not None:
+                        rec["mean_b"], rec["mean_g"], rec["mean_r"] = means
+                    else:
+                        rec["rms"] = _wav_rms(data)
+                out.append(rec)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "data").mapInPandas(
+        extract, schema=CHANNEL_STATS_SCHEMA
+    )
+
+
 def synthetic_real_video(spark: SparkSession, n: int = 60, seed: int = 7) -> DataFrame:
     """Real YUV4MPEG2 (C420) video blobs, generated distributed: dimensions,
     frame count, and per-frame luma as closed-form functions of (id, seed)

@@ -214,6 +214,54 @@ FROM aud
 """
 
 
+# --- REAL per-channel image stats + audio RMS energy -------------------------
+
+def q_media_real_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel (B/G/R) pixel means + audio RMS in one Arrow pass over
+    RGB BMPs whose channels carry DISTINCT patterns (a decoder that reads
+    any single byte stream fails two of three channel columns) and PCM-16
+    WAVs. The curation-filter stage ("drop near-black images / near-silent
+    audio") on real bytes; the oracle recomputes every stat from the
+    generation formulas with matching float op order (integer sums → one
+    division; RMS adds one correctly-rounded IEEE sqrt)."""
+    media = multimodal.synthetic_rgb_media(
+        spark, n=N_REAL_MEDIA, seed=REAL_MEDIA_SEED
+    )
+    return multimodal.media_channel_stats(media)
+
+
+SQL_MEDIA_REAL_CHANNEL_STATS = f"""
+WITH m AS (SELECT i AS media_id FROM generate_series(0, {N_REAL_MEDIA - 1}) t(i)),
+img AS (
+  SELECT media_id, 2 + media_id % 6 AS w, 3 + media_id % 5 AS h
+  FROM m WHERE media_id % 2 = 0
+),
+aud AS (
+  SELECT media_id, 64 + media_id % 32 AS ns FROM m WHERE media_id % 2 = 1
+)
+SELECT media_id, 'image' AS kind,
+       CAST(w * list_sum(list_transform(generate_series(0, h - 1),
+              y -> (media_id + {REAL_MEDIA_SEED} + y) % 256)) AS DOUBLE)
+         / (w * h * 255.0) AS mean_b,
+       CAST(w * list_sum(list_transform(generate_series(0, h - 1),
+              y -> (2 * media_id + {REAL_MEDIA_SEED} + y) % 256)) AS DOUBLE)
+         / (w * h * 255.0) AS mean_g,
+       CAST(w * list_sum(list_transform(generate_series(0, h - 1),
+              y -> (3 * media_id + {REAL_MEDIA_SEED} + y) % 256)) AS DOUBLE)
+         / (w * h * 255.0) AS mean_r,
+       CAST(NULL AS DOUBLE) AS rms
+FROM img
+UNION ALL
+SELECT media_id, 'audio' AS kind,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       sqrt(CAST(list_sum(list_transform(generate_series(0, ns - 1),
+              i -> ((media_id * 31 + i * 37 + {REAL_MEDIA_SEED}) % 65536 - 32768)
+                   * ((media_id * 31 + i * 37 + {REAL_MEDIA_SEED}) % 65536 - 32768)))
+            AS DOUBLE) / ns) / 32768.0 AS rms
+FROM aud
+"""
+
+
 # --- REAL pixel-grid resize (BMP nearest-neighbor + re-encode) ---------------
 
 REAL_RESIZE_MAX_SIDE = 4
@@ -953,6 +1001,13 @@ SPECS = {
         SQL_MEDIA_REAL_FRAMES,
         "REAL YUV4MPEG2 demux: every 2nd frame's luma plane, hex-exact vs "
         "the generation formulas",
+        ("multimodal",),
+    ),
+    "media_real_channel_stats": QuerySpec(
+        q_media_real_channel_stats,
+        SQL_MEDIA_REAL_CHANNEL_STATS,
+        "per-channel B/G/R pixel means (distinct channel patterns) + PCM "
+        "RMS energy, real bytes, one Arrow pass",
         ("multimodal",),
     ),
     "stream_media_features": QuerySpec(

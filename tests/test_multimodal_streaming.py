@@ -148,6 +148,25 @@ def test_parsers_reject_degenerate_fields_without_raising():
     assert _parse_y4m(y4m.replace(b"W4", b"Wx")) is None
 
 
+def test_channel_means_and_rms_byte_level():
+    import math
+
+    from multi_source_financial_data_pipeline_spark.operators.multimodal import (
+        _bmp_channel_means,
+        _bmp_encode,
+        _wav_rms,
+    )
+
+    # 2x2 BMP, rows (B,G,R) = (10,20,30) and (40,50,60): channel means are
+    # the per-channel row averages
+    logical = [bytes([10, 20, 30] * 2), bytes([40, 50, 60] * 2)]
+    means = _bmp_channel_means(_bmp_encode(2, 2, logical))
+    assert means == (25 / 255.0, 35 / 255.0, 45 / 255.0)
+    wav = _wav_bytes(8000, [3, -4])
+    assert _wav_rms(wav) == math.sqrt((9 + 16) / 2) / 32768.0
+    assert _bmp_channel_means(wav) is None and _wav_rms(b"junk") is None
+
+
 def test_frame_sampling_only_video(spark):
     media = synthetic_media(spark, n=30)
     frames = sample_frames(media, every_n_bytes=64)
