@@ -88,6 +88,11 @@ HEADLINE = [
     "media_real_decode",
     "media_real_resize",
     "mixture_resample",
+    # round-6 wave 2: cell-scoped semantic dedup, bigram-LM scoring, the
+    # MinHash estimator-accuracy harness
+    "semdedup_kept",
+    "bigram_prob",
+    "minhash_accuracy",
 ]
 
 

@@ -70,6 +70,12 @@ PROBE_QUERIES = [
     "sequence_packing",
     # corpus-LM scoring: gram-level aggregates must stay linear in tokens
     "unigram_prob",
+    # round-6: bigram windows (gram-level, linear), cell-scoped semantic
+    # dedup (pairs bounded by Σ|cell|², grows quadratically ONLY within
+    # cells), estimator-accuracy harness (bucket pairs + 2 payload scans)
+    "bigram_prob",
+    "semdedup_kept",
+    "minhash_accuracy",
 ]
 
 

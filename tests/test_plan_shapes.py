@@ -421,3 +421,50 @@ def test_ivf_topk_probe_join_is_hash_not_cartesian(spark, sf_dir):
         or "SortMergeJoin" in plan
     )
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_bollinger_rsi_single_exchange(spark, sf_dir):
+    """Both band/RSI plans stack every window frame on ONE user-key
+    partitioning — a second exchange means the lag and rolling windows
+    stopped sharing their sort."""
+    for name in ("bollinger_bands", "rsi_14"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert plan.count("events.parquet") == 1, name
+
+
+def test_bigram_prob_single_scan(spark, sf_dir):
+    """Corpus bigram counts come from windows over the (doc, gram)
+    aggregate — never a second tokenize of documents."""
+    plan = _plan(spark, sf_dir, "bigram_prob")
+    assert plan.count("documents.parquet") == 1
+
+
+def test_quality_filter_funnel_single_scan_single_exchange(spark, sf_dir):
+    """All per-doc flags are computed in-row on one scan; the only shuffle
+    is the fingerprint window for canonical selection."""
+    plan = _plan(spark, sf_dir, "quality_filter_funnel")
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_minhash_accuracy_scan_bound(spark, sf_dir):
+    """Pairs come from the one-scan bucket pipeline; each payload side adds
+    ONE more linear scan (in-row signatures, no second signature shuffle):
+    exactly 3 documents scans, no nested-loop joins."""
+    plan = _plan(spark, sf_dir, "minhash_accuracy")
+    assert plan.count("documents.parquet") == 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_cell_equi_join_no_cartesian(spark, sf_dir):
+    """The SemDeDup pair search must stay an equi join on `cell` (candidate
+    pairs bounded by cell sizes). The only nested-loop joins allowed are
+    the three broadcast 1-row quantizer attachments (one per reference to
+    the assign frame); a CartesianProduct means the cell key was lost and
+    the plan went all-pairs."""
+    plan = _plan(spark, sf_dir, "semdedup_kept")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
+    assert plan.count("embeddings.parquet") <= 6
