@@ -608,6 +608,52 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --- streaming: SLIDING windows (overlapping assignment) ---------------------
+
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow drain → SLIDING 2-hour window with a 1-hour slide:
+    every event belongs to exactly TWO overlapping windows — the streaming
+    assignment tumbling windows can't express (trend smoothing, rate-limit
+    lookbacks). Spark expands each row into its window set before the
+    stateful aggregate, so state is |windows| × |types|, bounded. The batch
+    oracle replays the same assignment rule: window starts are the slide-
+    aligned hours {trunc(ts), trunc(ts) − 1h}."""
+    name = f"stream_sliding_{next(_qname)}"
+    with _event_stream(spark, sf_dir) as stream:
+        agg = stream.groupBy(
+            F.window("ts", "2 hours", "1 hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).select(
+        F.unix_micros(F.col("window.start")).alias("bucket_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_STREAM_SLIDING = """
+SELECT epoch_us(date_trunc('hour', ts) - INTERVAL 1 HOUR * k) AS bucket_us,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events, (SELECT unnest([0, 1]) AS k) slides
+GROUP BY 1, 2
+"""
+
+
 # --- streaming: watermarked dropDuplicates through foreachBatch --------------
 
 def q_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1034,6 +1080,12 @@ SPECS = {
         q_stream_hourly_counts,
         SQL_STREAM_HOURLY,
         "availableNow streaming tumbling-window counts (complete mode)",
+        ("streaming",),
+    ),
+    "stream_sliding_counts": QuerySpec(
+        q_stream_sliding_counts,
+        SQL_STREAM_SLIDING,
+        "sliding 2h/1h windows: overlapping assignment, decimal-exact sums",
         ("streaming",),
     ),
     "stream_dedup_count": QuerySpec(
