@@ -512,6 +512,124 @@ FROM events GROUP BY user_id
 """
 
 
+# --- market-basket co-occurrence: event-type pairs per user ------------------
+
+def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event types co-occur in the same user's history, with support —
+    the market-basket pair count (A-priori's first pass). Pairs are
+    generated INSIDE each user's sorted distinct-type set (collect_set +
+    posexplode × ordered-suffix explode — the same one-pass bucket idiom as
+    LSH pair generation), so the pair space is Σ C(|types_u|, 2), bounded
+    by the type vocabulary, never a fact-table self-join. Support divides
+    two exact integers once; the user total reuses the set frame's shuffle
+    (ReusedExchange) as a 1-row broadcast."""
+    ev = _events(spark, sf_dir)
+    sets = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+    pairs = (
+        sets.select(F.posexplode("types").alias("pos", "type_a"), F.col("types"))
+        .select(
+            "type_a",
+            F.explode(
+                F.slice("types", F.col("pos") + 2, F.size("types"))
+            ).alias("type_b"),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    total = sets.agg(F.count(F.lit(1)).alias("n_total_users"))
+    return pairs.crossJoin(F.broadcast(total)).select(
+        "type_a",
+        "type_b",
+        "n_users",
+        (F.col("n_users").cast("double") / F.col("n_total_users").cast("double")
+         ).alias("support"),
+    )
+
+
+SQL_TYPE_COOCCURRENCE = """
+WITH sets AS (
+  SELECT user_id, list_sort(list_distinct(list(event_type))) AS types
+  FROM events GROUP BY user_id
+),
+pairs AS (
+  SELECT types[i.x] AS type_a, types[j.x] AS type_b
+  FROM sets,
+       unnest(generate_series(1, len(types))) AS i(x),
+       unnest(generate_series(1, len(types))) AS j(x)
+  WHERE j.x > i.x
+),
+tot AS (SELECT count(*) AS n_total_users FROM sets)
+SELECT type_a, type_b, count(*) AS n_users,
+       CAST(count(*) AS DOUBLE) / CAST(n_total_users AS DOUBLE) AS support
+FROM pairs, tot
+GROUP BY type_a, type_b, n_total_users
+"""
+
+
+# --- winsorized per-type stats (percentile window, no second scan) -----------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type cleaning stats: clip `value` into its type's
+    [p05, p95] band and report clip counts + winsorized mean. The
+    percentiles are WINDOW aggregates over the type partition (Spark
+    `percentile` ≡ DuckDB `quantile_cont`, bit-identical interpolation), so
+    the whole query is ONE scan and ONE exchange — the groupBy reuses the
+    window's partitioning. The mean sums round(clipped, 6) as DECIMAL
+    (identical clipped doubles on both engines) and divides once."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type")
+    pcts = F.expr(
+        f"percentile(value, array({WINSOR_LO}, {WINSOR_HI}))"
+    ).over(w)
+    clipped = ev.select(
+        "event_type",
+        "value",
+        pcts[0].alias("p_lo"),
+        pcts[1].alias("p_hi"),
+    ).select(
+        "event_type",
+        "value",
+        "p_lo",
+        "p_hi",
+        F.greatest("p_lo", F.least("p_hi", F.col("value"))).alias("wval"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value") < F.col("p_lo")).cast("long")).alias("n_clipped_low"),
+        F.sum((F.col("value") > F.col("p_hi")).cast("long")).alias("n_clipped_high"),
+        (
+            F.sum(F.round("wval", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("winsorized_mean"),
+    )
+
+
+SQL_WINSORIZED_STATS = f"""
+WITH c AS (
+  SELECT event_type, value,
+         quantile_cont(value, {WINSOR_LO}) OVER (PARTITION BY event_type) AS p_lo,
+         quantile_cont(value, {WINSOR_HI}) OVER (PARTITION BY event_type) AS p_hi
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       CAST(sum(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(sum(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       CAST(sum(CAST(round(greatest(p_lo, least(p_hi, value)), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS winsorized_mean
+FROM c GROUP BY event_type
+"""
+
+
 SPECS = {
     "json_props_stats": QuerySpec(
         q_json_props_stats,
@@ -524,6 +642,18 @@ SPECS = {
         SQL_EVENT_PIVOT,
         "pivot with explicit values: one hash agg, no discovery job",
         ("events", "agg"),
+    ),
+    "type_cooccurrence": QuerySpec(
+        q_type_cooccurrence,
+        SQL_TYPE_COOCCURRENCE,
+        "market-basket pairs inside per-user type sets + support",
+        ("events", "agg"),
+    ),
+    "winsorized_stats": QuerySpec(
+        q_winsorized_stats,
+        SQL_WINSORIZED_STATS,
+        "percentile-window clip + winsorized mean, one scan one exchange",
+        ("events", "window", "agg"),
     ),
     "asof_join": QuerySpec(
         q_asof_join,

@@ -1376,6 +1376,50 @@ FROM per_doc, tot
 """
 
 
+# --- token diversity per source (Simpson index, integer-exact) ---------------
+
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution concentration: the Simpson index
+    Σ(c_t/N)² = Σc_t²/N² and its inverse (effective vocabulary size) — the
+    diversity stat a mixture designer reads before weighting sources
+    (Shannon entropy needs logs, whose last-ulp differs across engines;
+    Simpson stays INTEGER until one division, hence hash-exact). One
+    explode → (source, token) hash-agg → per-source rollup; the squares
+    sum as integers."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (
+            F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c").cast("double") * F.sum("c").cast("double"))
+        ).alias("simpson"),
+        (
+            (F.sum("c").cast("double") * F.sum("c").cast("double"))
+            / F.sum(F.col("c") * F.col("c")).cast("double")
+        ).alias("inv_simpson"),
+    )
+
+
+SQL_TOKEN_DIVERSITY = f"""
+WITH tok AS (SELECT source, unnest({_SQL_TOKS}) AS t FROM documents),
+c AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(c * c) AS DOUBLE)
+         / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) AS simpson,
+       (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+         / CAST(sum(c * c) AS DOUBLE) AS inv_simpson
+FROM c GROUP BY source
+"""
+
+
 # --- bigram LM scoring (conditional-probability extension of unigram_prob) ---
 
 def q_bigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1743,6 +1787,12 @@ SPECS = {
         SQL_BIGRAM_PROB,
         "corpus bigram-LM doc scoring: mean/min p(w2|w1), integer-exact",
         ("text", "window"),
+    ),
+    "token_diversity": QuerySpec(
+        q_token_diversity,
+        SQL_TOKEN_DIVERSITY,
+        "per-source Simpson diversity (integer-exact; entropy needs logs)",
+        ("text", "agg"),
     ),
     "quality_filter_funnel": QuerySpec(
         q_quality_filter_funnel,
