@@ -74,6 +74,73 @@ FROM w WHERE side = 1
 """
 
 
+# --- as-of join with tolerance (pandas merge_asof(tolerance=...) parity) -----
+
+ASOF_TOL_US = 3 * 86_400 * 1_000_000  # 3 days
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`merge_asof(tolerance=3d)` semantics: the latest prior match counts
+    only if it's within the tolerance horizon — stale quotes must NOT fill
+    forward forever (the financial-data rule the plain as-of ignores). Same
+    single union + window pass as `asof_join`; the tolerance is one
+    row-local comparison afterwards, so the plan cost is identical."""
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = sessions.asof_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+        tiebreak="event_id",
+    )
+    ts_us = F.unix_micros(F.col("ts"))
+    in_tol = F.col("asof_ts") >= ts_us - F.lit(ASOF_TOL_US)
+    return out.select(
+        "event_id",
+        "user_id",
+        ts_us.alias("ts_us"),
+        "value",
+        F.when(in_tol, F.col("asof_value")).alias("asof_value"),
+        F.when(in_tol, F.col("asof_ts")).alias("asof_ts"),
+        F.coalesce(in_tol, F.lit(False)).alias("matched"),
+    )
+
+
+SQL_ASOF_TOLERANCE = f"""
+WITH u AS (
+  SELECT event_id, user_id, ts, value, 1 AS side,
+         NULL::DOUBLE AS r_value, NULL::BIGINT AS r_ts_us
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT event_id, user_id, ts, NULL::DOUBLE, 0,
+         value, epoch_us(ts)
+  FROM events WHERE event_type = 'signup'
+), w AS (
+  SELECT *,
+    last_value(r_value IGNORE NULLS) OVER prior_r AS asof_value,
+    last_value(r_ts_us IGNORE NULLS) OVER prior_r AS asof_ts
+  FROM u
+  WINDOW prior_r AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+       CASE WHEN asof_ts >= epoch_us(ts) - {ASOF_TOL_US} THEN asof_value END
+         AS asof_value,
+       CASE WHEN asof_ts >= epoch_us(ts) - {ASOF_TOL_US} THEN asof_ts END
+         AS asof_ts,
+       coalesce(asof_ts >= epoch_us(ts) - {ASOF_TOL_US}, FALSE) AS matched
+FROM w WHERE side = 1
+"""
+
+
 # --- sessionization: 30-min-gap sessions per user ----------------------------
 
 GAP_SECONDS = 1800
@@ -642,6 +709,12 @@ SPECS = {
         SQL_EVENT_PIVOT,
         "pivot with explicit values: one hash agg, no discovery job",
         ("events", "agg"),
+    ),
+    "asof_tolerance": QuerySpec(
+        q_asof_tolerance,
+        SQL_ASOF_TOLERANCE,
+        "merge_asof(tolerance): stale matches nulled, same one-pass plan",
+        ("events", "window"),
     ),
     "type_cooccurrence": QuerySpec(
         q_type_cooccurrence,
