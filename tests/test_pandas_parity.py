@@ -232,3 +232,67 @@ def test_repetition_stats_literal_frames(spark):
     assert got[2]["is_repetitive"] == 0
     assert got[3]["top_bigram_frac"] == 0.0 and got[3]["dup_trigram_frac"] == 0.0
     assert got[3]["is_repetitive"] == 0
+
+
+def test_bollinger_and_rsi_match_pandas(spark):
+    """Bollinger bands = rolling(20).mean() ± 2·rolling(20).std(ddof=1) with
+    min_periods=20, and Cutler's RSI = 100·SMA(gain,14)/(SMA(gain,14) +
+    SMA(loss,14)) over the diff series — asserted against pandas on a
+    deterministic series shaped like the events table."""
+    import numpy as np
+
+    from multi_source_financial_data_pipeline_spark.plans.financial import (
+        BOLL_K,
+        BOLL_N,
+        RSI_N,
+        q_bollinger_bands,
+        q_rsi,
+    )
+
+    n = 60
+    vals = [100.0 + 7 * math.sin(i / 3.0) + (i % 5) for i in range(n)]
+    rows = [
+        (i, 7, f"2024-01-01 00:{i:02d}:00" if i < 60 else None, "view", vals[i], None)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, "
+              "value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    import multi_source_financial_data_pipeline_spark.plans.financial as fin
+    orig = fin._t
+    fin._t = lambda _s, _d, _n: df
+    try:
+        boll = q_bollinger_bands(spark, "unused").toPandas().sort_values("event_id")
+        rsi = q_rsi(spark, "unused").toPandas().sort_values("event_id")
+    finally:
+        fin._t = orig
+
+    s = pd.Series(vals)
+    mid = s.rolling(BOLL_N, min_periods=BOLL_N).mean()
+    sd = s.rolling(BOLL_N, min_periods=BOLL_N).std(ddof=1)
+    exp_mid = mid.round(6)
+    exp_up = (mid + BOLL_K * sd).round(6)
+    exp_lo = (mid - BOLL_K * sd).round(6)
+    assert np.allclose(boll["mid"], exp_mid, equal_nan=True, atol=1e-9)
+    assert np.allclose(boll["upper"], exp_up, equal_nan=True, atol=1e-9)
+    assert np.allclose(boll["lower"], exp_lo, equal_nan=True, atol=1e-9)
+    got_pos = list(boll["band_position"])
+    for i in range(n):
+        if math.isnan(exp_up.iloc[i]):
+            assert got_pos[i] == "warmup"
+        elif vals[i] > exp_up.iloc[i]:
+            assert got_pos[i] == "above", i
+        elif vals[i] < exp_lo.iloc[i]:
+            assert got_pos[i] == "below", i
+        else:
+            assert got_pos[i] == "inside", i
+
+    diff = s.diff()
+    gain = diff.clip(lower=0.0)
+    loss = (-diff).clip(lower=0.0)
+    ag = gain.rolling(RSI_N, min_periods=RSI_N).sum()
+    al = loss.rolling(RSI_N, min_periods=RSI_N).sum()
+    exp_rsi = (100.0 * ag / (ag + al)).round(6)
+    assert np.allclose(rsi["rsi"], exp_rsi, equal_nan=True, atol=1e-9)
