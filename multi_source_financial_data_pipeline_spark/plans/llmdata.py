@@ -293,9 +293,12 @@ def q_semdedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     search INSIDE cells is the entire scale story: candidate pairs are
     Σ|cell|² instead of n², and the cluster assignment is the one linear
     pass the index already pays. No transitive closure is needed for this
-    screening rule — "has an earlier near-twin in my cell" is row-local
-    given the cell pairs, so the plan is assign → cell self-join →
-    distinct dropped ids → anti join, all equi joins."""
+    screening rule — "has an earlier near-twin in my cell" is ONE
+    cell-equi LEFT ANTI join (the NOT-EXISTS compiles into the join
+    condition: earlier id + cosine above threshold), so the assign
+    subtree — the dominant cost at bench scale, one quantizer argmax per
+    reference — is referenced exactly twice, with no dropped-id distinct
+    shuffle in between."""
     emb = _t(spark, sf_dir, "embeddings")
     assign = similarity.ivf_assign(emb, nlist=IVF_NLIST)
     b = assign.select(
@@ -303,31 +306,27 @@ def q_semdedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("bv"),
         F.col("cell").alias("bcell"),
     )
-    dropped = (
-        assign.join(
-            b,
-            (F.col("cell") == F.col("bcell")) & (F.col("bid") < F.col("vec_id")),
-        )
-        .filter(
+    return assign.join(
+        b,
+        (F.col("cell") == F.col("bcell"))
+        & (F.col("bid") < F.col("vec_id"))
+        & (
             F.round(similarity.cosine(F.col("v"), F.col("bv")), 6)
             >= COS_THRESHOLD
-        )
-        .select("vec_id")
-        .distinct()
-    )
-    return assign.join(dropped, "vec_id", "left_anti").select("vec_id", "cell")
+        ),
+        "left_anti",
+    ).select("vec_id", "cell")
 
 
 def _sql_semdedup() -> str:
     return f"""
-{_sql_ivf_common()},
-dropped AS (
-  SELECT DISTINCT a.vec_id
-  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
-  WHERE round({_sql_cos("a.v", "b.v")}, 6) >= {COS_THRESHOLD}
-)
+{_sql_ivf_common()}
 SELECT a.vec_id, a.cell FROM assign a
-WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+WHERE NOT EXISTS (
+  SELECT 1 FROM assign b
+  WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+    AND round({_sql_cos("a.v", "b.v")}, 6) >= {COS_THRESHOLD}
+)
 """
 
 
