@@ -91,6 +91,7 @@ HEADLINE = [
     # round-6 wave 2: cell-scoped semantic dedup, bigram-LM scoring, the
     # MinHash estimator-accuracy harness
     "semdedup_kept",
+    "semdedup_kept_probe",
     "bigram_prob",
     "minhash_accuracy",
 ]

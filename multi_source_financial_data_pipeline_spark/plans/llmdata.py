@@ -318,6 +318,38 @@ def q_semdedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cell")
 
 
+def q_semdedup_kept_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`semdedup_kept` against the build-once materialized IVF index (the
+    deployment mode, same relationship as `ann_topk_ivf` →
+    `ann_topk_ivf_probe`): cells/ already stores (cand_id, cv) partitioned
+    by cell, so the cell-equi LEFT ANTI screening reads the inverted lists
+    twice and the corpus is never re-assigned — the quantizer argmax that
+    dominates the in-plan variant's cost disappears entirely. Same
+    results, shared oracle."""
+    import os
+
+    index_dir = _ensure_ivf_index(spark, sf_dir)
+    cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+    a = cells.select(
+        F.col("cand_id").alias("vec_id"), F.col("cv").alias("v"), "cell"
+    )
+    b = cells.select(
+        F.col("cand_id").alias("bid"),
+        F.col("cv").alias("bv"),
+        F.col("cell").alias("bcell"),
+    )
+    return a.join(
+        b,
+        (F.col("cell") == F.col("bcell"))
+        & (F.col("bid") < F.col("vec_id"))
+        & (
+            F.round(similarity.cosine(F.col("v"), F.col("bv")), 6)
+            >= COS_THRESHOLD
+        ),
+        "left_anti",
+    ).select("vec_id", F.col("cell").cast("int").alias("cell"))
+
+
 def _sql_semdedup() -> str:
     return f"""
 {_sql_ivf_common()}
@@ -1779,6 +1811,12 @@ SPECS = {
         q_semdedup_kept,
         _sql_semdedup(),
         "SemDeDup: cell-scoped cosine screening, survivors per IVF cell",
+        ("dedup", "similarity"),
+    ),
+    "semdedup_kept_probe": QuerySpec(
+        q_semdedup_kept_probe,
+        _sql_semdedup(),
+        "SemDeDup on the build-once IVF index: no corpus re-assignment",
         ("dedup", "similarity"),
     ),
     "bigram_prob": QuerySpec(

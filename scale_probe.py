@@ -75,6 +75,7 @@ PROBE_QUERIES = [
     # cells), estimator-accuracy harness (bucket pairs + 2 payload scans)
     "bigram_prob",
     "semdedup_kept",
+    "semdedup_kept_probe",
     "minhash_accuracy",
 ]
 
