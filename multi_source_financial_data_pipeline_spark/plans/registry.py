@@ -34,12 +34,12 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #:   2. 37 of the 50 r04-green queries (their rows are now two rounds old),
 #:      complex plans first: connectors/streaming, near-dup/LSH families,
 #:      event-time operators, then the TPC-H family.
-#: Round-7 rotation backlog (front-load ALL of these — 29 names, fits the
-#: 50-slot window with 21 slots left for the oldest r05-green rows):
-#:   1. the 16 queries NEW in round 6, never driver-checked:
+#: Round-7 rotation backlog (front-load ALL of these — 30 names, fits the
+#: 50-slot window with 20 slots left for the oldest r05-green rows):
+#:   1. the 17 queries NEW in round 6, never driver-checked:
 #:      export_shape, connector_vwap, q2_min_cost_supplier,
 #:      q11_important_stock, minhash_accuracy, quality_filter_funnel,
-#:      semdedup_kept, bollinger_bands, rsi_14, bigram_prob,
+#:      semdedup_kept, semdedup_kept_probe, bollinger_bands, rsi_14, bigram_prob,
 #:      token_diversity, type_cooccurrence, winsorized_stats,
 #:      stream_sliding_counts, media_real_channel_stats, asof_tolerance;
 #:   2. the 13 r04-green queries deferred from this rotation (simple
