@@ -103,10 +103,11 @@ def _fake_decode(data: bytes | None) -> tuple[int | None, int | None, list[float
 # length), so an arbitrary blob can't false-positive into a parser.
 
 
-def _decode_bmp(data: bytes) -> dict | None:
-    """Parse a 24-bit uncompressed BMP: dimensions from BITMAPINFOHEADER,
-    mean pixel intensity over the actual pixel rows (padding excluded,
-    orientation-invariant). Returns None unless the payload is a valid BMP."""
+def _parse_bmp_header(data: bytes) -> tuple[int, int, int, int, int] | None:
+    """Validate a 24-bit uncompressed BMP header; returns (width, n_rows,
+    pix_offset, row_stride, height_signed) or None. ONE validation site for
+    every BMP consumer (mean decode, channel means, resize), so no caller
+    pays a second full-pixel scan just to validate."""
     if len(data) < 54 or data[:2] != b"BM":
         return None
     file_size, _, _, pix_offset = struct.unpack_from("<IHHI", data, 2)
@@ -121,8 +122,19 @@ def _decode_bmp(data: bytes) -> dict | None:
     if width <= 0 or n_rows <= 0:  # zero-area / negative-width headers are invalid
         return None
     row_stride = ((3 * width + 3) // 4) * 4
-    if pix_offset + row_stride * n_rows > len(data):
+    if pix_offset < 54 or pix_offset + row_stride * n_rows > len(data):
         return None
+    return width, n_rows, pix_offset, row_stride, height
+
+
+def _decode_bmp(data: bytes) -> dict | None:
+    """Parse a 24-bit uncompressed BMP: dimensions from BITMAPINFOHEADER,
+    mean pixel intensity over the actual pixel rows (padding excluded,
+    orientation-invariant). Returns None unless the payload is a valid BMP."""
+    hdr = _parse_bmp_header(data)
+    if hdr is None:
+        return None
+    width, n_rows, pix_offset, row_stride, _ = hdr
     total = 0
     for r in range(n_rows):
         start = pix_offset + r * row_stride
@@ -132,10 +144,12 @@ def _decode_bmp(data: bytes) -> dict | None:
     return {"width": width, "height": n_rows, "feature": [mean]}
 
 
-def _decode_wav(data: bytes) -> dict | None:
-    """Parse a RIFF/WAVE PCM payload: sample rate from the fmt chunk,
-    duration from the data chunk length, mean normalized amplitude over the
-    actual 16-bit samples. Returns None unless the payload is a valid WAV."""
+def _parse_wav(data: bytes) -> tuple[int, int, bytes] | None:
+    """Validate a RIFF/WAVE PCM-16 payload and return (channels,
+    sample_rate, pcm_bytes) or None. ONE validation + chunk walk for every
+    WAV consumer (mean decode, RMS), with the truncated-chunk guard on the
+    BODY length (a trailing `fmt ` chunk whose declared size exceeds the
+    remaining bytes must read as malformed, not raise)."""
     if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         return None
     if struct.unpack_from("<I", data, 4)[0] != len(data) - 8:
@@ -145,7 +159,7 @@ def _decode_wav(data: bytes) -> dict | None:
         cid = data[pos : pos + 4]
         clen = struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8 : pos + 8 + clen]
-        if cid == b"fmt " and clen >= 16:
+        if cid == b"fmt " and len(body) >= 16:
             audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             fmt = (audio_fmt, channels, sample_rate, bits)
@@ -155,8 +169,19 @@ def _decode_wav(data: bytes) -> dict | None:
     if fmt is None or pcm is None or fmt[0] != 1 or fmt[3] != 16:
         return None
     _, channels, sample_rate, _ = fmt
-    if channels <= 0 or sample_rate <= 0:  # would divide by zero below
+    if channels <= 0 or sample_rate <= 0:  # would divide by zero downstream
         return None
+    return channels, sample_rate, pcm
+
+
+def _decode_wav(data: bytes) -> dict | None:
+    """Parse a RIFF/WAVE PCM payload: sample rate from the fmt chunk,
+    duration from the data chunk length, mean normalized amplitude over the
+    actual 16-bit samples. Returns None unless the payload is a valid WAV."""
+    parsed = _parse_wav(data)
+    if parsed is None:
+        return None
+    channels, sample_rate, pcm = parsed
     n_samples = len(pcm) // (2 * channels)
     samples = struct.unpack_from(f"<{n_samples * channels}h", pcm, 0)
     mean = (
@@ -231,12 +256,10 @@ def _resize_bmp(data: bytes, max_side: int) -> bytes | None:
     (aspect preserved, never upscaled), and re-encode a valid BMP. Source
     pixel for destination (x, y) is (x*w//nw, y*h//nh). Returns None unless
     the payload is a valid 24-bit BMP."""
-    if _decode_bmp(data) is None:
+    hdr = _parse_bmp_header(data)
+    if hdr is None:
         return None
-    pix_offset = struct.unpack_from("<I", data, 10)[0]
-    _, width, height = struct.unpack_from("<Iii", data, 14)
-    n_rows = abs(height)
-    row_stride = ((3 * width + 3) // 4) * 4
+    width, n_rows, pix_offset, row_stride, height = hdr
     file_rows = [
         data[pix_offset + r * row_stride : pix_offset + r * row_stride + 3 * width]
         for r in range(n_rows)
@@ -411,13 +434,12 @@ CHANNEL_STATS_SCHEMA = T.StructType(
 def _bmp_channel_means(data: bytes) -> tuple[float, float, float] | None:
     """Per-channel (B, G, R — BMP byte order) pixel means over the actual
     pixel grid. Integer byte sums, one division per channel — engine-exact
-    against a closed-form oracle."""
-    if _decode_bmp(data) is None:
+    against a closed-form oracle. Header validated once, pixels scanned
+    once (no separate validation decode)."""
+    hdr = _parse_bmp_header(data)
+    if hdr is None:
         return None
-    pix_offset = struct.unpack_from("<I", data, 10)[0]
-    _, width, height = struct.unpack_from("<Iii", data, 14)
-    n_rows = abs(height)
-    row_stride = ((3 * width + 3) // 4) * 4
+    width, n_rows, pix_offset, row_stride, _ = hdr
     sums = [0, 0, 0]
     for r in range(n_rows):
         row = data[pix_offset + r * row_stride : pix_offset + r * row_stride + 3 * width]
@@ -430,22 +452,14 @@ def _bmp_channel_means(data: bytes) -> tuple[float, float, float] | None:
 def _wav_rms(data: bytes) -> float | None:
     """RMS energy of the PCM-16 samples, normalized to [0, 1]: integer
     sum of squares, one division, one IEEE sqrt (correctly rounded, so
-    engine-identical), one final division."""
+    engine-identical), one final division. Chunk walk + sample unpack
+    happen once (no separate validation decode)."""
     import math
 
-    parsed = _decode_wav(data)
+    parsed = _parse_wav(data)
     if parsed is None:
         return None
-    # re-walk chunks for the raw samples (decode_wav returns summaries only)
-    pos, pcm, channels = 12, None, 1
-    while pos + 8 <= len(data):
-        cid = data[pos : pos + 4]
-        clen = struct.unpack_from("<I", data, pos + 4)[0]
-        if cid == b"fmt ":
-            channels = struct.unpack_from("<H", data, pos + 8 + 2)[0]
-        elif cid == b"data":
-            pcm = data[pos + 8 : pos + 8 + clen]
-        pos += 8 + clen + (clen & 1)
+    channels, _, pcm = parsed
     n = len(pcm) // (2 * channels) * channels
     samples = struct.unpack_from(f"<{n}h", pcm, 0)
     if not samples:
@@ -473,11 +487,16 @@ def media_channel_stats(media: DataFrame) -> DataFrame:
                     "mean_b": None, "mean_g": None, "mean_r": None, "rms": None,
                 }
                 if data:
-                    means = _bmp_channel_means(data)
-                    if means is not None:
-                        rec["mean_b"], rec["mean_g"], rec["mean_r"] = means
-                    else:
-                        rec["rms"] = _wav_rms(data)
+                    # a malformed payload yields all-null stats, never a
+                    # task failure (same contract as _decode_any)
+                    try:
+                        means = _bmp_channel_means(data)
+                        if means is not None:
+                            rec["mean_b"], rec["mean_g"], rec["mean_r"] = means
+                        else:
+                            rec["rms"] = _wav_rms(data)
+                    except (struct.error, ValueError, ZeroDivisionError):
+                        pass
                 out.append(rec)
             yield pd.DataFrame(out)
 

@@ -386,19 +386,26 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _mh(a: int, b: int):
         # 1-arg lambda via closure (a 2-arg lambda would be read by
         # F.transform as an (element, index) lambda)
-        return lambda s: (
-            F.lit(a) * F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-            + F.lit(b)
-        ) % F.lit(dedup.MINHASH_P)
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(dedup.MINHASH_P)
 
+    # each shingle is md5'd ONCE (the xs projection); the 8 family members
+    # derive from the shared digest ints — same one-digest design as the
+    # explode path, not 8 redundant digests per shingle
     payload = docs.select(
         F.col("doc_id"),
         dedup.shingles(F.col("text"), 3).alias("sh"),
     ).select(
         "doc_id",
         "sh",
+        F.transform(
+            "sh",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        ).alias("__xs"),
+    ).select(
+        "doc_id",
+        "sh",
         *[
-            F.array_min(F.transform("sh", _mh(a, b))).alias(f"mh{j}")
+            F.array_min(F.transform("__xs", _mh(a, b))).alias(f"mh{j}")
             for j, (a, b) in enumerate(dedup.minhash_params(NUM_HASHES))
         ],
     )
@@ -889,15 +896,40 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_cache_root() -> str:
     """Per-user (uid-scoped, 0700) cache root — a shared world-writable path
-    would be open to pre-creation/poisoning on multi-user hosts."""
+    would be open to pre-creation/poisoning on multi-user hosts. Because the
+    uid-suffixed name is predictable under a world-writable tempdir, a
+    pre-existing directory is only accepted after verifying it is OURS and
+    not group/other-accessible; otherwise (attacker pre-created it) fall
+    back to a fresh mkdtemp root — losing the cross-session cache, never
+    trusting foreign contents."""
     import os
+    import stat
     import tempfile
 
     root = os.path.join(
         tempfile.gettempdir(), f"msfdp_ivf_index_{os.getuid()}"
     )
-    os.makedirs(root, mode=0o700, exist_ok=True)
-    return root
+    try:
+        os.mkdir(root, mode=0o700)
+        return root
+    except FileExistsError:
+        pass
+    st = os.lstat(root)
+    if (
+        stat.S_ISDIR(st.st_mode)
+        and not stat.S_ISLNK(st.st_mode)
+        and st.st_uid == os.getuid()
+        and not (st.st_mode & 0o077)
+    ):
+        return root
+    # untrusted pre-existing path: one fresh private root per process
+    global _FALLBACK_CACHE_ROOT
+    if _FALLBACK_CACHE_ROOT is None:
+        _FALLBACK_CACHE_ROOT = tempfile.mkdtemp(prefix="msfdp_ivf_index_")
+    return _FALLBACK_CACHE_ROOT
+
+
+_FALLBACK_CACHE_ROOT: str | None = None
 
 
 def _ivf_index_dir(sf_dir: str) -> str:

@@ -122,14 +122,16 @@ def ann_frontier(spark, sf_dir: str) -> dict:
     }
 
     def recall_and_sec(df_fn) -> dict:
-        df_fn().write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.perf_counter()
-        df_fn().write.format("noop").mode("overwrite").save()
-        sec = round(time.perf_counter() - t0, 3)
+        # the collect doubles as the warm pass (same double-execution trap
+        # commit ca9a95e removed from the recall evals): 2 executions total,
+        # not warm + timed + a third full re-run for the result set
         got = {
             (r["query_id"], r["cand_id"])
             for r in df_fn().select("query_id", "cand_id").collect()
         }
+        t0 = time.perf_counter()
+        df_fn().write.format("noop").mode("overwrite").save()
+        sec = round(time.perf_counter() - t0, 3)
         return {"recall_at_k": round(len(exact & got) / len(exact), 4), "sec": sec}
 
     index_dir = tempfile.mkdtemp(prefix="msfdp_frontier_ivf_")

@@ -148,6 +148,40 @@ def test_parsers_reject_degenerate_fields_without_raising():
     assert _parse_y4m(y4m.replace(b"W4", b"Wx")) is None
 
 
+def test_truncated_trailing_chunks_degrade_not_crash():
+    """Code-review repro: a valid WAV followed by a degenerate trailing
+    'fmt ' chunk (declared size past the buffer) must parse as malformed in
+    EVERY wav consumer — the old rms re-walk unpacked past the buffer and
+    raised struct.error inside the Spark task."""
+    import struct as _s
+
+    from multi_source_financial_data_pipeline_spark.operators.multimodal import (
+        _wav_rms,
+    )
+
+    import math
+
+    wav = _wav_bytes(8000, [1, -1, 5])
+    clean_rms = _wav_rms(wav)
+    assert clean_rms == math.sqrt((1 + 1 + 25) / 3) / 32768.0
+    for trailer in (
+        b"fmt " + _s.pack("<I", 16) + b"\x00\x00",  # declares 16, carries 2
+        b"fmt " + _s.pack("<I", 2) + b"\x00\x00",  # 2-byte degenerate body
+    ):
+        evil = bytearray(wav + trailer)
+        _s.pack_into("<I", evil, 4, len(evil) - 8)  # fix RIFF size
+        evil = bytes(evil)
+        # truncated trailing chunk is skipped, never unpacked past the
+        # buffer: both consumers agree and neither raises
+        assert _decode_wav(evil)["sample_rate"] == 8000
+        assert _wav_rms(evil) == clean_rms
+    # a fmt chunk whose 4-byte zero body would once have yielded channels=0
+    zero_fmt = bytearray(wav)
+    _s.pack_into("<H", zero_fmt, 22, 0)
+    assert _decode_wav(bytes(zero_fmt)) is None
+    assert _wav_rms(bytes(zero_fmt)) is None
+
+
 def test_channel_means_and_rms_byte_level():
     import math
 
