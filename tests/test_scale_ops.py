@@ -332,3 +332,79 @@ def test_ivf_index_cache_invalidates_on_source_change(spark, tmp_path):
     os.utime(os.path.join(sf_dir, "embeddings.parquet"))
     llmdata._ensure_ivf_index(spark, sf_dir)
     assert os.path.getmtime(marker) > mtime1
+
+
+def test_ivf_index_keeps_concurrent_winners_fresh_build(spark, tmp_path,
+                                                        monkeypatch):
+    """If a concurrent builder lands an index with the SAME identity while
+    we build, the swap must keep the winner's directory (live lazy plans may
+    already reference its parquet paths) and discard ours — never rename a
+    FRESH index to .stale and rmtree it (r06 ADVICE race)."""
+    import json
+    import os
+    import shutil
+
+    from multi_source_financial_data_pipeline_spark.operators import similarity
+    from multi_source_financial_data_pipeline_spark.plans import llmdata
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet",
+                os.path.join(sf_dir, "embeddings.parquet"))
+
+    idx = llmdata._ensure_ivf_index(spark, sf_dir)
+    # force a rebuild: new source identity
+    os.utime(os.path.join(sf_dir, "embeddings.parquet"))
+
+    real_build = similarity.build_ivf_index
+
+    def winner_races_us(spark_, df, build_dir, nlist):
+        real_build(spark_, df, build_dir, nlist=nlist)
+        # simulate the concurrent winner: an identical-identity index lands
+        # at index_dir before our swap, with a sentinel proving it survives
+        shutil.rmtree(idx)
+        shutil.copytree(build_dir, idx)
+        src = os.path.join(sf_dir, "embeddings.parquet")
+        st = os.stat(src)
+        ident = {"src": src, "mtime_ns": st.st_mtime_ns, "size": st.st_size,
+                 "nlist": llmdata.IVF_NLIST}
+        with open(os.path.join(idx, "_built.json"), "w") as fh:
+            json.dump(ident, fh)
+        open(os.path.join(idx, "_winner_sentinel"), "w").close()
+
+    monkeypatch.setattr(similarity, "build_ivf_index", winner_races_us)
+    out = llmdata._ensure_ivf_index(spark, sf_dir)
+    assert out == idx
+    # the winner's files were NOT replaced, and our build dir was cleaned up
+    assert os.path.exists(os.path.join(idx, "_winner_sentinel"))
+    leftovers = [d for d in os.listdir(os.path.dirname(idx))
+                 if ".build." in d or ".stale." in d]
+    assert leftovers == []
+
+
+def test_ivf_cache_root_survives_root_removal_race(monkeypatch):
+    """TOCTOU: the cache root vanishing between the failed mkdir and the
+    lstat must fall through to the private mkdtemp fallback, not crash
+    (r06 ADVICE)."""
+    import os
+
+    from multi_source_financial_data_pipeline_spark.plans import llmdata
+
+    real_mkdir = os.mkdir
+
+    def mkdir_then_vanish(path, *a, **kw):
+        # only the predictable uid-suffixed root; mkdtemp's random-suffixed
+        # fallback dirs must still be creatable
+        if str(path).endswith(f"msfdp_ivf_index_{os.getuid()}"):
+            raise FileExistsError(path)  # someone created it first...
+        return real_mkdir(path, *a, **kw)
+
+    def lstat_gone(path, *a, **kw):
+        raise FileNotFoundError(path)  # ...and it is gone by the lstat
+
+    monkeypatch.setattr(os, "mkdir", mkdir_then_vanish)
+    monkeypatch.setattr(os, "lstat", lstat_gone)
+    monkeypatch.setattr(llmdata, "_FALLBACK_CACHE_ROOT", None)
+    root = llmdata._ivf_cache_root()
+    assert os.path.isdir(root)
+    assert os.path.basename(root).startswith("msfdp_ivf_index_")
