@@ -94,6 +94,14 @@ HEADLINE = [
     "semdedup_kept_probe",
     "bigram_prob",
     "minhash_accuracy",
+    # round-7 additions: the two most complex previously-unbenchmarked
+    # TPC-H shapes (q2's correlated-min window over a derived unit-price
+    # relation; q11's reused-exchange grand total), the newest multi-stage
+    # funnel, and the sliding-window stream
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "quality_filter_funnel",
+    "stream_sliding_counts",
 ]
 
 

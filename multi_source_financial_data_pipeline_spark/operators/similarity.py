@@ -199,6 +199,76 @@ def cosine_neardup_pairs(
     )
 
 
+def semdedup_screen(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    cell_col: str = "cell",
+    cell_type: str = "long",
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """SemDeDup screening over a cell-assigned corpus: keep a vector iff NO
+    earlier-id vector in its cell has round(cosine, 6) >= threshold (Abbas
+    et al. 2023 — drop all but one of each intra-cluster near-twin group).
+
+    ONE pass over the input (the r06 VERDICT fix: the previous cell-equi
+    self-join referenced the assign subtree twice, running the quantizer
+    argmax once per side): one shuffle by cell, then each cell scores its
+    own pair block as a dimension-ordered numpy accumulation — bit-identical
+    to the JVM ``aggregate`` fold / DuckDB ``list_reduce`` (same trick as
+    `cosine_neardup_pairs`), at matmul speed instead of per-pair expression
+    eval over Σ|cell|² join rows. Each task emits per vector the MAX raw
+    cosine against its earlier in-cell peers (round is monotone, so
+    exists(round(cos) >= T) ⟺ round(max cos) >= T); the round + threshold
+    decision stays JVM-side for engine parity. -2.0 marks "no earlier
+    peer / all peers zero-norm" (below any real threshold: cos ∈ [-1, 1]).
+
+    Rows are scored in `chunk_rows` slices, so task memory is
+    chunk × |cell| doubles + the cell's vectors — the same one-cell-per-task
+    bound the materialized index (`cells/` partitionBy) already assumes; at
+    100 TB you size nlist so cells fit, exactly as for the ANN probe path."""
+    import numpy as np
+    import pandas as pd
+
+    def screen_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        ids = pdf[id_col].to_numpy()
+        cells_out = pdf[cell_col].to_numpy()
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        n = len(ids)
+        sq = _dim_ordered_sq_norm(mat)
+        max_prev = np.full(n, -2.0)
+        for s in range(0, n, chunk_rows):
+            e = min(s + chunk_rows, n)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = _dim_ordered_dot(mat[s:e], mat) / np.sqrt(
+                    sq[s:e, None] * sq[None, :]
+                )
+            cos = np.where(np.isnan(cos), -np.inf, cos)
+            # ids are sorted: "earlier" = strictly lower column index
+            masked = np.where(
+                np.arange(n)[None, :] < np.arange(s, e)[:, None], cos, -np.inf
+            )
+            if n:
+                chunk_max = masked.max(axis=1)
+                take = np.isfinite(chunk_max)
+                max_prev[s:e][take] = chunk_max[take]
+        return pd.DataFrame(
+            {id_col: ids, cell_col: cells_out, "max_prev": max_prev}
+        )
+
+    schema = f"{id_col} long, {cell_col} {cell_type}, max_prev double"
+    screened = (
+        assigned.select(id_col, vec_col, cell_col)
+        .groupBy(cell_col)
+        .applyInPandas(screen_cell, schema=schema)
+    )
+    return screened.filter(
+        F.round(F.col("max_prev"), 6) < F.lit(threshold)
+    ).select(id_col, cell_col)
+
+
 def signed_planes(
     num_planes: int = 16, dim: int = 64, seed: int = 7
 ) -> list[list[float]]:

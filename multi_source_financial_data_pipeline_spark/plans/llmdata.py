@@ -292,40 +292,24 @@ def q_semdedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-id in-cell neighbor above the cosine threshold. Keeping the pair
     search INSIDE cells is the entire scale story: candidate pairs are
     Σ|cell|² instead of n², and the cluster assignment is the one linear
-    pass the index already pays. No transitive closure is needed for this
-    screening rule — "has an earlier near-twin in my cell" is ONE
-    cell-equi LEFT ANTI join (the NOT-EXISTS compiles into the join
-    condition: earlier id + cosine above threshold), so the assign
-    subtree — the dominant cost at bench scale, one quantizer argmax per
-    reference — is referenced exactly twice, with no dropped-id distinct
-    shuffle in between."""
+    pass the index already pays. The screening itself is
+    `similarity.semdedup_screen`: ONE shuffle by cell, each cell scored as
+    a dim-ordered Arrow matmul — the assign subtree (quantizer argmax, the
+    dominant cost at bench scale) is referenced exactly ONCE (the r06
+    cell-equi anti-join referenced it twice; VERDICT item 6)."""
     emb = _t(spark, sf_dir, "embeddings")
     assign = similarity.ivf_assign(emb, nlist=IVF_NLIST)
-    b = assign.select(
-        F.col("vec_id").alias("bid"),
-        F.col("v").alias("bv"),
-        F.col("cell").alias("bcell"),
-    )
-    return assign.join(
-        b,
-        (F.col("cell") == F.col("bcell"))
-        & (F.col("bid") < F.col("vec_id"))
-        & (
-            F.round(similarity.cosine(F.col("v"), F.col("bv")), 6)
-            >= COS_THRESHOLD
-        ),
-        "left_anti",
-    ).select("vec_id", "cell")
+    return similarity.semdedup_screen(assign, COS_THRESHOLD)
 
 
 def q_semdedup_kept_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`semdedup_kept` against the build-once materialized IVF index (the
     deployment mode, same relationship as `ann_topk_ivf` →
     `ann_topk_ivf_probe`): cells/ already stores (cand_id, cv) partitioned
-    by cell, so the cell-equi LEFT ANTI screening reads the inverted lists
-    twice and the corpus is never re-assigned — the quantizer argmax that
-    dominates the in-plan variant's cost disappears entirely. Same
-    results, shared oracle."""
+    by cell, so the screening reads the inverted lists ONCE (the on-disk
+    layout already co-locates each cell) and the corpus is never
+    re-assigned — the quantizer argmax that dominates the in-plan variant's
+    cost disappears entirely. Same results, shared oracle."""
     import os
 
     index_dir = _ensure_ivf_index(spark, sf_dir)
@@ -333,21 +317,7 @@ def q_semdedup_kept_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = cells.select(
         F.col("cand_id").alias("vec_id"), F.col("cv").alias("v"), "cell"
     )
-    b = cells.select(
-        F.col("cand_id").alias("bid"),
-        F.col("cv").alias("bv"),
-        F.col("cell").alias("bcell"),
-    )
-    return a.join(
-        b,
-        (F.col("cell") == F.col("bcell"))
-        & (F.col("bid") < F.col("vec_id"))
-        & (
-            F.round(similarity.cosine(F.col("v"), F.col("bv")), 6)
-            >= COS_THRESHOLD
-        ),
-        "left_anti",
-    ).select("vec_id", F.col("cell").cast("int").alias("cell"))
+    return similarity.semdedup_screen(a, COS_THRESHOLD, cell_type="int")
 
 
 def _sql_semdedup() -> str:

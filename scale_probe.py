@@ -1,6 +1,7 @@
 """Scale probe: synthesize a K× replica of an sf dir (key-shifted fact
-tables, dims kept) and time the scale-sensitive queries on it, printing one
-JSON line. Surfaces empirically what the plan-shape tests pin structurally:
+tables with per-replica payload perturbation — token suffixing for text,
+orthogonal rotation for embeddings — dims kept) and time the
+scale-sensitive queries on it, printing one JSON line. Surfaces empirically what the plan-shape tests pin structurally:
 
 - q5/q10/q18 after the customer-broadcast fix: AQE must keep promoting the
   (now 10×) customer join or fall back to a shuffle join — either way the
@@ -70,6 +71,10 @@ PROBE_QUERIES = [
     "sequence_packing",
     # corpus-LM scoring: gram-level aggregates must stay linear in tokens
     "unigram_prob",
+    # round-7: q2's correlated-min window runs over the derived
+    # (part, supplier) unit-price relation — the shape most likely to
+    # surprise at scale (window input grows with part×suppliers-per-part)
+    "q2_min_cost_supplier",
     # round-6: bigram windows (gram-level, linear), cell-scoped semantic
     # dedup (pairs bounded by Σ|cell|², grows quadratically ONLY within
     # cells), estimator-accuracy harness (bucket pairs + 2 payload scans)
@@ -81,6 +86,18 @@ PROBE_QUERIES = [
 
 
 def replicate(spark, src_dir: str, dst_dir: str, k: int) -> None:
+    """K× replica with PERTURBED payloads (r06 VERDICT item 5): a purely
+    key-shifted clone fills every LSH bucket / IVF cell with exact copies,
+    inflating dedup pair counts quadratically and faking recall ~1.0 — an
+    upper bound, not an organic corpus. So per replica i>0:
+
+    - documents.text: every token gets an ``_r{i}`` suffix — all shingles /
+      grams / minhashes change, so replicas are mutually dissimilar while
+      each replica keeps the base corpus's INTERNAL near-dup structure
+      intact (the organic 10× story: bigger corpus, same dup rate);
+    - embeddings.embedding: circular shift by i positions — a permutation
+      is orthogonal, so every within-replica cosine is preserved exactly
+      while replicas land in different quantizer cells."""
     for name in TABLE_NAMES:
         df = load_table(spark, src_dir, name)
         shift = SHIFT_COLS.get(name)
@@ -90,6 +107,20 @@ def replicate(spark, src_dir: str, dst_dir: str, k: int) -> None:
                 rep = df
                 for c in shift:
                     rep = rep.withColumn(c, F.col(c) + F.lit(i * OFFSET))
+                if i > 0 and name == "documents":
+                    rep = rep.withColumn(
+                        "text",
+                        F.regexp_replace("text", r"(\S+)", rf"$1_r{i}"),
+                    )
+                if i > 0 and name == "embeddings":
+                    rep = rep.withColumn(
+                        "embedding",
+                        F.expr(
+                            f"concat(slice(embedding, {i % 16 + 1},"
+                            f" size(embedding) - {i % 16}),"
+                            f" slice(embedding, 1, {i % 16}))"
+                        ),
+                    )
                 parts.append(rep)
             out = parts[0]
             for rep in parts[1:]:
@@ -194,11 +225,12 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name].fn(spark, dst).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
-        # frontier runs on the BASE dir: the key-shifted replica duplicates
-        # every vector k times, so each query's top-k fills with its own
-        # clones in its own cell and recall@k reads ~1.0 at any nprobe —
-        # a degenerate corpus for recall measurement
-        frontier = ann_frontier(spark, src)
+        # the perturbed replica rotates each replica's vectors (orthogonal
+        # circular shift), so cross-replica clones decorrelate and the k×
+        # corpus is organic for recall measurement — the frontier now runs
+        # at k× volume (it ran on the base dir before r07, when the clone
+        # replica faked recall ~1.0); base-dir numbers stay in PERF.md
+        frontier = ann_frontier(spark, dst)
         media = media_real_scaled(spark, k)
         print(
             json.dumps(

@@ -503,13 +503,27 @@ def test_minhash_accuracy_scan_bound(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_semdedup_cell_equi_join_no_cartesian(spark, sf_dir):
-    """The SemDeDup pair search must stay an equi join on `cell` (candidate
-    pairs bounded by cell sizes). The only nested-loop joins allowed are
-    the three broadcast 1-row quantizer attachments (one per reference to
-    the assign frame); a CartesianProduct means the cell key was lost and
-    the plan went all-pairs."""
+def test_semdedup_single_assign_cell_local_screen(spark, sf_dir):
+    """The SemDeDup screening is ONE pass: the quantizer argmax (assign
+    subtree) appears exactly once — embeddings feed one scan pair (corpus +
+    1-row quantizer seed agg), the per-cell pair scoring is a single
+    FlatMapGroupsInPandas after one hash shuffle on cell, and nothing goes
+    all-pairs (r06 VERDICT item 6: the old cell-equi anti-join evaluated
+    the assign subtree twice)."""
     plan = _plan(spark, sf_dir, "semdedup_kept")
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 3
-    assert plan.count("embeddings.parquet") <= 6
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    # one corpus scan + one quantizer seed scan — not two of each
+    assert plan.count("embeddings.parquet") == 2
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row quantizer
+    assert plan.count("Exchange hashpartitioning") == 1  # the cell shuffle
+
+
+def test_semdedup_probe_single_cells_scan(spark, sf_dir):
+    """The probe variant reads the materialized inverted lists ONCE and
+    never touches the source embeddings or the quantizer."""
+    plan = _plan(spark, sf_dir, "semdedup_kept_probe")
+    assert plan.count("cells") >= 1
+    assert "embeddings.parquet" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 1
