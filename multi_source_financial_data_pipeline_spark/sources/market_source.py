@@ -69,6 +69,22 @@ def business_days(start: date, end: date) -> Iterator[date]:
         d += timedelta(days=1)
 
 
+def normalize_vendor_keys(row: dict) -> dict:
+    """Alpha Vantage emits ``"1. open"``-style ordinal-prefixed keys; the
+    reference strips the prefix and snake_cases the remainder
+    (/root/reference/src/validation.py:161 —
+    ``col.split('. ')[1].lower().replace(' ', '_')``). Same rule here, with
+    non-prefixed keys passing through lowercased, so the F3 normalize path
+    is exercised against the real vendor quirk, not just lowercase
+    columns."""
+    out = {}
+    for k, v in row.items():
+        head, sep, tail = k.partition(". ")
+        name = tail if sep and head.isdigit() else k
+        out[name.lower().replace(" ", "_")] = v
+    return out
+
+
 def http_fetch_ohlcv(
     base_url: str,
     ticker: str,
@@ -80,10 +96,18 @@ def http_fetch_ohlcv(
 ) -> list[tuple]:
     """REAL HTTP transport (stdlib urllib, no deps): GET
     ``{base_url}/ohlcv?ticker=..&start=..&end=..&source=..`` and parse the
-    JSON body ``{"rows": [{ticker,date,open,high,low,close,adj_close,
-    volume,source}, ...]}`` into connector tuples. This is the exact seam
-    the reference's yfinance/Alpha Vantage calls occupy
-    (/root/reference/src/pipeline.py:28-42, src/validation.py:128-185):
+    JSON body into connector tuples. Two payload shapes:
+
+    - generic feed: ``{"rows": [{ticker,date,open,high,low,close,adj_close,
+      volume,source}, ...]}``;
+    - Alpha Vantage daily shape (the secondary-source leg):
+      ``{"Time Series (Daily)": {date: {"1. open": "..", "2. high": "..",
+      ...}, ...}}`` with stringified values — normalized through
+      `normalize_vendor_keys` exactly as the reference does
+      (src/validation.py:159-163).
+
+    This is the exact seam the reference's yfinance/Alpha Vantage calls
+    occupy (/root/reference/src/pipeline.py:28-42, src/validation.py:128-185):
     retry-with-backoff wraps THIS call per task, and ``min_interval_ms``
     applies the reference's politeness delay (src/validation.py:178) before
     the request. Exercised in tests against a local HTTP server — real
@@ -107,6 +131,26 @@ def http_fetch_ohlcv(
         if resp.status != 200:
             raise ConnectionError(f"HTTP {resp.status} for {ticker}")
         payload = _json.load(resp)
+    series = payload.get("Time Series (Daily)")
+    if series is not None:
+        rows = []
+        for ds in sorted(series):
+            r = normalize_vendor_keys(series[ds])
+            close = float(r["close"])
+            rows.append(
+                (
+                    ticker,
+                    date.fromisoformat(ds),
+                    float(r["open"]),
+                    float(r["high"]),
+                    float(r["low"]),
+                    close,
+                    float(r.get("adjusted_close", close)),
+                    int(r["volume"]),
+                    source,
+                )
+            )
+        return rows
     return [
         (
             r["ticker"],

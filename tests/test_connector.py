@@ -179,23 +179,46 @@ class _QuoteHandler:
                 if attempts[ticker] <= fail_first:
                     self.send_error(500, "flaky")
                     return
-                rows = [
-                    dict(
-                        zip(
-                            ["ticker", "date", "open", "high", "low", "close",
-                             "adj_close", "volume", "source"],
-                            (r[0], r[1].isoformat(), *r[2:]),
-                        )
-                    )
-                    for r in (
-                        market_source.quote(ticker, d, q["source"])
-                        for d in market_source.business_days(
-                            date.fromisoformat(q["start"]),
-                            date.fromisoformat(q["end"]),
-                        )
+                quotes = [
+                    market_source.quote(ticker, d, q["source"])
+                    for d in market_source.business_days(
+                        date.fromisoformat(q["start"]),
+                        date.fromisoformat(q["end"]),
                     )
                 ]
-                body = json.dumps({"rows": rows}).encode()
+                if q["source"] == "alpha":
+                    # the REAL Alpha Vantage daily payload shape: ordinal-
+                    # prefixed keys, stringified values (str(float) round-
+                    # trips exactly) — the client must strip "1. "-prefixes
+                    series = {
+                        r[1].isoformat(): {
+                            "1. open": str(r[2]),
+                            "2. high": str(r[3]),
+                            "3. low": str(r[4]),
+                            "4. close": str(r[5]),
+                            "5. adjusted close": str(r[6]),
+                            "6. volume": str(r[7]),
+                        }
+                        for r in quotes
+                    }
+                    body = json.dumps(
+                        {
+                            "Meta Data": {"2. Symbol": ticker},
+                            "Time Series (Daily)": series,
+                        }
+                    ).encode()
+                else:
+                    rows = [
+                        dict(
+                            zip(
+                                ["ticker", "date", "open", "high", "low",
+                                 "close", "adj_close", "volume", "source"],
+                                (r[0], r[1].isoformat(), *r[2:]),
+                            )
+                        )
+                        for r in quotes
+                    ]
+                    body = json.dumps({"rows": rows}).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
@@ -315,8 +338,35 @@ def test_alpha_http_transport_rate_limited(spark):
         # server saw the failed attempt + the successful retry, throttled
         assert len(times) == 2
         assert times[1] - times[0] >= interval_ms / 1000.0 * 0.95
+        # the wire payload really is the vendor shape: "1. open"-prefixed
+        # keys with stringified values — so the equality above proves the
+        # reference's prefix-strip normalization (src/validation.py:161)
+        # ran on the http leg
+        import json as _json
+        from urllib.request import urlopen
+
+        with urlopen(
+            f"{url}/ohlcv?ticker=AAPL&start=2024-01-01&end=2024-01-10&source=alpha"
+        ) as resp:
+            raw = _json.load(resp)
+        day = raw["Time Series (Daily)"]["2024-01-02"]
+        assert set(day) == {"1. open", "2. high", "3. low", "4. close",
+                            "5. adjusted close", "6. volume"}
+        assert isinstance(day["1. open"], str)
     finally:
         srv.shutdown()
+
+
+def test_normalize_vendor_keys_prefix_strip():
+    """The exact reference rule (src/validation.py:161): ordinal prefix
+    stripped, remainder lowercased and snake_cased; non-prefixed keys pass
+    through lowercased."""
+    got = market_source.normalize_vendor_keys(
+        {"1. open": "1.0", "5. adjusted close": "2.0", "date": "d",
+         "Already Plain": 3}
+    )
+    assert got == {"open": "1.0", "adjusted_close": "2.0", "date": "d",
+                   "already_plain": 3}
 
 
 def test_macro_http_transport_matches_sim(spark):
