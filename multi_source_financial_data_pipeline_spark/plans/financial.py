@@ -1032,6 +1032,317 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
 """
 
 
+# --- daily OHLC bars → ATR / OBV; raw series → stochastic; beta vs index ----
+#
+# The round-7 indicator family. All four run on the `events` stand-in series
+# (key=user_id, order=ts, metric=value; FIXTURES.md mapping) and share ONE
+# scale discipline: an explicit `repartition(user_id)` FIRST, so the
+# (user_id, day) bar tagging window, the bar groupBy, and every downstream
+# per-user window all reuse a single user-hash exchange (HashPartitioning on
+# a subset of the required clustering keys satisfies ClusteredDistribution)
+# — at 100 TB the series recluster happens exactly once per query.
+
+ATR_N = 14
+STOCH_N = 14
+STOCH_D = 3
+BETA_N = 30
+
+
+def _daily_bars(ev: DataFrame) -> DataFrame:
+    """Per-(user, day) OHLC bars, daily granularity of weekly_bars' shape:
+    one window pass tags the last observation (ties on event_id, the
+    explicit ingest order), one reused-partitioning groupBy folds
+    high/low/close/volume. Caller gets a frame already hash-partitioned by
+    user_id — downstream per-user windows add no exchange."""
+    ev = ev.repartition("user_id").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_desc = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    tagged = ev.select(
+        "user_id", "day", "value", F.row_number().over(w_desc).alias("__rn_d")
+    )
+    return tagged.groupBy("user_id", "day").agg(
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max(F.when(F.col("__rn_d") == 1, F.col("value"))).alias("close_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+#: shared oracle CTE: daily bars exactly as _daily_bars folds them
+_SQL_DAILY_BARS = """
+WITH t AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+), bars AS (
+  SELECT user_id, day,
+         max(value) AS high_value,
+         min(value) AS low_value,
+         max(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+         count(*) AS n_events
+  FROM t GROUP BY user_id, day
+)
+"""
+
+
+def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATR-14 (simple-average variant, window-expressible like Cutler's
+    RSI): daily bars → true range = max(H−L, |H−prev C|, |L−prev C|) (first
+    bar: H−L, the pandas-ta seed) → 14-bar SMA, null until 14 bars exist.
+    Plan: one user-hash exchange feeds bar tagging, the bar groupBy, the
+    lag window, and the rolling window (stacked same-partitioning windows).
+    TR operands are raw doubles (comparisons + identical IEEE ops → exact);
+    the 14-bar mean rounds at 6 (window-frame summation-order convention)."""
+    bars = _daily_bars(_t(spark, sf_dir, "events"))
+    w_ord = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    prev_close = F.lag("close_value").over(w_ord)
+    h, low = F.col("high_value"), F.col("low_value")
+    tr = F.when(prev_close.isNull(), h - low).otherwise(
+        F.greatest(h - low, F.abs(h - prev_close), F.abs(low - prev_close))
+    )
+    with_tr = bars.select("user_id", "day", tr.alias("tr"))
+    w_n = Window.partitionBy("user_id").orderBy(F.col("day").asc()).rowsBetween(
+        -(ATR_N - 1), 0
+    )
+    atr = F.when(F.count("tr").over(w_n) == ATR_N, F.avg("tr").over(w_n))
+    return with_tr.select(
+        "user_id",
+        "day",
+        F.round(F.col("tr"), 6).alias("true_range"),
+        F.round(atr, 6).alias("atr"),
+    )
+
+
+SQL_ATR = f"""{_SQL_DAILY_BARS},
+d AS (
+  SELECT user_id, day, high_value, low_value,
+         lag(close_value) OVER (PARTITION BY user_id ORDER BY day ASC)
+           AS prev_close
+  FROM bars
+), tr AS (
+  SELECT user_id, day,
+         CASE WHEN prev_close IS NULL THEN high_value - low_value
+              ELSE greatest(high_value - low_value,
+                            abs(high_value - prev_close),
+                            abs(low_value - prev_close)) END AS tr
+  FROM d
+)
+SELECT user_id, day, round(tr, 6) AS true_range,
+       round(CASE WHEN count(tr) OVER w = {ATR_N}
+                  THEN avg(tr) OVER w END, 6) AS atr
+FROM tr
+WINDOW w AS (PARTITION BY user_id ORDER BY day ASC
+             ROWS BETWEEN {ATR_N - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume: daily bars → sign(close − prev close) · volume,
+    running-summed per user in day order (volume = bar event count). All
+    integer/comparison arithmetic — bit-exact, no rounding. Same single
+    user-hash exchange as q_atr."""
+    bars = _daily_bars(_t(spark, sf_dir, "events"))
+    w_ord = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    prev_close = F.lag("close_value").over(w_ord)
+    sign = (
+        F.when(prev_close.isNull(), F.lit(0))
+        .when(F.col("close_value") > prev_close, F.lit(1))
+        .when(F.col("close_value") < prev_close, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    signed = bars.select(
+        "user_id",
+        "day",
+        "close_value",
+        F.col("n_events").alias("daily_volume"),
+        (sign * F.col("n_events")).alias("__sv"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return signed.select(
+        "user_id",
+        "day",
+        "close_value",
+        "daily_volume",
+        F.sum("__sv").over(w_run).alias("obv"),
+    )
+
+
+SQL_OBV = f"""{_SQL_DAILY_BARS},
+d AS (
+  SELECT user_id, day, close_value, n_events AS daily_volume,
+         lag(close_value) OVER (PARTITION BY user_id ORDER BY day ASC)
+           AS prev_close
+  FROM bars
+), s AS (
+  SELECT user_id, day, close_value, daily_volume,
+         (CASE WHEN prev_close IS NULL THEN 0
+               WHEN close_value > prev_close THEN 1
+               WHEN close_value < prev_close THEN -1
+               ELSE 0 END) * daily_volume AS sv
+  FROM d
+)
+SELECT user_id, day, close_value, daily_volume,
+       CAST(sum(sv) OVER (PARTITION BY user_id ORDER BY day ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS obv
+FROM s
+"""
+
+
+def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator on the raw series: %K = 100·(value − min₁₄)/
+    (max₁₄ − min₁₄) (null until 14 rows, null when the window is flat),
+    %D = 3-row SMA of %K. %K is bit-exact (window min/max are comparisons,
+    then identical IEEE ops); %D rounds at 6. Stacked windows on ONE user
+    partitioning — single exchange, same shape as rsi_14."""
+    ev = _t(spark, sf_dir, "events")
+    w_n = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-(STOCH_N - 1), 0)
+    )
+    full = F.count("value").over(w_n) == STOCH_N
+    lo = F.when(full, F.min("value").over(w_n))
+    hi = F.when(full, F.max("value").over(w_n))
+    k = F.lit(100.0) * (F.col("value") - lo) / F.nullif(hi - lo, F.lit(0.0))
+    with_k = ev.select(
+        "event_id", "user_id", "ts", "value", k.alias("pct_k")
+    )
+    w_d = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-(STOCH_D - 1), 0)
+    )
+    d = F.when(
+        F.count("pct_k").over(w_d) == STOCH_D, F.avg("pct_k").over(w_d)
+    )
+    return with_k.select(
+        "event_id", "user_id", "value", "pct_k", F.round(d, 6).alias("pct_d")
+    )
+
+
+SQL_STOCHASTIC = f"""
+WITH k AS (
+  SELECT event_id, user_id, ts, value,
+         100.0 * (value - (CASE WHEN count(value) OVER w = {STOCH_N}
+                                THEN min(value) OVER w END))
+         / nullif((CASE WHEN count(value) OVER w = {STOCH_N}
+                        THEN max(value) OVER w END)
+                  - (CASE WHEN count(value) OVER w = {STOCH_N}
+                          THEN min(value) OVER w END), 0.0) AS pct_k
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN {STOCH_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, value, pct_k,
+       round(CASE WHEN count(pct_k) OVER w3 = {STOCH_D}
+                  THEN avg(pct_k) OVER w3 END, 6) AS pct_d
+FROM k
+WINDOW w3 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN {STOCH_D - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-bar beta of each user's daily returns against the equal-
+    weight cross-user index (the reference's removed report.pyc computed a
+    correlation heatmap; beta-vs-index is the scale-honest sibling). Shape:
+    daily close bars per user (one user-hash exchange) → tiny per-day index
+    aggregate (≤ |calendar days| rows, decimal-exact mean) broadcast back →
+    per-user return windows → beta from explicit window sums
+    (n·Σxy − Σx·Σy)/(n·Σyy − Σy²), rounded at 6. The index side is bounded
+    by the calendar, not the corpus — broadcast stays cheap at 100 TB."""
+    bars = _daily_bars(_t(spark, sf_dir, "events")).select(
+        "user_id", "day", "close_value"
+    )
+    # equal-weight index: decimal-exact mean over the 2-decimal close grid
+    # (summation-order-proof), emitted as double on both engines
+    idx = bars.groupBy("day").agg(
+        (
+            F.sum(F.col("close_value").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("idx_close")
+    )
+    w_idx = Window.orderBy(F.col("day").asc())
+    idx = idx.select(
+        "day",
+        (F.col("idx_close") / F.lag("idx_close").over(w_idx) - 1).alias("ret_m"),
+    )
+    w_ord = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    rets = bars.select(
+        "user_id",
+        "day",
+        (F.col("close_value") / F.lag("close_value").over(w_ord) - 1).alias(
+            "ret_u"
+        ),
+    ).join(F.broadcast(idx), "day")
+    w_n = Window.partitionBy("user_id").orderBy(F.col("day").asc()).rowsBetween(
+        -(BETA_N - 1), 0
+    )
+    n = F.count(F.when(F.col("ret_u").isNotNull() & F.col("ret_m").isNotNull(), 1)).over(w_n)
+    x = F.when(F.col("ret_m").isNotNull(), F.col("ret_u"))
+    y = F.when(F.col("ret_u").isNotNull(), F.col("ret_m"))
+    sxy = F.sum(x * y).over(w_n)
+    sx = F.sum(x).over(w_n)
+    sy = F.sum(y).over(w_n)
+    syy = F.sum(y * y).over(w_n)
+    beta = F.when(
+        n == BETA_N,
+        (n * sxy - sx * sy) / F.nullif(n * syy - sy * sy, F.lit(0.0)),
+    )
+    return rets.select(
+        "user_id", "day", F.round(beta, 6).alias("beta")
+    )
+
+
+SQL_ROLLING_BETA = f"""{_SQL_DAILY_BARS},
+idx0 AS (
+  SELECT day,
+         CAST(sum(CAST(close_value AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+           AS idx_close
+  FROM bars GROUP BY day
+), idx AS (
+  SELECT day, idx_close / lag(idx_close) OVER (ORDER BY day ASC) - 1 AS ret_m
+  FROM idx0
+), r AS (
+  SELECT b.user_id, b.day,
+         b.close_value / lag(b.close_value)
+           OVER (PARTITION BY b.user_id ORDER BY b.day ASC) - 1 AS ret_u,
+         i.ret_m
+  FROM bars b JOIN idx i USING (day)
+), p AS (
+  SELECT user_id, day,
+         CASE WHEN ret_m IS NOT NULL THEN ret_u END AS x,
+         CASE WHEN ret_u IS NOT NULL THEN ret_m END AS y
+  FROM r
+)
+SELECT user_id, day,
+       round(CASE WHEN count(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                                  THEN 1 END) OVER w = {BETA_N}
+                  THEN (count(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                                   THEN 1 END) OVER w * sum(x * y) OVER w
+                        - sum(x) OVER w * sum(y) OVER w)
+                       / nullif(count(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                                           THEN 1 END) OVER w
+                                * sum(y * y) OVER w
+                                - sum(y) OVER w * sum(y) OVER w, 0.0)
+             END, 6) AS beta
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY day ASC
+             ROWS BETWEEN {BETA_N - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
 SPECS = {
     "ts_features": QuerySpec(
         q_ts_features,
@@ -1176,5 +1487,29 @@ SPECS = {
         SQL_RSI,
         "Cutler's RSI over 14 diffs (stacked windows, one user partitioning)",
         ("window",),
+    ),
+    "atr_14": QuerySpec(
+        q_atr,
+        SQL_ATR,
+        "ATR-14 over daily OHLC bars: one user-hash exchange end-to-end",
+        ("window", "agg"),
+    ),
+    "obv": QuerySpec(
+        q_obv,
+        SQL_OBV,
+        "on-balance volume: signed running volume sum, bit-exact integers",
+        ("window", "agg"),
+    ),
+    "stochastic_osc": QuerySpec(
+        q_stochastic,
+        SQL_STOCHASTIC,
+        "stochastic %K/%D: stacked 14/3-row windows, %K bit-exact",
+        ("window",),
+    ),
+    "rolling_beta": QuerySpec(
+        q_rolling_beta,
+        SQL_ROLLING_BETA,
+        "30-bar beta vs equal-weight index: calendar-bounded broadcast join",
+        ("window", "join", "agg"),
     ),
 }

@@ -153,6 +153,9 @@ def test_no_whole_frame_window_over_unbounded_rows(spark, sf_dir):
         "connector_macro_summary",
         # percent_rank over the 1-row-per-(type) percentile aggregate
         "value_percentiles_by_type",
+        # index-return lag window runs over the per-day aggregate
+        # (≤ |calendar days| rows — bounded by the calendar, not the corpus)
+        "rolling_beta",
     }
     import re
 
@@ -168,6 +171,27 @@ def test_no_whole_frame_window_over_unbounded_rows(spark, sf_dir):
         if single_part_window.search(plan) and name not in bounded_ok:
             flagged.append(name)
     assert flagged == [], f"partition-less Window in: {flagged}"
+
+
+def test_atr_obv_single_user_exchange(spark, sf_dir):
+    # the explicit repartition(user_id) must be the ONLY shuffle: bar
+    # tagging (user_id, day), the bar groupBy, and every per-user window
+    # all ride the same user-hash exchange (subset-clustering satisfaction)
+    for name in ("atr_14", "obv"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange") == 1, f"{name}: expected 1 exchange"
+        assert "REPARTITION_BY_COL" in plan
+
+
+def test_rolling_beta_one_fact_scan(spark, sf_dir):
+    # the index side re-derives daily bars from the same events subtree;
+    # AQE exchange reuse must collapse that to ONE fact scan — the only
+    # other exchanges run over the bounded per-(user,day) bar / per-day
+    # index aggregates, and the index joins back as a broadcast
+    plan = _final_plan(spark, sf_dir, "rolling_beta")
+    assert plan.count("events.parquet") == 1
+    assert "ReusedExchange" in plan
+    assert "BroadcastExchange" in plan
 
 
 def test_weekly_bars_single_exchange(spark, sf_dir):
