@@ -43,6 +43,95 @@ def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
 
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance as the same left fold as `dot` — bit-identical
+    to an unrolled left-associative sum in any engine."""
+    return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+
+#: per-component quantization scale for order-proof centroid means: summing
+#: round(x·10⁶) as BIGINT is associative, so the mean is identical under any
+#: partitioning/summation order — the float-sum nondeterminism k-means
+#: usually suffers across engines/retries simply cannot occur.
+KMEANS_Q = 1_000_000
+
+
+def kmeans_refine(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`iters` unrolled Lloyd iterations from deterministic seeds (the
+    first `k` vectors by id — the ivf_seed convention), then a final
+    evaluation assignment: per surviving cell, member count, inertia
+    (Σ rounded d², decimal-exact sum) and the refined centroid's norm.
+
+    Scale shape per iteration: assignment is a broadcast cross join against
+    the k-row centroid frame (map-only over the corpus — k·d doubles ship
+    to every executor), the update is ONE (cell, dim) hash aggregate over
+    quantized components (linear, map-side combined, associative BIGINT
+    sums) folded back to k centroid rows. Nothing is ever pairwise in the
+    corpus; at 100 TB you would persist the source once and reuse it across
+    iterations (here the plan re-reads it, keeping the DAG pure for the
+    oracle)."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        a = e.crossJoin(F.broadcast(cents_df)).select(
+            "vec_id",
+            "v",
+            "cell",
+            F.round(sq_dist(F.col("v"), F.col("cv")), 6).alias("d"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d").asc(), F.col("cell").asc()
+        )
+        return (
+            a.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        comp = assigned.select(
+            "cell", F.posexplode("v").alias("pos", "x")
+        ).select(
+            "cell",
+            "pos",
+            F.round(F.col("x") * KMEANS_Q, 0).cast("long").alias("qx"),
+        )
+        sums = comp.groupBy("cell", "pos").agg(
+            F.sum("qx").alias("sq"), F.count(F.lit(1)).alias("n")
+        )
+        mean = (F.col("sq").cast("double") / (F.col("n") * F.lit(float(KMEANS_Q)))).alias("m")
+        cents = sums.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), mean))),
+                lambda s: s.m,
+            ).alias("cv")
+        )
+
+    final = assign(cents)
+    out = final.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("d").cast("decimal(20,6)")).cast("double").alias("inertia"),
+    )
+    norms = cents.select(
+        "cell", F.round(F.sqrt(sq_norm(F.col("cv"))), 6).alias("centroid_norm")
+    )
+    return out.join(F.broadcast(norms), "cell").select(
+        "cell", "n_members", "inertia", "centroid_norm"
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,

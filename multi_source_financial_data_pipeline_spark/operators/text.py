@@ -244,6 +244,60 @@ def scrub(
     )
 
 
+#: PII patterns in the Java-regex ∩ RE2 portable subset (character classes,
+#: bounded quantifiers, non-capturing groups — no lookaround, no backrefs),
+#: so Spark (java.util.regex) and any RE2 engine (DuckDB, Go, C++) match the
+#: SAME spans. Applied in tuple order; counts are measured per pattern on
+#: the ORIGINAL text, redaction is sequential.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d(?:[ -]?\d){6,14}", "<PHONE>"),
+)
+
+
+def pii_columns(text_col: str = "text") -> dict[str, Column]:
+    """Per-pattern match counts + the sequentially redacted text. One
+    projection, no UDFs — regexp_extract_all/regexp_replace run inside
+    whole-stage codegen."""
+    cols: dict[str, Column] = {}
+    scrubbed = F.col(text_col)
+    for name, pattern, token in PII_PATTERNS:
+        cols[f"n_{name}"] = F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+        ).cast("long")
+        scrubbed = F.regexp_replace(scrubbed, pattern, token)
+    cols["scrubbed"] = scrubbed
+    return cols
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    cols = pii_columns(text_col)
+    return df.select(
+        F.col(id_col),
+        *[cols[f"n_{name}"].alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
+        F.md5(cols["scrubbed"]).alias("scrubbed_fp"),
+    )
+
+
+def token_chunks(
+    text_col: str = "text", width: int = 10
+) -> tuple[Column, Column, Column]:
+    """(chunk_idx array-explode source, chunk text, chunk token count) for
+    fixed `width`-token chunks of the whitespace token stream — the
+    "paragraph" granularity for boilerplate detection on a corpus without
+    layout. Returns the sequence column to explode plus per-chunk
+    expressions over the exploded index column `__ci`."""
+    toks = tokens(F.col(text_col))
+    n_chunks = F.floor((F.size(toks) + (width - 1)) / width).cast("int")
+    seq = F.sequence(F.lit(0), n_chunks - 1)
+    chunk = F.array_join(
+        F.slice(toks, F.col("__ci") * width + 1, width), " "
+    )
+    chunk_toks = F.size(F.slice(toks, F.col("__ci") * width + 1, width))
+    return seq, chunk, chunk_toks
+
+
 def length_quantiles(
     df: DataFrame, qs: tuple[float, ...] = (0.5, 0.9, 0.99), text_col: str = "text"
 ) -> DataFrame:

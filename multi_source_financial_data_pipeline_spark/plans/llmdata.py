@@ -1617,6 +1617,315 @@ FROM c
 """
 
 
+# --- iterative Lloyd refinement over the IVF seed quantizer -----------------
+
+KM_K = 16
+KM_ITERS = 2
+
+
+def _sql_sqd(a: str, b: str) -> str:
+    terms = " + ".join(
+        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+        for i in range(1, EMB_DIM + 1)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _sql_km_assign(name: str, cents: str) -> str:
+    return f"""{name} AS (
+  SELECT vec_id, v, cell, d FROM (
+    SELECT vec_id, v, cell, d,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d ASC, cell ASC) AS rn
+    FROM (SELECT e.vec_id, e.v, c.cell, round({_sql_sqd('e.v', 'c.cv')}, 6) AS d
+          FROM e CROSS JOIN {cents} c)
+  ) WHERE rn = 1
+)"""
+
+
+def _sql_km_update(name: str, assigned: str) -> str:
+    return f"""{name}_u AS (
+  SELECT cell, pos,
+         CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS BIGINT) AS sq,
+         count(*) AS n
+  FROM (SELECT cell, pos, v[pos] AS x
+        FROM (SELECT cell, v, unnest(generate_series(1, {EMB_DIM})) AS pos
+              FROM {assigned}))
+  GROUP BY cell, pos
+), {name} AS (
+  SELECT cell, list(CAST(sq AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS cv
+  FROM {name}_u GROUP BY cell
+)"""
+
+
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations from the IVF seed quantizer (first
+    KM_K vectors), then an evaluation assignment: per surviving cell the
+    member count, decimal-exact inertia, refined-centroid norm — the
+    clustering loop a semantic-dedup / topic-mixture pipeline runs before
+    cell-local screening. Cross-engine determinism comes from quantized
+    BIGINT centroid sums (order-proof means: operators/similarity.py
+    KMEANS_Q), so the classic float-sum divergence of distributed k-means
+    cannot occur; see kmeans_refine for the per-iteration scale shape."""
+    return similarity.kmeans_refine(
+        _t(spark, sf_dir, "embeddings"), k=KM_K, iters=KM_ITERS
+    )
+
+
+SQL_KMEANS_REFINE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM e
+       WHERE vec_id < {KM_K}),
+{_sql_km_assign('a1', 'c0')},
+{_sql_km_update('c1', 'a1')},
+{_sql_km_assign('a2', 'c1')},
+{_sql_km_update('c2', 'a2')},
+{_sql_km_assign('a3', 'c2')},
+o AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(CAST(d AS DECIMAL(20,6))) AS DOUBLE) AS inertia
+  FROM a3 GROUP BY cell
+)
+SELECT o.cell, o.n_members, o.inertia,
+       round(sqrt({_sql_dot('c2.cv', 'c2.cv')}), 6) AS centroid_norm
+FROM o JOIN c2 ON o.cell = c2.cell
+"""
+
+
+# --- chunk-level boilerplate removal (CCNet paragraph dedup, layout-free) ---
+
+CHUNK_W = 10
+BOIL_K = 2
+
+
+def q_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal at fixed 10-token-chunk granularity
+    (the corpus has no layout, so chunks stand in for paragraphs): a chunk
+    whose fingerprint appears in ≥2 DISTINCT docs is boilerplate; each doc
+    is re-assembled from its surviving chunks in order. Plan: one scan →
+    chunk explode (linear, ~n_tokens/10 rows) → ONE fp-hash exchange
+    carrying BOTH the per-(fp) first-in-doc tagging (lag over doc order
+    inside the fp partition) and the distinct-doc-count window → doc-hash
+    groupBy re-assembly (ordered fold via array_sort on (idx, text)
+    structs). Never materializes a pair space; both shuffles are linear."""
+    docs = _t(spark, sf_dir, "documents")
+    seq, chunk, chunk_toks = text.token_chunks("text", width=CHUNK_W)
+    chunks = docs.select(
+        "doc_id", "text", F.explode(seq).alias("__ci")
+    ).select(
+        "doc_id",
+        F.col("__ci").alias("chunk_idx"),
+        chunk.alias("chunk_text"),
+        chunk_toks.alias("chunk_toks"),
+    ).withColumn("fp", F.md5("chunk_text"))
+    from pyspark.sql import Window
+
+    w_fp_ord = Window.partitionBy("fp").orderBy(
+        F.col("doc_id").asc(), F.col("chunk_idx").asc()
+    )
+    prev_doc = F.lag("doc_id").over(w_fp_ord)
+    first_in_doc = F.when(
+        prev_doc.isNull() | (prev_doc != F.col("doc_id")), 1
+    ).otherwise(0)
+    tagged = chunks.select(
+        "doc_id", "chunk_idx", "chunk_text", "chunk_toks", "fp",
+        first_in_doc.alias("__first"),
+    )
+    n_docs = F.sum("__first").over(Window.partitionBy("fp"))
+    flagged = tagged.select(
+        "doc_id", "chunk_idx", "chunk_text", "chunk_toks",
+        (n_docs >= BOIL_K).alias("is_boiler"),
+    )
+    keep = F.when(~F.col("is_boiler"), F.struct("chunk_idx", "chunk_text"))
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(keep)), lambda s: s.chunk_text
+        ),
+        " ",
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_boiler_chunks"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_boiler"), F.col("chunk_toks")).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("n_kept_tokens"),
+        F.md5(kept_text).alias("kept_fp"),
+    )
+
+
+SQL_CHUNK_BOILERPLATE = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), ix AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, (len(toks) + {CHUNK_W - 1}) // {CHUNK_W} - 1))
+           AS ci
+  FROM d
+), ch AS (
+  SELECT doc_id, ci AS chunk_idx,
+         array_to_string(list_slice(toks, ci*{CHUNK_W}+1, ci*{CHUNK_W}+{CHUNK_W}), ' ')
+           AS chunk_text,
+         len(list_slice(toks, ci*{CHUNK_W}+1, ci*{CHUNK_W}+{CHUNK_W})) AS chunk_toks
+  FROM ix
+), f AS (
+  SELECT *, md5(chunk_text) AS fp FROM ch
+), tagged AS (
+  SELECT *, CASE WHEN lag(doc_id) OVER (PARTITION BY fp ORDER BY doc_id ASC,
+                                        chunk_idx ASC) IS DISTINCT FROM doc_id
+                 THEN 1 ELSE 0 END AS first_in_doc
+  FROM f
+), flagged AS (
+  SELECT doc_id, chunk_idx, chunk_text, chunk_toks,
+         sum(first_in_doc) OVER (PARTITION BY fp) >= {BOIL_K} AS is_boiler
+  FROM tagged
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler_chunks,
+       CAST(coalesce(sum(CASE WHEN NOT is_boiler THEN chunk_toks END), 0)
+            AS BIGINT) AS n_kept_tokens,
+       md5(coalesce(string_agg(CASE WHEN NOT is_boiler THEN chunk_text END,
+                               ' ' ORDER BY chunk_idx ASC), '')) AS kept_fp
+FROM flagged GROUP BY doc_id
+"""
+
+
+# --- CCNet-style perplexity tiers over the in-plan unigram LM ---------------
+
+PPLX_GRID = 10000
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail tiers by LM score: every doc's mean token
+    probability under the corpus unigram LM (the q_unigram_prob subtree,
+    integer-exact) is bucketed on a FIXED grid (floor(p·10⁴) ∈ [0, 10⁴] —
+    probabilities are bounded, so the grid is, regardless of corpus size);
+    tier cutoffs are thirds of the bucket histogram's cumulative counts.
+    The quantile machinery therefore runs over ≤10⁴ histogram rows (the
+    doc_length_quantiles pattern), never over doc rows — cutoffs come back
+    as a broadcast 1-row cross join. Bucket-granular quantiles are exactly
+    the binned-perplexity practice of CCNet (Wenzek et al. 2020, §4.3's
+    head/middle/tail split)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+    ).groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c_dt"))
+    w_tok = Window.partitionBy("tok")
+    scored = pairs.withColumn("c_t", F.sum("c_dt").over(w_tok))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("c_dt").alias("n_tokens"),
+        F.sum(F.col("c_dt") * F.col("c_t")).alias("__sum_ct"),
+    )
+    total_df = per_doc.agg(F.sum("n_tokens").cast("double").alias("__total"))
+    with_p = per_doc.crossJoin(F.broadcast(total_df)).select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            F.col("__sum_ct").cast("double")
+            / (F.col("n_tokens").cast("double") * F.col("__total"))
+            * PPLX_GRID
+        ).cast("int").alias("bucket"),
+    )
+    hist = with_p.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("tot"),
+    )
+    cuts = cum.agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("tot"), F.col("bucket"))).alias("b1"),
+        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("tot"), F.col("bucket"))).alias("b2"),
+    )
+    return with_p.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        F.when(F.col("bucket") <= F.col("b1"), F.lit("tail"))
+        .when(F.col("bucket") <= F.col("b2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("tier"),
+    )
+
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH pairs AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), cdt AS (
+  SELECT doc_id, tok, count(*) AS c_dt FROM pairs GROUP BY doc_id, tok
+), scored AS (
+  SELECT doc_id, c_dt, sum(c_dt) OVER (PARTITION BY tok) AS c_t FROM cdt
+), per_doc AS (
+  SELECT doc_id,
+         CAST(sum(c_dt) AS BIGINT) AS n_tokens,
+         CAST(sum(c_dt * c_t) AS BIGINT) AS sum_ct
+  FROM scored GROUP BY doc_id
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM per_doc
+), with_p AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(CAST(sum_ct AS DOUBLE)
+                    / (CAST(n_tokens AS DOUBLE) * total) * {PPLX_GRID})
+              AS INTEGER) AS bucket
+  FROM per_doc, tot
+), hist AS (
+  SELECT bucket, count(*) AS cnt FROM with_p GROUP BY bucket
+), cum AS (
+  SELECT bucket,
+         sum(cnt) OVER (ORDER BY bucket ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER () AS tot
+  FROM hist
+), cuts AS (
+  SELECT min(CASE WHEN cum * 3 >= tot THEN bucket END) AS b1,
+         min(CASE WHEN cum * 3 >= 2 * tot THEN bucket END) AS b2
+  FROM cum
+)
+SELECT doc_id, n_tokens, bucket,
+       CASE WHEN bucket <= b1 THEN 'tail'
+            WHEN bucket <= b2 THEN 'middle'
+            ELSE 'head' END AS tier
+FROM with_p, cuts
+"""
+
+
+# --- PII detection + redaction ----------------------------------------------
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pass over the corpus: per-pattern match counts (email/IPv4/
+    phone) + the fingerprint of the sequentially redacted text. Pure
+    regexp projection — no shuffle at all, whole-stage codegen end-to-end;
+    at 100 TB this is a map-only scan. Patterns live in the Java∩RE2
+    portable subset so Spark and the DuckDB oracle redact identical spans
+    (tests/test_pii.py proves span parity on adversarial crafted strings;
+    the synthetic corpus itself is PII-free, so counts here are honest
+    zeros)."""
+    return text.pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+def _sql_pii() -> str:
+    from multi_source_financial_data_pipeline_spark.operators.text import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    scrub = "text"
+    for _, pat, token in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    return f"SELECT doc_id,\n       {counts},\n       md5({scrub}) AS scrubbed_fp\nFROM documents"
+
+
+SQL_PII_SCRUB = _sql_pii()
+
+
 SPECS = {
     "token_stats": QuerySpec(
         q_token_stats, SQL_TOKEN_STATS, "per-doc token counting + type-token ratio", ("text",)
@@ -1853,5 +2162,33 @@ SPECS = {
         SQL_QUALITY_FILTER_FUNNEL,
         "curation funnel: cumulative survivor counts per filter stage",
         ("text", "agg"),
+    ),
+    "chunk_boilerplate": QuerySpec(
+        q_chunk_boilerplate,
+        SQL_CHUNK_BOILERPLATE,
+        "CCNet paragraph-dedup at 10-token-chunk granularity: one fp "
+        "exchange, ordered re-assembly, linear",
+        ("text", "dedup"),
+    ),
+    "perplexity_buckets": QuerySpec(
+        q_perplexity_buckets,
+        SQL_PERPLEXITY_BUCKETS,
+        "CCNet head/middle/tail LM tiers via bounded-grid histogram "
+        "quantiles (never a doc-row window)",
+        ("text", "agg"),
+    ),
+    "pii_scrub": QuerySpec(
+        q_pii_scrub,
+        SQL_PII_SCRUB,
+        "PII counts + sequential redaction fingerprint: map-only scan, "
+        "portable-regex span parity",
+        ("text",),
+    ),
+    "kmeans_refine": QuerySpec(
+        q_kmeans_refine,
+        SQL_KMEANS_REFINE,
+        "two Lloyd iterations + evaluation assign; quantized order-proof "
+        "centroid means, broadcast-per-iteration",
+        ("similarity", "agg"),
     ),
 }
