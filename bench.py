@@ -102,6 +102,18 @@ HEADLINE = [
     "q11_important_stock",
     "quality_filter_funnel",
     "stream_sliding_counts",
+    # round-7 wave 2: the newest shuffle shapes — chunk explode + fp
+    # exchange (boilerplate), bounded-histogram tiering (perplexity),
+    # map-only regex scan (pii), iterative broadcast k-means, and the four
+    # OHLC-bar indicator windows sharing one user exchange
+    "chunk_boilerplate",
+    "perplexity_buckets",
+    "pii_scrub",
+    "kmeans_refine",
+    "atr_14",
+    "obv",
+    "stochastic_osc",
+    "rolling_beta",
 ]
 
 

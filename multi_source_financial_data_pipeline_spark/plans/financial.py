@@ -1273,18 +1273,26 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("idx_close")
     )
+    # a prior close of exactly 0.0 (present in the sf0.1 grid) must yield a
+    # null return, not an ANSI divide-by-zero crash — nullif on BOTH engines
     w_idx = Window.orderBy(F.col("day").asc())
     idx = idx.select(
         "day",
-        (F.col("idx_close") / F.lag("idx_close").over(w_idx) - 1).alias("ret_m"),
+        (
+            F.col("idx_close")
+            / F.nullif(F.lag("idx_close").over(w_idx), F.lit(0.0))
+            - 1
+        ).alias("ret_m"),
     )
     w_ord = Window.partitionBy("user_id").orderBy(F.col("day").asc())
     rets = bars.select(
         "user_id",
         "day",
-        (F.col("close_value") / F.lag("close_value").over(w_ord) - 1).alias(
-            "ret_u"
-        ),
+        (
+            F.col("close_value")
+            / F.nullif(F.lag("close_value").over(w_ord), F.lit(0.0))
+            - 1
+        ).alias("ret_u"),
     ).join(F.broadcast(idx), "day")
     w_n = Window.partitionBy("user_id").orderBy(F.col("day").asc()).rowsBetween(
         -(BETA_N - 1), 0
@@ -1312,12 +1320,14 @@ idx0 AS (
            AS idx_close
   FROM bars GROUP BY day
 ), idx AS (
-  SELECT day, idx_close / lag(idx_close) OVER (ORDER BY day ASC) - 1 AS ret_m
+  SELECT day,
+         idx_close / nullif(lag(idx_close) OVER (ORDER BY day ASC), 0.0) - 1
+           AS ret_m
   FROM idx0
 ), r AS (
   SELECT b.user_id, b.day,
-         b.close_value / lag(b.close_value)
-           OVER (PARTITION BY b.user_id ORDER BY b.day ASC) - 1 AS ret_u,
+         b.close_value / nullif(lag(b.close_value)
+           OVER (PARTITION BY b.user_id ORDER BY b.day ASC), 0.0) - 1 AS ret_u,
          i.ret_m
   FROM bars b JOIN idx i USING (day)
 ), p AS (
