@@ -59,3 +59,70 @@ def ewma_last(
     return df.select(key, ts_col, tiebreak, value_col).groupBy(key).applyInPandas(
         fold, schema=EWMA_SCHEMA
     )
+
+
+MACD_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("macd_line", T.DoubleType()),
+        T.StructField("signal_line", T.DoubleType()),
+        T.StructField("histogram", T.DoubleType()),
+    ]
+)
+
+
+def macd_last(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak: str,
+    value_col: str,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+) -> DataFrame:
+    """Final MACD state per key: three coupled EWMA recursions (fast EMA,
+    slow EMA, and the signal EMA *of their difference*) in one ordered
+    fold. The signal line consumes the MACD series itself, so no window
+    can express it — same grouped-map escape hatch as `ewma_last`, one
+    Arrow batch per key, groups in parallel across executors.
+
+    Every intermediate is an explicit left-fold step (e·b + a·x, then the
+    subtraction, then the signal step, in that order), so a SQL oracle can
+    replay the identical float sequence via prefix `list_reduce` — the
+    macd value at step t IS the difference of the two prefix folds at t.
+    All EMAs seed at the first observation (m_0 = 0, signal_0 = 0)."""
+    a_f = 2.0 / (fast + 1)
+    b_f = 1.0 - a_f
+    a_s = 2.0 / (slow + 1)
+    b_s = 1.0 - a_s
+    a_g = 2.0 / (signal + 1)
+    b_g = 1.0 - a_g
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        s = pdf.sort_values([ts_col, tiebreak])[value_col].to_numpy()
+        e_f = float(s[0])
+        e_s = float(s[0])
+        m = e_f - e_s
+        sig = m
+        for x in s[1:]:
+            e_f = e_f * b_f + a_f * float(x)
+            e_s = e_s * b_s + a_s * float(x)
+            m = e_f - e_s
+            sig = sig * b_g + a_g * m
+        return pd.DataFrame(
+            {
+                "key": [pdf[key].iloc[0]],
+                "n_rows": [len(s)],
+                "macd_line": [m],
+                "signal_line": [sig],
+                "histogram": [m - sig],
+            }
+        )
+
+    return df.select(key, ts_col, tiebreak, value_col).groupBy(key).applyInPandas(
+        fold, schema=MACD_SCHEMA
+    )

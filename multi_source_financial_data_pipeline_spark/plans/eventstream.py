@@ -697,6 +697,172 @@ FROM c GROUP BY event_type
 """
 
 
+# --- KMV distinct-count sketch with measured accuracy ------------------------
+
+KMV_K = 32
+#: 2^32 — the md5-prefix hash space (operators/sampling.hash_uniform)
+_KMV_SPACE = float(1 << 32)
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user sketch per event type, with the
+    exact count alongside as measured ground truth (Bar-Yossef et al. 2002:
+    with h uniform on [0, M), E[(k-1)·M / h_(k)] ≈ n_distinct). Unlike HLL
+    the estimate is a DETERMINISTIC function of the input set given the
+    hash, so it cross-engine hash-matches — the sketch operator you can
+    actually put behind a correctness gate.
+
+    Scale shape: ONE distinct exchange on (type, h) — md5-prefix hashing is
+    row-local, the groupBy combines map-side — then the rank-k filter
+    compiles to WindowGroupLimit (pinned), so only k rows per type survive
+    each map partition before the window exchange. The exact-count branch
+    re-aggregates the same distinct frame (it exists for accuracy
+    measurement; a production sketch pass drops it and with it any
+    full-cardinality state)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    distinct = (
+        ev.select("event_type", h.alias("h")).groupBy("event_type", "h").agg(
+            F.count(F.lit(1)).alias("_n")
+        ).drop("_n")
+    )
+    exact = distinct.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    kmin = (
+        distinct.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth"))
+    )
+    est = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1))
+        * F.lit(_KMV_SPACE)
+        / F.nullif(F.col("kth").cast("double"), F.lit(0.0))
+    )
+    return (
+        exact.join(kmin, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            est.alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+SQL_KMV_DISTINCT = f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM events
+), exact AS (
+  SELECT event_type, count(*) AS n_exact FROM d GROUP BY event_type
+), kmin AS (
+  SELECT event_type, count(*) AS n_kept, max(h) AS kth
+  FROM (SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rk
+        FROM d)
+  WHERE rk <= {KMV_K} GROUP BY event_type
+), j AS (
+  SELECT e.event_type, n_exact,
+         CASE WHEN n_kept < {KMV_K} THEN CAST(n_exact AS DOUBLE)
+              ELSE {float(KMV_K - 1)!r} * {_KMV_SPACE!r}
+                   / nullif(CAST(kth AS DOUBLE), 0.0) END AS kmv_estimate
+  FROM exact e JOIN kmin k ON e.event_type = k.event_type
+)
+SELECT event_type, n_exact, kmv_estimate,
+       round(abs(kmv_estimate - CAST(n_exact AS DOUBLE))
+             / CAST(n_exact AS DOUBLE), 6) AS rel_err
+FROM j
+"""
+
+
+# --- MACD: coupled EWMA recursions per user ---------------------------------
+
+MACD_FAST, MACD_SLOW, MACD_SIGNAL = 12, 26, 9
+_MACD_AF = 2.0 / (MACD_FAST + 1)
+_MACD_BF = 1.0 - _MACD_AF
+_MACD_AS = 2.0 / (MACD_SLOW + 1)
+_MACD_BS = 1.0 - _MACD_AS
+_MACD_AG = 2.0 / (MACD_SIGNAL + 1)
+_MACD_BG = 1.0 - _MACD_AG
+
+
+def q_macd_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = grouped.macd_last(
+        _events(spark, sf_dir),
+        key="user_id",
+        ts_col="ts",
+        tiebreak="event_id",
+        value_col="value",
+        fast=MACD_FAST,
+        slow=MACD_SLOW,
+        signal=MACD_SIGNAL,
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        "n_rows",
+        "macd_line",
+        "signal_line",
+        "histogram",
+    )
+
+
+#: The signal EMA consumes the macd SERIES, so the oracle materializes it as
+#: prefix folds: macd(t) = fastEMA(prefix t) − slowEMA(prefix t), each prefix
+#: fold replaying the UDF's incremental left fold bit-for-bit (O(n²) list
+#: ops — oracle-side cost only). All (a, 1−a) doubles are repr'd from the
+#: SAME Python floats the UDF closes over — as STRING-cast double literals:
+#: DuckDB types a bare 17-digit literal DECIMAL(17,17) and converts via
+#: integer/10^17 division (double-rounded, 1 ulp off the correctly-rounded
+#: parse for 2/13-style constants), while '…'::DOUBLE takes the same
+#: correctly-rounded string→double path as Python's repr round-trip.
+_MACD_LITS = {
+    n: f"'{v!r}'::DOUBLE"
+    for n, v in [
+        ("af", _MACD_AF), ("bf", _MACD_BF),
+        ("as", _MACD_AS), ("bs", _MACD_BS),
+        ("ag", _MACD_AG), ("bg", _MACD_BG),
+    ]
+}
+
+SQL_MACD_LAST = f"""
+WITH g AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT user_id, CAST(len(vs) AS BIGINT) AS n_rows,
+         list_transform(generate_series(1, len(vs)), t ->
+           list_reduce(list_slice(vs, 1, t),
+                       (acc, x) -> acc * {_MACD_LITS['bf']} + {_MACD_LITS['af']} * x)
+           - list_reduce(list_slice(vs, 1, t),
+                         (acc, x) -> acc * {_MACD_LITS['bs']} + {_MACD_LITS['as']} * x)
+         ) AS ms
+  FROM g
+)
+SELECT user_id, n_rows,
+       ms[len(ms)] AS macd_line,
+       list_reduce(ms, (acc, x) -> acc * {_MACD_LITS['bg']} + {_MACD_LITS['ag']} * x)
+         AS signal_line,
+       ms[len(ms)]
+       - list_reduce(ms, (acc, x) -> acc * {_MACD_LITS['bg']} + {_MACD_LITS['ag']} * x)
+         AS histogram
+FROM m
+"""
+
+
 SPECS = {
     "json_props_stats": QuerySpec(
         q_json_props_stats,
@@ -793,5 +959,19 @@ SPECS = {
         SQL_USER_SETOPS,
         "INTERSECT/EXCEPT/UNION-DISTINCT audience algebra as semi/anti joins",
         ("events", "join"),
+    ),
+    "kmv_distinct": QuerySpec(
+        q_kmv_distinct,
+        SQL_KMV_DISTINCT,
+        "KMV k-minimum-values distinct sketch per type, deterministic and "
+        "hash-matchable, with exact-count ground truth",
+        ("events", "agg"),
+    ),
+    "macd_last": QuerySpec(
+        q_macd_last,
+        SQL_MACD_LAST,
+        "MACD/signal/histogram final state per user: coupled EWMA fold "
+        "(grouped-map), prefix-list_reduce oracle",
+        ("events", "window"),
     ),
 }

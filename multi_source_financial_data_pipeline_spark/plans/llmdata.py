@@ -1926,6 +1926,250 @@ def _sql_pii() -> str:
 SQL_PII_SCRUB = _sql_pii()
 
 
+# --- DSIR: hashed-n-gram importance weights for data selection ---------------
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): unigrams hash into
+    DSIR_BUCKETS feature buckets; the target distribution is the lang='en'
+    slice, the raw distribution is the whole corpus; each doc scores the
+    sum of its tokens' smoothed log-likelihood ratios, and kept = (score >
+    0) is the importance-resampling acceptance direction.
+
+    ONE corpus scan (the q_unigram_prob shape): token explode →
+    per-(doc, bucket) counts [shuffle 1] → bucket marginals as WINDOW sums
+    over the bucket partition [shuffle 2] — never a re-aggregation of the
+    corpus — and the two corpus totals as a 1-row aggregate over the SAME
+    doc-bucket subtree, broadcast cross-joined back (AQE exchange reuse
+    executes the subtree once; pinned). The log-ratio is then a row-local
+    expression and the doc score one final groupBy [shuffle 3].
+    Cross-engine exactness: per-bucket log-ratios are rounded to 6
+    decimals and fixed as DECIMAL(12,6); doc scores are then exact
+    integer-weighted decimal sums (summation-order-proof), emitted as
+    DOUBLE."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+        % DSIR_BUCKETS
+    )
+    pairs = docs.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_tgt"),
+        F.explode(text.tokens(F.col("text"))).alias("tok"),
+    ).select("doc_id", "is_tgt", bucket.alias("bucket"))
+    db = pairs.groupBy("doc_id", "is_tgt", "bucket").agg(
+        F.count(F.lit(1)).alias("c_db")
+    )
+    w_b = Window.partitionBy("bucket")
+    scored = db.select(
+        "doc_id",
+        "c_db",
+        F.sum("c_db").over(w_b).alias("n_raw"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_tgt"), F.col("c_db"))).over(w_b),
+            F.lit(0).cast("long"),
+        ).alias("n_tgt"),
+    )
+    totals = db.agg(
+        F.sum("c_db").alias("tot_raw"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_tgt"), F.col("c_db"))), F.lit(0).cast("long")
+        ).alias("tot_tgt"),
+    )
+    lr = F.round(
+        F.log(
+            (F.col("n_tgt") + 1).cast("double")
+            / (F.col("tot_tgt") + DSIR_BUCKETS).cast("double")
+        )
+        - F.log(
+            (F.col("n_raw") + 1).cast("double")
+            / (F.col("tot_raw") + DSIR_BUCKETS).cast("double")
+        ),
+        6,
+    ).cast("decimal(12,6)")
+    per_doc = (
+        scored.crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_db").cast("long").alias("n_tokens"),
+            F.sum(F.col("c_db").cast("decimal(18,0)") * lr)
+            .cast("double")
+            .alias("dsir_logw"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "dsir_logw",
+        (F.col("dsir_logw") > 0.0).alias("kept"),
+    )
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH pairs AS (
+  SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_tgt,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, lang, unnest({_SQL_TOKS}) AS tok FROM documents)
+), db AS (
+  SELECT doc_id, is_tgt, bucket, count(*) AS c_db
+  FROM pairs GROUP BY doc_id, is_tgt, bucket
+), scored AS (
+  SELECT doc_id, c_db,
+         sum(c_db) OVER (PARTITION BY bucket) AS n_raw,
+         coalesce(sum(CASE WHEN is_tgt THEN c_db END)
+                  OVER (PARTITION BY bucket), 0) AS n_tgt
+  FROM db
+), totals AS (
+  SELECT CAST(sum(c_db) AS BIGINT) AS tot_raw,
+         CAST(coalesce(sum(CASE WHEN is_tgt THEN c_db END), 0) AS BIGINT)
+           AS tot_tgt
+  FROM db
+), per_doc AS (
+  SELECT doc_id, CAST(sum(c_db) AS BIGINT) AS n_tokens,
+         CAST(sum(CAST(c_db AS DECIMAL(18,0)) * CAST(round(
+           ln(CAST(n_tgt + 1 AS DOUBLE) / CAST(tot_tgt + {DSIR_BUCKETS} AS DOUBLE))
+           - ln(CAST(n_raw + 1 AS DOUBLE) / CAST(tot_raw + {DSIR_BUCKETS} AS DOUBLE)),
+           6) AS DECIMAL(12,6))) AS DOUBLE) AS dsir_logw
+  FROM scored, totals GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, dsir_logw, dsir_logw > 0.0 AS kept
+FROM per_doc
+"""
+
+
+# --- SQ8 scalar quantization: recall cost of 8-bit embeddings ----------------
+
+SQ8_LEVELS = 255
+
+
+def _sq8_dequant_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings after a symmetric SQ8 round-trip: per-dimension min/max
+    (one linear posexplode aggregate folded to two 64-element arrays,
+    broadcast), each component quantized to its dimension's 255-level grid
+    and dequantized back. Row-local transform — the corpus is never
+    shuffled; at 100 TB the stats pass is a map-side-combined aggregate
+    over dims, not rows."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    stats = e.select(F.posexplode("v").alias("pos", "x")).groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    arrs = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s.mn
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s.mx
+        ).alias("mxs"),
+    )
+
+    def _deq(x, i):
+        mn = F.element_at(F.col("mns"), (i + 1).cast("int"))
+        mx = F.element_at(F.col("mxs"), (i + 1).cast("int"))
+        span = mx - mn
+        qv = F.round(
+            (x - mn) / F.nullif(span, F.lit(0.0)) * F.lit(float(SQ8_LEVELS)), 0
+        )
+        return F.coalesce(
+            mn + qv / F.lit(float(SQ8_LEVELS)) * span, mn
+        )
+
+    return e.crossJoin(F.broadcast(arrs)).select(
+        "vec_id", F.transform("v", _deq).alias("embedding")
+    )
+
+
+def q_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k cost of 8-bit scalar quantization: exact brute-force top-k
+    on the original embeddings vs the same search on SQ8 round-tripped
+    vectors (symmetric: queries quantized too). The measured answer to
+    "can this corpus ship int8 embeddings?" — 4× memory/IO off the ANN
+    path, same harness shape as `ann_recall_ivf`/`ann_recall_lsh` so the
+    PERF.md frontier can compare all three reduction strategies."""
+    deq = _sq8_dequant_frame(spark, sf_dir)
+    queries = deq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = similarity.brute_force_topk(deq, queries, k=TOPK).select(
+        "query_id", "cand_id"
+    )
+    brute = q_ann_topk(spark, sf_dir).select("query_id", "cand_id")
+    hits = brute.join(approx, ["query_id", "cand_id"], "left_semi")
+    qset = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    per_q = qset.join(
+        hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+        "query_id",
+        "left",
+    ).select("query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (
+            F.sum("n_hits").cast("double")
+            / (F.count(F.lit(1)) * TOPK).cast("double")
+        ).alias("recall_at_k"),
+        (F.min("n_hits").cast("double") / F.lit(float(TOPK))).alias("min_recall"),
+    )
+
+
+_SQL_SQ8_DEQ = (
+    "coalesce(mns[i] + round((x - mns[i]) / nullif(mxs[i] - mns[i], 0.0)"
+    f" * {float(SQ8_LEVELS)!r}, 0) / {float(SQ8_LEVELS)!r}"
+    " * (mxs[i] - mns[i]), mns[i])"
+)
+
+SQL_SQ8_RECALL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+comp AS (SELECT pos, v[pos] AS x FROM e, generate_series(1, {EMB_DIM}) t(pos)),
+stats AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM comp GROUP BY pos),
+arrs AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+         FROM stats),
+deq AS (
+  SELECT vec_id, list_transform(v, (x, i) -> {_SQL_SQ8_DEQ}) AS dv
+  FROM e, arrs
+),
+q AS (SELECT vec_id AS query_id, dv AS qv FROM deq WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         round({_sql_cos("qv", "c.dv")}, 6) AS cos_sim
+  FROM deq c JOIN q ON c.vec_id != q.query_id
+),
+approx AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, cand_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= {TOPK}
+),
+brute AS (SELECT query_id, cand_id FROM ({SQL_ANN_TOPK})),
+joined AS (
+  SELECT b.query_id FROM brute b
+  JOIN approx a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+),
+qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {N_QUERIES}),
+per_q AS (
+  SELECT qs.query_id, count(j.query_id) AS n_hits
+  FROM qs LEFT JOIN joined j ON j.query_id = qs.query_id
+  GROUP BY qs.query_id
+)
+SELECT count(*) AS n_queries,
+       CAST(sum(n_hits) AS DOUBLE) / CAST(count(*) * {TOPK} AS DOUBLE)
+         AS recall_at_k,
+       CAST(min(n_hits) AS DOUBLE) / {TOPK}.0 AS min_recall
+FROM per_q
+"""
+
+
 SPECS = {
     "token_stats": QuerySpec(
         q_token_stats, SQL_TOKEN_STATS, "per-doc token counting + type-token ratio", ("text",)
@@ -2189,6 +2433,20 @@ SPECS = {
         SQL_KMEANS_REFINE,
         "two Lloyd iterations + evaluation assign; quantized order-proof "
         "centroid means, broadcast-per-iteration",
+        ("similarity", "agg"),
+    ),
+    "dsir_weights": QuerySpec(
+        q_dsir_weights,
+        SQL_DSIR_WEIGHTS,
+        "DSIR hashed-n-gram importance weights: one scan, broadcast "
+        "log-ratio table, decimal-exact doc scores",
+        ("text", "agg"),
+    ),
+    "sq8_recall": QuerySpec(
+        q_sq8_recall,
+        SQL_SQ8_RECALL,
+        "recall@k after int8 scalar quantization vs exact top-k (the "
+        "compressed-embeddings deployment question, measured)",
         ("similarity", "agg"),
     ),
 }

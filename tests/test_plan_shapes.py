@@ -554,3 +554,40 @@ def test_semdedup_probe_single_cells_scan(spark, sf_dir):
     assert "embeddings.parquet" not in plan
     assert plan.count("Scan parquet") == 1
     assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_kmv_rank_filter_compiles_to_group_limit(spark, sf_dir):
+    """The k-minimum filter must push below the window exchange: only k
+    hashes per type survive each map partition (WindowGroupLimit), so the
+    sketch branch never shuffles full cardinality; the exact-count branch
+    reuses the distinct exchange instead of re-scanning the fact."""
+    plan = _final_plan(spark, sf_dir, "kmv_distinct")
+    assert "WindowGroupLimit" in plan
+    assert "ReusedExchange" in plan
+    assert plan.count("events.parquet") == 1
+
+
+def test_dsir_one_scan_totals_reuse(spark, sf_dir):
+    """DSIR: one documents scan — bucket marginals are window sums over the
+    doc-bucket exchange (never a corpus re-aggregation) and the 1-row
+    totals branch reuses the same exchange (the q_unigram_prob shape)."""
+    plan = _final_plan(spark, sf_dir, "dsir_weights")
+    assert plan.count("documents.parquet") == 1
+    assert "ReusedExchange" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals cross join
+    assert "SortMergeJoin" not in plan
+
+
+def test_sq8_dequant_is_row_local(spark, sf_dir):
+    """The SQ8 round-trip never shuffles the corpus: dim stats broadcast
+    back as a 1-row nested-loop (bounded by EMB_DIM), the quantize/dequant
+    transform stays row-local, no Python anywhere."""
+    plan = _plan(spark, sf_dir, "sq8_recall")
+    assert "Python" not in plan and "FlatMap" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_macd_single_grouped_map(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "macd_last")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("Exchange hashpartitioning") == 1  # the key shuffle
