@@ -114,6 +114,12 @@ HEADLINE = [
     "obv",
     "stochastic_osc",
     "rolling_beta",
+    # round-7 wave 3: hashed-feature importance weights, quantized-recall
+    # harness (two brute passes), sketch distinct, grouped-map MACD fold
+    "dsir_weights",
+    "sq8_recall",
+    "kmv_distinct",
+    "macd_last",
 ]
 
 

@@ -744,6 +744,48 @@ ORDER BY stock_value DESC, l_partkey
 """
 
 
+# --- bucketed (co-located) fact-fact join ------------------------------------
+
+def q_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue + line counts per order priority through the BUCKETED layout
+    (sources/bucketing.py): lineitem and orders are persisted once per
+    session bucketed+sorted on their orderkey (8 buckets), so the fact-fact
+    equi-join runs as a per-bucket zip-merge with ZERO exchange below the
+    join — the layout investment that converts the dominant repeated join
+    at 100 TB from a 2-sided shuffle into a local merge (pinned in
+    tests/test_plan_shapes.py with broadcast disabled; at tiny SF AQE may
+    instead broadcast, which is also fact-shuffle-free). Results are
+    identical to the plain-parquet join — the oracle computes the same
+    aggregate from the original tables — so what the gate checks is the
+    bucketed READ path: file→bucket mapping, per-bucket sorted merge."""
+    from multi_source_financial_data_pipeline_spark.sources.bucketing import (
+        ensure_bucketed_tpch,
+    )
+
+    lt, ot = ensure_bucketed_tpch(spark, sf_dir)
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - _dec("l_discount", "4,2")
+    )
+    joined = spark.table(lt).join(
+        spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(revenue).cast("double").alias("revenue"),
+    )
+
+
+SQL_BUCKETED_REVENUE = f"""
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum({_REV_DEC_SQL}) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 SPECS = {
     "q8_market_share": QuerySpec(
         q_q8_market_share,
@@ -816,5 +858,12 @@ SPECS = {
         SQL_Q11,
         "nation-filtered semi join + whole-frame share threshold (one fact scan)",
         ("join", "window", "agg"),
+    ),
+    "bucketed_revenue": QuerySpec(
+        q_bucketed_revenue,
+        SQL_BUCKETED_REVENUE,
+        "fact-fact join through the bucketed layout: zero exchange below "
+        "the join, layout built once per session",
+        ("join", "agg"),
     ),
 }

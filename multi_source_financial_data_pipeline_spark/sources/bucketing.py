@@ -41,3 +41,55 @@ def colocated_join(
     counts the planner emits a SortMergeJoin with zero Exchange operators
     (verified in tests via the physical plan)."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+#: (applicationId, sf_dir) -> (lineitem_table, orders_table) built this
+#: session. Bucket METADATA lives in the session catalog (not in parquet),
+#: so the build is session-scoped: first call per session pays the one-time
+#: bucketed write — exactly the 100 TB deal (pay one shuffle at layout time,
+#: every subsequent join is exchange-free); later calls in the same session
+#: (bench reps, repeated pipelines) reuse the catalog tables.
+_BUCKETED_BUILT: dict = {}
+
+BUCKET_N = 8
+
+
+def ensure_bucketed_tpch(spark: SparkSession, sf_dir: str) -> "tuple[str, str]":
+    """Build-once bucketed+sorted copies of lineitem(orderkey-keyed columns)
+    and orders, both bucketed on their orderkey into BUCKET_N buckets, in a
+    private temp dir; returns the catalog table names."""
+    import os
+    import re
+    import tempfile
+
+    from multi_source_financial_data_pipeline_spark.sources import load_table
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _BUCKETED_BUILT.get(key)
+    if hit is not None and all(spark.catalog.tableExists(t) for t in hit):
+        return hit
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
+    base = tempfile.mkdtemp(prefix=f"msfdp_bucketed_{tag}_")
+    lt, ot = f"msfdp_b_lineitem_{tag}", f"msfdp_b_orders_{tag}"
+    for t in (lt, ot):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount", "l_quantity"
+        ),
+        lt,
+        os.path.join(base, "l"),
+        ["l_orderkey"],
+        BUCKET_N,
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_orderstatus"
+        ),
+        ot,
+        os.path.join(base, "o"),
+        ["o_orderkey"],
+        BUCKET_N,
+    )
+    _BUCKETED_BUILT[key] = (lt, ot)
+    return lt, ot

@@ -82,6 +82,19 @@ PROBE_QUERIES = [
     "semdedup_kept",
     "semdedup_kept_probe",
     "minhash_accuracy",
+    # round-7: chunk-fp exchange (boilerplate — chunk rows ~ tokens/10, must
+    # stay linear), hashed-feature importance weights (gram-level, window
+    # marginals), iterative broadcast k-means (per-iteration corpus map),
+    # sketch distinct (WindowGroupLimit caps shuffled rows at k per type),
+    # symmetric-quantized brute recall (corpus × fixed query count), and
+    # the grouped-map MACD fold (10× keys, same per-key history)
+    "chunk_boilerplate",
+    "perplexity_buckets",
+    "dsir_weights",
+    "kmeans_refine",
+    "kmv_distinct",
+    "sq8_recall",
+    "macd_last",
 ]
 
 

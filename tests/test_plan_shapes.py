@@ -591,3 +591,20 @@ def test_macd_single_grouped_map(spark, sf_dir):
     plan = _plan(spark, sf_dir, "macd_last")
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert plan.count("Exchange hashpartitioning") == 1  # the key shuffle
+
+
+def test_bucketed_revenue_join_no_exchange_below_join(spark, sf_dir):
+    """The registered bucketed query must actually take the co-located
+    path: with broadcast disabled, the fact-fact join is a SortMergeJoin
+    with NO exchange below it (bucket layout satisfies distribution AND
+    ordering); the only shuffle in the whole plan is the final groupBy."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, sf_dir, "bucketed_revenue")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # groupBy only
+    assert "BroadcastExchange" not in plan
+    assert plan.count("SelectedBucketsCount") == 2  # both scans bucketed
