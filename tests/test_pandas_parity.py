@@ -296,3 +296,63 @@ def test_bollinger_and_rsi_match_pandas(spark):
     al = loss.rolling(RSI_N, min_periods=RSI_N).sum()
     exp_rsi = (100.0 * ag / (ag + al)).round(6)
     assert np.allclose(rsi["rsi"], exp_rsi, equal_nan=True, atol=1e-9)
+
+
+def test_macd_matches_pandas_ewm(spark):
+    """The coupled fold must equal pandas `ewm(span=n, adjust=False)` —
+    the exact recursion the reference's pandas stack would run: fast/slow
+    EMAs over the series, signal EMA over their difference."""
+    import numpy as np
+
+    from multi_source_financial_data_pipeline_spark.operators.grouped import macd_last
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for key in (1, 2):
+        for i, v in enumerate(rng.normal(100, 5, 40)):
+            rows.append((key, i, i, float(v)))
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, value double")
+    got = (
+        macd_last(df, key="user_id", ts_col="ts", tiebreak="event_id", value_col="value")
+        .toPandas().sort_values("key").reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "value"])
+    for i, key in enumerate((1, 2)):
+        s = pdf[pdf.user_id == key].sort_values(["ts", "event_id"])["value"]
+        macd = (
+            s.ewm(span=12, adjust=False).mean() - s.ewm(span=26, adjust=False).mean()
+        )
+        signal = macd.ewm(span=9, adjust=False).mean()
+        assert got.macd_line[i] == pytest.approx(macd.iloc[-1], rel=1e-12)
+        assert got.signal_line[i] == pytest.approx(signal.iloc[-1], rel=1e-12)
+        assert got.histogram[i] == pytest.approx(
+            macd.iloc[-1] - signal.iloc[-1], rel=1e-12, abs=1e-12
+        )
+
+
+def test_kmv_estimate_properties(spark):
+    """KMV sanity: when a type has fewer distinct users than k the estimate
+    IS the exact count, and with n >> k the estimate lands within the
+    textbook ~1/sqrt(k-1) relative-error envelope (×3 slack)."""
+    from multi_source_financial_data_pipeline_spark.plans.eventstream import KMV_K
+
+    rows = [(i, f"2024-01-01 00:00:{i % 60:02d}", i % 5, "small", 1.0, "{}") for i in range(40)]
+    rows += [(1000 + i, f"2024-01-01 01:00:{i % 60:02d}", i, "big", 1.0, "{}") for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        from multi_source_financial_data_pipeline_spark.plans.eventstream import q_kmv_distinct
+
+        out = {
+            r["event_type"]: r
+            for r in q_kmv_distinct(spark, d).collect()
+        }
+    assert out["small"]["n_exact"] == 5
+    assert out["small"]["kmv_estimate"] == 5.0  # < k → exact passthrough
+    big = out["big"]
+    assert big["n_exact"] == 2000
+    assert abs(big["kmv_estimate"] - 2000) / 2000 < 3.0 / (KMV_K - 1) ** 0.5
