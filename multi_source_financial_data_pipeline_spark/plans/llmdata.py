@@ -1926,6 +1926,62 @@ def _sql_pii() -> str:
 SQL_PII_SCRUB = _sql_pii()
 
 
+# --- best-in-cluster selection: canonicalize by QUALITY, not by min id -------
+
+def q_cluster_best_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster curation the way a production pipeline actually
+    keeps documents: within each verified near-dup component (≥2 members),
+    keep the member with the HIGHEST structural quality score (doc-id
+    tiebreak) — `neardup_verified`'s min-id canonical is the cheap
+    deterministic label; this query upgrades the kept representative to
+    the best one. Plan: the component labels (LSH → Jaccard verify →
+    min-label fixpoint) join the fused single-scan quality projection;
+    ranking + member counts stack as two Window ops over ONE shared
+    cluster-key exchange (no WindowGroupLimit pushdown is possible — the
+    member count needs every row, so the rank filter can only apply after
+    it; the price of emitting cluster sizes alongside the winner)."""
+    from pyspark.sql import Window
+
+    canon = q_neardup_verified(spark, sf_dir).select("doc_id", "canonical_id")
+    quality = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.quality_columns()["quality_score"].alias("qs")
+    )
+    scored = canon.join(quality, "doc_id")
+    w_rank = Window.partitionBy("canonical_id").orderBy(
+        F.col("qs").desc(), F.col("doc_id").asc()
+    )
+    w_all = Window.partitionBy("canonical_id")
+    ranked = scored.select(
+        "canonical_id",
+        "doc_id",
+        "qs",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_members"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("n_members") >= 2)).select(
+        "canonical_id",
+        F.col("doc_id").alias("best_doc_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("qs").alias("best_quality"),
+    )
+
+
+SQL_CLUSTER_BEST_DOC = f"""
+WITH canon AS (SELECT doc_id, canonical_id FROM ({SQL_NEARDUP_VERIFIED})),
+q AS (SELECT doc_id, quality_score AS qs FROM ({SQL_DOC_QUALITY})),
+s AS (SELECT c.canonical_id, c.doc_id, q.qs FROM canon c JOIN q USING (doc_id)),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY canonical_id
+                               ORDER BY qs DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY canonical_id) AS n_members
+  FROM s
+)
+SELECT canonical_id, doc_id AS best_doc_id,
+       CAST(n_members AS BIGINT) AS n_members, qs AS best_quality
+FROM r WHERE rn = 1 AND n_members >= 2
+"""
+
+
 # --- DSIR: hashed-n-gram importance weights for data selection ---------------
 
 DSIR_BUCKETS = 256
@@ -2434,6 +2490,13 @@ SPECS = {
         "two Lloyd iterations + evaluation assign; quantized order-proof "
         "centroid means, broadcast-per-iteration",
         ("similarity", "agg"),
+    ),
+    "cluster_best_doc": QuerySpec(
+        q_cluster_best_doc,
+        SQL_CLUSTER_BEST_DOC,
+        "best-quality representative per verified near-dup cluster "
+        "(canonicalize by quality; one cluster-key exchange)",
+        ("text", "dedup", "window"),
     ),
     "dsir_weights": QuerySpec(
         q_dsir_weights,

@@ -608,3 +608,14 @@ def test_bucketed_revenue_join_no_exchange_below_join(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1  # groupBy only
     assert "BroadcastExchange" not in plan
     assert plan.count("SelectedBucketsCount") == 2  # both scans bucketed
+
+
+def test_cluster_best_doc_single_cluster_exchange(spark, sf_dir):
+    """Rank + member count stack as two Windows over ONE shared
+    cluster-key exchange — a second exchange on the cluster key would mean
+    the windows stopped sharing their partitioning. (No WindowGroupLimit:
+    the member count needs every row before the rank filter can drop any.)"""
+    plan = _plan(spark, sf_dir, "cluster_best_doc")
+    assert plan.count("Exchange hashpartitioning(canonical_id") == 1
+    assert plan.count("Window ") >= 2 or plan.count("Window [") == 2
+    assert "CartesianProduct" not in plan
