@@ -2099,6 +2099,118 @@ FROM per_doc
 """
 
 
+# --- per-source distribution shift: KL(source ‖ corpus) over hashed grams ----
+
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift ranking for mixture rebalancing: each source's KL
+    divergence (bits) from the whole-corpus unigram distribution over the
+    same DSIR_BUCKETS hashed feature space, add-1 smoothed so every bucket
+    is defined. The sources whose KL is largest are the ones a
+    `mixture_weights` rebalance moves the most — this is the measurement
+    that justifies the move.
+
+    Scale shape: ONE text-column scan → (source, bucket) hash-agg
+    (map-side combined, ≤ |sources|·B rows out) with per-source totals as
+    a window sum — the expensive gram subtree has exactly ONE consumer, so
+    nothing re-scans or re-tokenizes the corpus (the naive
+    per-source-aggregate + dense-grid-join formulation duplicated the
+    whole subtree: its two consumers canonicalize differently, AQE cannot
+    reuse the exchange, and the corpus tokenizes twice). The dense
+    |sources|×B grid comes from a DISTINCT-source scan (column-pruned to
+    the source column only — trivial IO next to text) crossed with a
+    literal B-row spine; missing cells take c_sb=0 and recover their
+    source's total via a source-partition window max. Per-cell KL terms
+    are rounded to 6 decimals and decimal-summed per source —
+    summation-order-proof, engine-exact."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+        % DSIR_BUCKETS
+    )
+    sb = docs.select(
+        "source", F.explode(text.tokens(F.col("text"))).alias("tok")
+    ).select("source", bucket.alias("bucket")).groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("c_sb")
+    )
+    w_s = Window.partitionBy("source")
+    sbt = sb.withColumn("tot_s", F.sum("c_sb").over(w_s))
+    srcs = docs.select("source").distinct()
+    spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("bucket"))
+    grid = srcs.crossJoin(F.broadcast(spine)).join(
+        sbt, ["source", "bucket"], "left"
+    ).select(
+        "source",
+        "bucket",
+        F.coalesce("c_sb", F.lit(0).cast("long")).alias("c_sb"),
+        "tot_s",
+    )
+    filled = grid.withColumn("tot_s", F.max("tot_s").over(w_s))
+    w_b = Window.partitionBy("bucket")
+    dense = filled.select(
+        "source",
+        "bucket",
+        "tot_s",
+        "c_sb",
+        F.sum("c_sb").over(w_b).alias("c_b"),
+        F.sum("tot_s").over(w_b).alias("tot"),
+    )
+    p_s = (F.col("c_sb") + 1).cast("double") / (
+        F.col("tot_s") + DSIR_BUCKETS
+    ).cast("double")
+    p_c = (F.col("c_b") + 1).cast("double") / (
+        F.col("tot") + DSIR_BUCKETS
+    ).cast("double")
+    term = F.round(p_s * F.log2(p_s / p_c), 6).cast("decimal(12,6)")
+    return dense.groupBy("source").agg(
+        F.max("tot_s").cast("long").alias("n_tokens"),
+        F.sum(term).cast("double").alias("kl_bits"),
+    )
+
+
+SQL_SOURCE_KL = f"""
+WITH sb AS (
+  SELECT source,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {DSIR_BUCKETS} AS bucket,
+         count(*) AS c_sb
+  FROM (SELECT source, unnest({_SQL_TOKS}) AS tok FROM documents)
+  GROUP BY 1, 2
+), sbt AS (
+  SELECT source, bucket, c_sb,
+         sum(c_sb) OVER (PARTITION BY source) AS tot_s
+  FROM sb
+), srcs AS (SELECT DISTINCT source FROM documents),
+grid AS (
+  SELECT r.source, t.bucket,
+         CAST(coalesce(s.c_sb, 0) AS BIGINT) AS c_sb, s.tot_s
+  FROM srcs r
+  CROSS JOIN generate_series(0, {DSIR_BUCKETS - 1}) t(bucket)
+  LEFT JOIN sbt s ON s.source = r.source AND s.bucket = t.bucket
+), filled AS (
+  SELECT source, bucket, c_sb,
+         CAST(max(tot_s) OVER (PARTITION BY source) AS BIGINT) AS tot_s
+  FROM grid
+), dense AS (
+  SELECT source, bucket, tot_s, c_sb,
+         sum(c_sb) OVER (PARTITION BY bucket) AS c_b,
+         sum(tot_s) OVER (PARTITION BY bucket) AS tot
+  FROM filled
+), terms AS (
+  SELECT source, tot_s,
+         CAST(round(
+           (CAST(c_sb + 1 AS DOUBLE) / CAST(tot_s + {DSIR_BUCKETS} AS DOUBLE))
+           * log2((CAST(c_sb + 1 AS DOUBLE) / CAST(tot_s + {DSIR_BUCKETS} AS DOUBLE))
+                  / (CAST(c_b + 1 AS DOUBLE) / CAST(tot + {DSIR_BUCKETS} AS DOUBLE))),
+           6) AS DECIMAL(12,6)) AS term
+  FROM dense
+)
+SELECT source, CAST(max(tot_s) AS BIGINT) AS n_tokens,
+       CAST(sum(term) AS DOUBLE) AS kl_bits
+FROM terms GROUP BY source
+"""
+
+
 # --- SQ8 scalar quantization: recall cost of 8-bit embeddings ----------------
 
 SQ8_LEVELS = 255
@@ -2497,6 +2609,13 @@ SPECS = {
         "best-quality representative per verified near-dup cluster "
         "(canonicalize by quality; one cluster-key exchange)",
         ("text", "dedup", "window"),
+    ),
+    "source_kl": QuerySpec(
+        q_source_kl,
+        SQL_SOURCE_KL,
+        "per-source KL(source||corpus) over hashed-unigram features: the "
+        "domain-shift measurement behind mixture rebalancing",
+        ("text", "agg"),
     ),
     "dsir_weights": QuerySpec(
         q_dsir_weights,

@@ -619,3 +619,15 @@ def test_cluster_best_doc_single_cluster_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning(canonical_id") == 1
     assert plan.count("Window ") >= 2 or plan.count("Window [") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_source_kl_single_text_scan(spark, sf_dir):
+    """The gram subtree (explode+hash of the text column) must have ONE
+    consumer: exactly one scan reads text; the dense-grid source spine is
+    column-pruned to the source column only (trivial IO at any scale)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "source_kl")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert sum("text" in s for s in schemas) == 1, schemas
+    assert any(s == "source:string" for s in schemas), schemas
