@@ -115,11 +115,14 @@ HEADLINE = [
     "stochastic_osc",
     "rolling_beta",
     # round-7 wave 3: hashed-feature importance weights, quantized-recall
-    # harness (two brute passes), sketch distinct, grouped-map MACD fold
+    # harness (two brute passes), sketch distinct, grouped-map MACD fold,
+    # the zero-exchange bucketed join, per-source KL divergence
     "dsir_weights",
     "sq8_recall",
     "kmv_distinct",
     "macd_last",
+    "bucketed_revenue",
+    "source_kl",
 ]
 
 
