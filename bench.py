@@ -173,21 +173,28 @@ def main() -> None:
     }
     total = round(sum(medians.values()), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                # a partial total is not comparable across rounds — null it
-                "value": total if not errors else None,
-                "unit": "sec",
-                "queries": medians,
-                "min": mins,
-                "reps": reps,
-                "errors": errors,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        # a partial total is not comparable across rounds — null it
+        "value": total if not errors else None,
+        "unit": "sec",
+        "queries": medians,
+        "min": mins,
+        "reps": reps,
+        "errors": errors,
+        "sf": sf,
+    }
+    print(json.dumps(payload, separators=(",", ":")))
+    # the driver archives only the TAIL of this process's output (r06's
+    # BENCH record has parsed=None because the one-line JSON outgrew that
+    # window), so persist the complete result in-repo as well — committed
+    # per round, it is the durable full-resolution record
+    try:
+        with open(os.path.join(_REPO_DIR, "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass
     spark.stop()
     if errors:
         sys.exit(1)
