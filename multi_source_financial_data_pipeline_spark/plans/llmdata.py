@@ -1926,6 +1926,116 @@ def _sql_pii() -> str:
 SQL_PII_SCRUB = _sql_pii()
 
 
+# --- edit-distance verification of LSH candidates ----------------------------
+
+EDIT_DUP_REL = 0.3
+
+
+def q_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of the MinHash+LSH candidate pairs:
+    Levenshtein distance (native JVM `levenshtein`, no UDF) and the
+    relative edit distance vs the longer side; is_dup at ≤ 0.3 — the
+    n-gram-free second opinion next to `neardup_verified`'s Jaccard.
+
+    Scale: edit distance is O(len²) PER PAIR — the expensive verifier that
+    must never see a pair space; here it runs only on the LSH candidates
+    (bounded by banding collisions), joined to the text column twice. The
+    DuckDB oracle's `levenshtein` counts UTF-8 BYTES where Spark counts
+    characters — identical on this ASCII corpus (verified corpus-wide); a
+    multilingual deployment normalizes first or treats this as
+    engine-local."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES, keep_all_docs=False)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
+    t = docs.select("doc_id", "text")
+    j = (
+        pairs.join(
+            t.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta")),
+            "id_a",
+        ).join(
+            t.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb")),
+            "id_b",
+        )
+    )
+    lev = F.levenshtein("ta", "tb")
+    rel = lev.cast("double") / F.nullif(
+        F.greatest(F.length("ta"), F.length("tb")).cast("double"), F.lit(0.0)
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        lev.cast("long").alias("lev"),
+        rel.alias("rel_edit"),
+        (rel <= EDIT_DUP_REL).alias("is_dup"),
+    )
+
+
+SQL_EDITDIST_VERIFY = f"""
+WITH cand AS (SELECT id_a, id_b FROM ({SQL_MINHASH_LSH_PAIRS})),
+t AS (SELECT doc_id, text FROM documents)
+SELECT c.id_a, c.id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+       CAST(levenshtein(a.text, b.text) AS DOUBLE)
+         / nullif(CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 0.0)
+         AS rel_edit,
+       CAST(levenshtein(a.text, b.text) AS DOUBLE)
+         / nullif(CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 0.0)
+         <= {EDIT_DUP_REL} AS is_dup
+FROM cand c JOIN t a ON a.doc_id = c.id_a JOIN t b ON b.doc_id = c.id_b
+"""
+
+
+# --- export shard manifest ---------------------------------------------------
+
+N_SHARDS = 16
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest a training-export step publishes: deterministic hash
+    sharding of the corpus into N_SHARDS, with per-shard doc counts, token
+    totals, and a fingerprint of the ordered member list — the artifact a
+    downstream loader validates against before streaming shards. Shard
+    assignment is the same md5-prefix hash every sampler here uses: a pure
+    row function, so the shard of a doc never depends on partitioning,
+    cluster size, or engine. One scan, one shard-key exchange; the member
+    fingerprint orders ids INSIDE each shard group (bounded by shard
+    size)."""
+    docs = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % N_SHARDS
+    )
+    d = docs.select(
+        shard.alias("shard"),
+        "doc_id",
+        F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    members = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list("doc_id")),
+            lambda x: x.cast("string"),
+        ),
+        ",",
+    )
+    return d.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.md5(members).alias("members_fp"),
+    )
+
+
+SQL_SHARD_MANIFEST = f"""
+SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % {N_SHARDS} AS shard,
+       count(*) AS n_docs,
+       CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS n_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS members_fp
+FROM documents GROUP BY 1
+"""
+
+
 # --- best-in-cluster selection: canonicalize by QUALITY, not by min id -------
 
 def q_cluster_best_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2602,6 +2712,20 @@ SPECS = {
         "two Lloyd iterations + evaluation assign; quantized order-proof "
         "centroid means, broadcast-per-iteration",
         ("similarity", "agg"),
+    ),
+    "editdist_verify": QuerySpec(
+        q_editdist_verify,
+        SQL_EDITDIST_VERIFY,
+        "Levenshtein verification of LSH candidates: the O(len^2)-per-pair "
+        "verifier bounded to banding collisions, no UDF",
+        ("text", "dedup"),
+    ),
+    "shard_manifest": QuerySpec(
+        q_shard_manifest,
+        SQL_SHARD_MANIFEST,
+        "deterministic hash-shard export manifest: per-shard counts, token "
+        "totals, ordered member fingerprint",
+        ("text", "agg"),
     ),
     "cluster_best_doc": QuerySpec(
         q_cluster_best_doc,
