@@ -123,6 +123,9 @@ HEADLINE = [
     "macd_last",
     "bucketed_revenue",
     "source_kl",
+    # round-7 wave 4: LSH-bounded Levenshtein verification, export manifest
+    "editdist_verify",
+    "shard_manifest",
 ]
 
 

@@ -72,3 +72,51 @@ def test_pii_span_parity(spark):
     assert got["n_email"].sum() >= 5
     assert got["n_ipv4"].sum() >= 3
     assert got["n_phone"].sum() >= 3
+
+
+# --- third-engine referee: python `re` over randomized strings ---------------
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+_FRAGMENTS = st.lists(
+    st.sampled_from(
+        [
+            "user", "@", ".", "example", "com", " ", "+", "-", "1", "23",
+            "555", "10.0", "0.1", "a", "Z", "%", "_", "co.uk", "8.8.8.8",
+            "x@y.io", "+49 89 123456", "192.168", "..", "@@",
+        ]
+    ),
+    min_size=0,
+    max_size=12,
+).map("".join)
+
+
+@given(text=_FRAGMENTS)
+@settings(max_examples=60, deadline=None, derandomize=True)
+def test_pii_patterns_match_python_re(text):
+    """The portable-subset claim, refereed by a third regex engine: for
+    every PII pattern, python `re` (PCRE-ish, like java.util.regex) must
+    find the same spans AND the same sequential redaction as the DuckDB
+    (RE2) expressions the oracle runs — on adversarial concatenations of
+    boundary fragments. Spark-vs-DuckDB parity on crafted strings is pinned
+    above; this closes the loop re-vs-RE2 on a much larger input space."""
+    import duckdb
+
+    con = duckdb.connect()
+    scrub_py = text
+    for name, pat, token in PII_PATTERNS:
+        n_py = len(re.findall(pat, text))
+        n_duck = con.sql(
+            "SELECT len(regexp_extract_all(?, ?))", params=[text, pat]
+        ).fetchone()[0]
+        assert n_py == n_duck, (name, text)
+        scrub_py = re.sub(pat, token, scrub_py)
+    scrub_sql = "?"
+    params = [text]
+    for _, pat, token in PII_PATTERNS:
+        scrub_sql = f"regexp_replace({scrub_sql}, ?, ?, 'g')"
+        params += [pat, token]
+    got = con.sql(f"SELECT {scrub_sql}", params=params).fetchone()[0]
+    assert got == scrub_py, text
