@@ -684,6 +684,66 @@ FROM (SELECT DISTINCT user_id, event_type FROM events)
 """
 
 
+# --- streaming: stream-static ANTI join (K2 first-request-wins, live) --------
+
+STREAM_ANTI_CUTOFF = "2024-01-16"
+
+
+def q_stream_static_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's K2 idempotent-ingest semantics in TRUE streaming
+    form: the live stream LEFT-ANTI joins a static already-ingested ledger
+    — here the (user, type, day) keys seen before STREAM_ANTI_CUTOFF — so
+    only genuinely new keys land; survivors roll up per type in complete
+    mode. Stream-static anti joins are stateLESS per micro-batch (the
+    static side builds once and broadcasts/hashes; no watermark state), so
+    this scales as a map-side filter of the stream — the cheapest possible
+    dedup-on-ingest when history fits a build side; the watermarked
+    `stream_dedup_count` is the shape when it does not."""
+    name = f"stream_anti_{next(_qname)}"
+    hist = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit(STREAM_ANTI_CUTOFF).cast("timestamp"))
+        .select(
+            "user_id", "event_type", F.to_date("ts").alias("day")
+        )
+        .distinct()
+    )
+    with _event_stream(spark, sf_dir) as stream:
+        fresh = stream.select(
+            "user_id", "event_type", F.to_date("ts").alias("day"), "value"
+        ).join(hist, ["user_id", "event_type", "day"], "left_anti")
+        agg = fresh.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).select("event_type", "n_new", "sum_value")
+
+
+SQL_STREAM_STATIC_ANTI = f"""
+WITH hist AS (
+  SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day
+  FROM events WHERE ts < TIMESTAMP '{STREAM_ANTI_CUTOFF}'
+)
+SELECT e.event_type, count(*) AS n_new,
+       CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events e
+LEFT JOIN hist h ON h.user_id = e.user_id AND h.event_type = e.event_type
+                AND h.day = CAST(e.ts AS DATE)
+WHERE h.user_id IS NULL
+GROUP BY e.event_type
+"""
+
+
 # --- streaming: stream-stream interval join ----------------------------------
 
 INTERVAL_JOIN_HORIZON = "1 hour"
@@ -1086,6 +1146,13 @@ SPECS = {
         q_stream_sliding_counts,
         SQL_STREAM_SLIDING,
         "sliding 2h/1h windows: overlapping assignment, decimal-exact sums",
+        ("streaming",),
+    ),
+    "stream_static_anti": QuerySpec(
+        q_stream_static_anti,
+        SQL_STREAM_STATIC_ANTI,
+        "stream-static LEFT ANTI vs the already-ingested ledger (K2 live): "
+        "stateless per batch, decimal-exact survivor sums",
         ("streaming",),
     ),
     "stream_dedup_count": QuerySpec(
