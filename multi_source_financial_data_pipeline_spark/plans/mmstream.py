@@ -700,6 +700,10 @@ def q_stream_static_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup-on-ingest when history fits a build side; the watermarked
     `stream_dedup_count` is the shape when it does not."""
     name = f"stream_anti_{next(_qname)}"
+    # the cutoff literal casts to timestamp under the SESSION timezone —
+    # pin UTC before building the static side, not just inside the stream
+    # context, or a non-UTC driver session shifts the ledger boundary
+    pin_utc(spark)
     hist = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("ts") < F.lit(STREAM_ANTI_CUTOFF).cast("timestamp"))

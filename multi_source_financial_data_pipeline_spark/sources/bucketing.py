@@ -68,7 +68,16 @@ def ensure_bucketed_tpch(spark: SparkSession, sf_dir: str) -> "tuple[str, str]":
     hit = _BUCKETED_BUILT.get(key)
     if hit is not None and all(spark.catalog.tableExists(t) for t in hit):
         return hit
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
+    # tag carries a digest of the FULL path: two sf dirs sharing a basename
+    # (/a/sf0.1 vs /b/sf0.1) must not collide on catalog table names — a
+    # collision would silently serve the second dir's data to the first
+    import hashlib
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tag = (
+        re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
+        + "_" + digest
+    )
     base = tempfile.mkdtemp(prefix=f"msfdp_bucketed_{tag}_")
     lt, ot = f"msfdp_b_lineitem_{tag}", f"msfdp_b_orders_{tag}"
     for t in (lt, ot):
