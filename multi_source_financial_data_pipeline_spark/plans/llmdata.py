@@ -1926,6 +1926,139 @@ def _sql_pii() -> str:
 SQL_PII_SCRUB = _sql_pii()
 
 
+# --- near-dup cluster-size histogram -----------------------------------------
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup diagnostic a curation run reports first: how big are the
+    near-dup components? (size, n_clusters) over the verified transitive
+    components, INCLUDING size-1 (unique docs) — Σ size·n_clusters = n_docs
+    is the audit identity. Two tiny groupBys over the component labels; the
+    expensive part is the shared LSH→verify→components subtree
+    `neardup_verified` already pays."""
+    canon = q_neardup_verified(spark, sf_dir).select("canonical_id")
+    sizes = canon.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+SQL_DEDUP_CLUSTER_SIZES = f"""
+WITH canon AS (SELECT canonical_id FROM ({SQL_NEARDUP_VERIFIED})),
+sizes AS (
+  SELECT canonical_id, count(*) AS cluster_size FROM canon
+  GROUP BY canonical_id
+)
+SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size
+"""
+
+
+# --- n-gram novelty curve ----------------------------------------------------
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty in ingestion (doc_id) order: the fraction of a doc's
+    distinct 3-gram shingles that NO earlier doc contains — the
+    diminishing-returns curve a data-buyer reads before paying for more of
+    the same source. A gram's first owner is min(doc_id) over its gram
+    partition; a doc's novel grams are those it owns. ONE scan →
+    (doc, gram) distinct hash-agg [shuffle 1] → gram-partition window min
+    [shuffle 2] → doc rollup [shuffle 3]; single consumer chain, nothing
+    evaluated twice, linear in corpus grams. The fraction divides two
+    exact integers (one IEEE op, engine-identical)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    dg = docs.select(
+        "doc_id", F.explode(dedup.shingles(F.col("text"))).alias("gram")
+    ).groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("_n")).drop("_n")
+    w_g = Window.partitionBy("gram")
+    tagged = dg.select(
+        "doc_id", (F.min("doc_id").over(w_g) == F.col("doc_id")).alias("novel")
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("novel").cast("long")).alias("n_novel"),
+        (
+            F.sum(F.col("novel").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("novelty_frac"),
+    )
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+dg AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS gram FROM d
+), tagged AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY gram) = doc_id AS novel
+  FROM dg
+)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN novel THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN novel THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS novelty_frac
+FROM tagged GROUP BY doc_id
+"""
+
+
+# --- embedding-norm contract audit -------------------------------------------
+
+NORM_TOL = 0.001
+
+
+def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-ANN hygiene as a contract check: cosine screening assumes a
+    unit-normalized store, so the audit counts vectors whose L2 norm
+    strays off 1.0 beyond NORM_TOL, zero vectors (undefined direction —
+    the `_sql_cos` nullif guard exists for these), and reports min/max and
+    the decimal-exact mean norm. (A z-score formulation is degenerate on a
+    normalized store: the norm stddev is rounding noise.) Map-only per row
+    + one 1-row aggregate — linear at any scale."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.round(
+            F.sqrt(similarity.sq_norm(F.col("embedding").cast("array<double>"))), 6
+        ).alias("norm"),
+    )
+    return e.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("norm").alias("min_norm"),
+        F.max("norm").alias("max_norm"),
+        (
+            F.sum(F.col("norm").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_norm"),
+        F.sum(
+            (F.abs(F.col("norm") - 1.0) > NORM_TOL).cast("long")
+        ).alias("n_off_unit"),
+        F.sum((F.col("norm") == 0.0).cast("long")).alias("n_zero"),
+    )
+
+
+_SQL_NORM = (
+    "round(sqrt((0.0 + "
+    + " + ".join(f"v[{i}] * v[{i}]" for i in range(1, EMB_DIM + 1))
+    + ")), 6)"
+)
+
+SQL_EMBEDDING_NORM_AUDIT = f"""
+WITH e AS (
+  SELECT {_SQL_NORM} AS norm
+  FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings)
+)
+SELECT count(*) AS n_vectors,
+       min(norm) AS min_norm,
+       max(norm) AS max_norm,
+       CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS mean_norm,
+       CAST(sum(CASE WHEN abs(norm - 1.0) > {NORM_TOL} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_off_unit,
+       CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+FROM e
+"""
+
+
 # --- edit-distance verification of LSH candidates ----------------------------
 
 EDIT_DUP_REL = 0.3
@@ -2711,6 +2844,27 @@ SPECS = {
         SQL_KMEANS_REFINE,
         "two Lloyd iterations + evaluation assign; quantized order-proof "
         "centroid means, broadcast-per-iteration",
+        ("similarity", "agg"),
+    ),
+    "dedup_cluster_sizes": QuerySpec(
+        q_dedup_cluster_sizes,
+        SQL_DEDUP_CLUSTER_SIZES,
+        "near-dup component size histogram incl. singletons (sum identity "
+        "= n_docs)",
+        ("dedup", "agg"),
+    ),
+    "ngram_novelty": QuerySpec(
+        q_ngram_novelty,
+        SQL_NGRAM_NOVELTY,
+        "per-doc fraction of shingles unseen in earlier docs: the "
+        "diminishing-returns curve, one scan, linear",
+        ("text", "dedup", "window"),
+    ),
+    "embedding_norm_audit": QuerySpec(
+        q_embedding_norm_audit,
+        SQL_EMBEDDING_NORM_AUDIT,
+        "unit-norm contract audit: off-unit + zero-vector counts, "
+        "decimal-exact mean norm; map-only + 1-row stats",
         ("similarity", "agg"),
     ),
     "editdist_verify": QuerySpec(
