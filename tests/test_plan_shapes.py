@@ -631,3 +631,12 @@ def test_source_kl_single_text_scan(spark, sf_dir):
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert sum("text" in s for s in schemas) == 1, schemas
     assert any(s == "source:string" for s in schemas), schemas
+
+
+def test_ngram_novelty_single_scan_linear(spark, sf_dir):
+    """One documents scan, three linear shuffles (doc-gram distinct, gram
+    window, doc rollup) — no join, no pair space, nothing re-evaluated."""
+    plan = _plan(spark, sf_dir, "ngram_novelty")
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 3
