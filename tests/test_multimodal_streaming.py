@@ -238,3 +238,48 @@ def test_streaming_available_now_dedup(spark, sf_dir, tmp_path):
     assert result.count() == total
     assert result.select("event_id").distinct().count() == total
     assert os.path.isdir(ckpt)
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Recovery contract: a SECOND availableNow query resumed from the SAME
+    checkpoint must (a) not re-emit anything the first drain already
+    produced and (b) drop late duplicates of keys the first drain saw —
+    the dropDuplicates state lives in the checkpointed state store, so
+    exactly-once holds ACROSS restarts, not just within one query."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = load_table(spark, sf_dir, "events")
+    events.filter(F.col("event_id") < 500).write.mode("append").parquet(landing)
+
+    stream = read_event_stream(spark, landing, TESTDATA["events"])
+    deduped = dedup_with_watermark(stream, "ts", ["event_id"], "30 days")
+
+    def writer(batch_df, _batch_id):
+        append_first_request_wins(batch_df, out, ["event_id"])
+
+    run_available_now(deduped, ckpt, writer)
+    n_first = spark.read.parquet(out).count()
+    assert n_first == events.filter(F.col("event_id") < 500).count()
+
+    # late arrivals: 300-499 are duplicates of drain-1 keys, 500-799 new
+    events.filter(
+        (F.col("event_id") >= 300) & (F.col("event_id") < 800)
+    ).write.mode("append").parquet(landing)
+
+    stream2 = read_event_stream(spark, landing, TESTDATA["events"])
+    deduped2 = dedup_with_watermark(stream2, "ts", ["event_id"], "30 days")
+    seen2 = []
+
+    def writer2(batch_df, _batch_id):
+        seen2.extend(r["event_id"] for r in batch_df.select("event_id").collect())
+        append_first_request_wins(batch_df, out, ["event_id"])
+
+    run_available_now(deduped2, ckpt, writer2)
+
+    # restored state dropped every drain-1 duplicate before the sink
+    assert seen2 and min(seen2) >= 500, (min(seen2), len(seen2))
+    result = spark.read.parquet(out)
+    assert result.count() == 800
+    assert result.select("event_id").distinct().count() == 800
