@@ -61,6 +61,61 @@ def ewma_last(
     )
 
 
+CUSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("mean_value", T.DoubleType()),
+        T.StructField("cusum_pos", T.DoubleType()),
+        T.StructField("cusum_neg", T.DoubleType()),
+    ]
+)
+
+
+def cusum_last(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak: str,
+    value_col: str,
+) -> DataFrame:
+    """Final one-sided CUSUM statistics per key against the key's own mean:
+    c⁺ = max(0, c⁺ + (x − μ)) and c⁻ = max(0, c⁻ − (x − μ)) folded over
+    the (ts, tiebreak)-ordered series — the classic sustained-drift
+    detector (Page 1954) no window frame can express (each step clamps at
+    zero). μ is the ORDERED left-fold sum divided once, so the oracle's
+    seedless `list_reduce` (which seeds with the first element; 0.0+x₀
+    round-trips to x₀ bitwise, so the python fold matches) replays every
+    float op; the clamp folds replay via a 0.0-prepended list."""
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        s = pdf.sort_values([ts_col, tiebreak])[value_col].to_numpy()
+        total = 0.0
+        for x in s:
+            total = total + float(x)
+        mu = total / len(s)
+        cp = 0.0
+        cn = 0.0
+        for x in s:
+            cp = max(0.0, cp + (float(x) - mu))
+            cn = max(0.0, cn - (float(x) - mu))
+        return pd.DataFrame(
+            {
+                "key": [pdf[key].iloc[0]],
+                "n_rows": [len(s)],
+                "mean_value": [mu],
+                "cusum_pos": [cp],
+                "cusum_neg": [cn],
+            }
+        )
+
+    return df.select(key, ts_col, tiebreak, value_col).groupBy(key).applyInPandas(
+        fold, schema=CUSUM_SCHEMA
+    )
+
+
 MACD_SCHEMA = T.StructType(
     [
         T.StructField("key", T.LongType()),

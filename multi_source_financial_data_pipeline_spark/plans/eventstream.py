@@ -863,6 +863,46 @@ FROM m
 """
 
 
+# --- CUSUM drift detection per user ------------------------------------------
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = grouped.cusum_last(
+        _events(spark, sf_dir),
+        key="user_id",
+        ts_col="ts",
+        tiebreak="event_id",
+        value_col="value",
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        "n_rows",
+        "mean_value",
+        "cusum_pos",
+        "cusum_neg",
+    )
+
+
+#: the clamp folds seed at 0.0 by PREPENDING it (seedless list_reduce takes
+#: its first element as the accumulator); the mean replays the UDF's ordered
+#: sum — python's 0.0 + x0 is bitwise x0, so the seedless fold matches
+SQL_CUSUM_DRIFT = """
+WITH g AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT user_id, CAST(len(vs) AS BIGINT) AS n_rows, vs,
+         list_reduce(vs, (acc, x) -> acc + x) / len(vs) AS mu
+  FROM g
+)
+SELECT user_id, n_rows, mu AS mean_value,
+       list_reduce(list_prepend(0.0, vs),
+                   (acc, x) -> greatest(0.0, acc + (x - mu))) AS cusum_pos,
+       list_reduce(list_prepend(0.0, vs),
+                   (acc, x) -> greatest(0.0, acc - (x - mu))) AS cusum_neg
+FROM m
+"""
+
+
 SPECS = {
     "json_props_stats": QuerySpec(
         q_json_props_stats,
@@ -966,6 +1006,13 @@ SPECS = {
         "KMV k-minimum-values distinct sketch per type, deterministic and "
         "hash-matchable, with exact-count ground truth",
         ("events", "agg"),
+    ),
+    "cusum_drift": QuerySpec(
+        q_cusum_drift,
+        SQL_CUSUM_DRIFT,
+        "Page's CUSUM sustained-drift statistics per user (zero-clamped "
+        "fold — no window frame can express it); prefix-fold oracle",
+        ("events", "window"),
     ),
     "macd_last": QuerySpec(
         q_macd_last,

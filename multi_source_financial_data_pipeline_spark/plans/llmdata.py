@@ -1926,6 +1926,63 @@ def _sql_pii() -> str:
 SQL_PII_SCRUB = _sql_pii()
 
 
+# --- Flesch readability ------------------------------------------------------
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per doc from three codegen'd regex counts —
+    words (whitespace tokens), sentences (runs of .!? — floored at 1),
+    syllables (vowel groups, the standard cheap estimator, floored at 1) —
+    then 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    rounded at 6. Map-only scan, no shuffle; the constants are short
+    decimals (single correctly-rounded conversions in both engines), the
+    two ratios divide exact integers, and the arithmetic order is
+    mirrored, so the score is engine-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(text.tokens(F.col("text"))).cast("long")
+    n_sent = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0)))
+        .cast("long"),
+    )
+    n_syll = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[aeiouyAEIOUY]+"), F.lit(0))
+        ).cast("long"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch"),
+    )
+
+
+SQL_READABILITY = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_words,
+         greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+           AS n_sentences,
+         greatest(1, CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                          AS BIGINT)) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+             6) AS flesch
+FROM m
+"""
+
+
 # --- near-dup cluster-size histogram -----------------------------------------
 
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2845,6 +2902,13 @@ SPECS = {
         "two Lloyd iterations + evaluation assign; quantized order-proof "
         "centroid means, broadcast-per-iteration",
         ("similarity", "agg"),
+    ),
+    "readability": QuerySpec(
+        q_readability,
+        SQL_READABILITY,
+        "Flesch reading-ease from codegen regex counts (words, sentences, "
+        "vowel-group syllables); map-only, engine-identical",
+        ("text",),
     ),
     "dedup_cluster_sizes": QuerySpec(
         q_dedup_cluster_sizes,
