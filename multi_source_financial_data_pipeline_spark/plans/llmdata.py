@@ -2116,6 +2116,65 @@ FROM e
 """
 
 
+# --- containment (near-superset) detection over LSH candidates ---------------
+
+CONTAIN_THRESHOLD = 0.8
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment over the LSH candidate pairs: C(A→B) =
+    |A∩B| / |A| on distinct 3-gram shingles — the measure that catches a
+    doc EMBEDDED in a longer one, which symmetric Jaccard dilutes below
+    any dedup threshold (Broder's containment, the motivation for suffix
+    filtering in near-dup systems). Both directions emitted; flagged at
+    ≥ 0.8 either way. Pair space bounded by LSH banding as always; the
+    ratios divide exact integers (one IEEE op each, engine-identical)."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES, keep_all_docs=False)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
+    sh = docs.select("doc_id", dedup.shingles(F.col("text")).alias("s"))
+    j = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a"
+        ).join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")), "id_b"
+        )
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+    c_a = inter.cast("double") / F.nullif(F.size("sa").cast("double"), F.lit(0.0))
+    c_b = inter.cast("double") / F.nullif(F.size("sb").cast("double"), F.lit(0.0))
+    return j.select(
+        "id_a",
+        "id_b",
+        inter.alias("n_shared"),
+        c_a.alias("contain_a_in_b"),
+        c_b.alias("contain_b_in_a"),
+        (
+            (c_a >= CONTAIN_THRESHOLD) | (c_b >= CONTAIN_THRESHOLD)
+        ).alias("is_contained"),
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH cand AS (SELECT id_a, id_b FROM ({SQL_MINHASH_LSH_PAIRS})),
+d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM d),
+m AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_shared,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / nullif(CAST(len(a.s) AS DOUBLE), 0.0) AS contain_a_in_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / nullif(CAST(len(b.s) AS DOUBLE), 0.0) AS contain_b_in_a
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b, n_shared, contain_a_in_b, contain_b_in_a,
+       contain_a_in_b >= {CONTAIN_THRESHOLD}
+       OR contain_b_in_a >= {CONTAIN_THRESHOLD} AS is_contained
+FROM m
+"""
+
+
 # --- edit-distance verification of LSH candidates ----------------------------
 
 EDIT_DUP_REL = 0.3
@@ -2930,6 +2989,13 @@ SPECS = {
         "unit-norm contract audit: off-unit + zero-vector counts, "
         "decimal-exact mean norm; map-only + 1-row stats",
         ("similarity", "agg"),
+    ),
+    "containment_pairs": QuerySpec(
+        q_containment_pairs,
+        SQL_CONTAINMENT_PAIRS,
+        "asymmetric shingle containment over LSH candidates: catches "
+        "embedded near-supersets symmetric Jaccard dilutes",
+        ("text", "dedup"),
     ),
     "editdist_verify": QuerySpec(
         q_editdist_verify,

@@ -408,3 +408,77 @@ def test_ivf_cache_root_survives_root_removal_race(monkeypatch):
     root = llmdata._ivf_cache_root()
     assert os.path.isdir(root)
     assert os.path.basename(root).startswith("msfdp_ivf_index_")
+
+
+def test_incremental_partition_refresh_matches_full_recompute(spark, sf_dir, tmp_path):
+    """The incremental-ETL contract at 100 TB: when late data lands for ONE
+    day, re-aggregate that day only and dynamically overwrite its rollup
+    partition — every other partition's files stay untouched — and the
+    result must equal a full recompute. partitionOverwriteMode=dynamic is
+    what makes the write surgical (static mode would truncate the whole
+    table)."""
+    import os
+
+    rollup_path = str(tmp_path / "rollup")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value", "event_id"
+    )
+    cutoff_day = "2024-01-20"
+    base = ev.filter(F.col("day") != F.lit(cutoff_day).cast("date"))
+    late = ev.filter(F.col("day") == F.lit(cutoff_day).cast("date"))
+
+    def rollup(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+        )
+
+    rollup(base).write.mode("overwrite").partitionBy("day").parquet(rollup_path)
+    untouched = {
+        d: sorted(os.listdir(os.path.join(rollup_path, d)))
+        for d in os.listdir(rollup_path)
+        if d.startswith("day=") and cutoff_day not in d
+    }
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # the incremental refresh recomputes ONLY the affected day
+        rollup(late).write.mode("overwrite").partitionBy("day").parquet(rollup_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # other partitions' files are bit-identical (not rewritten)
+    for d, files in untouched.items():
+        assert sorted(os.listdir(os.path.join(rollup_path, d))) == files, d
+    got = (
+        spark.read.parquet(rollup_path)
+        .select("day", "event_type", "n", "sum_value")
+        .orderBy("day", "event_type")
+        .collect()
+    )
+    want = rollup(ev).orderBy("day", "event_type").collect()
+    assert got == want
+
+
+def test_compaction_preserves_data_and_reduces_files(spark, sf_dir, tmp_path):
+    """Small-files remediation: a fragmented table (one file per input
+    partition) compacts to target file count via repartition + overwrite;
+    the row multiset is unchanged. At 100 TB this is the maintenance job
+    that keeps scan task counts sane."""
+    import os
+
+    frag = str(tmp_path / "frag")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    n_before = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_before >= 32
+
+    compacted = str(tmp_path / "compacted")
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compacted)
+    n_after = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
+    assert n_after <= 4
+
+    a = spark.read.parquet(frag).orderBy("event_id").collect()
+    b = spark.read.parquet(compacted).orderBy("event_id").collect()
+    assert a == b
