@@ -1353,6 +1353,72 @@ WINDOW w AS (PARTITION BY user_id ORDER BY day ASC
 """
 
 
+# --- forecast-accuracy evaluation: seasonal-naive vs naive MAE ---------------
+
+SEASON_LAG = 7
+
+
+def q_seasonal_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-evaluation per user on the daily close series: the MAE of
+    the seasonal-naive forecaster (predict close[t-7]) against the MAE of
+    the plain naive forecaster (predict close[t-1]) and their ratio —
+    MASE-style, the standard first question of any forecasting effort
+    ("does seasonality beat persistence?"). Both error series evaluate
+    only where BOTH lags exist, so the two MAEs average over the SAME
+    rows. Closes sit on the 2-decimal grid, so |diffs| are 2-decimal
+    exact and the means are DECIMAL-summed (order-proof); the final ratio
+    divides two exact doubles. One user-hash exchange end to end (the
+    _daily_bars contract)."""
+    bars = _daily_bars(_t(spark, sf_dir, "events")).select(
+        "user_id", "day", "close_value"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    lag1 = F.lag("close_value", 1).over(w)
+    lag_s = F.lag("close_value", SEASON_LAG).over(w)
+    scored = bars.select(
+        "user_id",
+        F.abs(F.col("close_value") - lag1).alias("e_naive"),
+        F.abs(F.col("close_value") - lag_s).alias("e_seasonal"),
+    ).filter(F.col("e_naive").isNotNull() & F.col("e_seasonal").isNotNull())
+    mae = lambda c: (
+        F.sum(F.col(c).cast("decimal(14,2)")).cast("double")
+        / F.count(F.lit(1)).cast("double")
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_evals"),
+        mae("e_naive").alias("mae_naive"),
+        mae("e_seasonal").alias("mae_seasonal"),
+        (mae("e_seasonal") / F.nullif(mae("e_naive"), F.lit(0.0))).alias(
+            "mase_ratio"
+        ),
+    )
+
+
+SQL_SEASONAL_MASE = f"""{_SQL_DAILY_BARS},
+lagged AS (
+  SELECT user_id,
+         abs(close_value - lag(close_value, 1)
+             OVER (PARTITION BY user_id ORDER BY day ASC)) AS e_naive,
+         abs(close_value - lag(close_value, {SEASON_LAG})
+             OVER (PARTITION BY user_id ORDER BY day ASC)) AS e_seasonal
+  FROM bars
+), s AS (
+  SELECT user_id, e_naive, e_seasonal FROM lagged
+  WHERE e_naive IS NOT NULL AND e_seasonal IS NOT NULL
+)
+SELECT user_id, count(*) AS n_evals,
+       CAST(sum(CAST(e_naive AS DECIMAL(14,2))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mae_naive,
+       CAST(sum(CAST(e_seasonal AS DECIMAL(14,2))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mae_seasonal,
+       (CAST(sum(CAST(e_seasonal AS DECIMAL(14,2))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE))
+       / nullif(CAST(sum(CAST(e_naive AS DECIMAL(14,2))) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE), 0.0) AS mase_ratio
+FROM s GROUP BY user_id
+"""
+
+
 SPECS = {
     "ts_features": QuerySpec(
         q_ts_features,
@@ -1515,6 +1581,13 @@ SPECS = {
         SQL_STOCHASTIC,
         "stochastic %K/%D: stacked 14/3-row windows, %K bit-exact",
         ("window",),
+    ),
+    "seasonal_mase": QuerySpec(
+        q_seasonal_mase,
+        SQL_SEASONAL_MASE,
+        "seasonal-naive vs naive MAE per user (MASE-style forecast "
+        "eval); decimal-exact means, one user exchange",
+        ("window", "agg"),
     ),
     "rolling_beta": QuerySpec(
         q_rolling_beta,
