@@ -863,6 +863,51 @@ FROM m
 """
 
 
+# --- equi-depth histogram (optimizer statistics primitive) -------------------
+
+N_BINS = 10
+
+
+def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth value histogram per event type — the statistics object a
+    cost-based optimizer keeps per column (selectivity estimation needs
+    equal-COUNT bins, not equal-width): ntile(10) over the total order
+    (value, event_id) then per-bin count/min/max/decimal-exact sum. The
+    tiebreak makes bin assignment deterministic, so both engines cut
+    identical bins. Exact formulation = one sort per type partition; the
+    at-scale substitute is the GK `percentile_approx` sketch whose error
+    contract is pinned in tests/test_scale_ops.py."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    binned = ev.select(
+        "event_type", "value", F.ntile(N_BINS).over(w).alias("bin")
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
+
+
+SQL_EQUI_DEPTH_BINS = f"""
+WITH b AS (
+  SELECT event_type, value,
+         ntile({N_BINS}) OVER (PARTITION BY event_type
+                               ORDER BY value ASC, event_id ASC) AS bin
+  FROM events
+)
+SELECT event_type, bin, count(*) AS n,
+       min(value) AS lo, max(value) AS hi,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM b GROUP BY event_type, bin
+"""
+
+
 # --- CUSUM drift detection per user ------------------------------------------
 
 def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1006,6 +1051,13 @@ SPECS = {
         "KMV k-minimum-values distinct sketch per type, deterministic and "
         "hash-matchable, with exact-count ground truth",
         ("events", "agg"),
+    ),
+    "equi_depth_bins": QuerySpec(
+        q_equi_depth_bins,
+        SQL_EQUI_DEPTH_BINS,
+        "equi-depth value histogram per type (CBO statistics primitive); "
+        "deterministic ntile over a total order",
+        ("events", "window", "agg"),
     ),
     "cusum_drift": QuerySpec(
         q_cusum_drift,
