@@ -1,0 +1,93 @@
+"""Semantic sanity of the curation operators: oracle parity proves both
+engines compute the same thing; these prove the thing computed carries the
+signal it claims. All assertions are deterministic on the fixed testdata."""
+
+from __future__ import annotations
+
+from multi_source_financial_data_pipeline_spark.plans.registry import QUERIES
+
+
+def _run(spark, sf_dir, name):
+    return QUERIES[name].fn(spark, sf_dir).toPandas()
+
+
+def test_dsir_separates_target_language(spark, sf_dir):
+    """Importance weights must actually rank the target slice above the
+    rest: mean dsir_logw of lang='en' docs strictly exceeds the others'
+    (that is the whole point of the log-ratio features)."""
+    import duckdb
+
+    w = _run(spark, sf_dir, "dsir_weights")
+    langs = duckdb.sql(
+        f"SELECT doc_id, lang FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).df()
+    m = w.merge(langs, on="doc_id")
+    en = m[m.lang == "en"].dsir_logw.mean()
+    rest = m[m.lang != "en"].dsir_logw.mean()
+    assert en > rest, (en, rest)
+    # and the kept flag follows the score's sign
+    assert ((m.dsir_logw > 0) == m.kept).all()
+
+
+def test_perplexity_tiers_order_by_probability(spark, sf_dir):
+    """head docs must carry higher LM-probability buckets than tail docs —
+    the tiering is ordinal by construction, so tier means must be ordered."""
+    t = _run(spark, sf_dir, "perplexity_buckets")
+    means = t.groupby("tier").bucket.mean()
+    assert means["head"] > means["middle"] > means["tail"], means.to_dict()
+
+
+def test_ngram_novelty_first_doc_fully_novel(spark, sf_dir):
+    """The lowest doc_id owns every one of its grams by definition, and
+    novelty can only be ≤ 1 everywhere."""
+    n = _run(spark, sf_dir, "ngram_novelty").sort_values("doc_id")
+    assert n.iloc[0].novelty_frac == 1.0
+    assert (n.novelty_frac <= 1.0).all() and (n.novelty_frac >= 0.0).all()
+
+
+def test_cluster_best_doc_beats_min_id_quality(spark, sf_dir):
+    """Canonicalize-by-quality must never pick a representative with lower
+    quality than the min-id canonical it replaces."""
+    best = _run(spark, sf_dir, "cluster_best_doc")
+    canon = _run(spark, sf_dir, "neardup_verified")
+    quality = _run(spark, sf_dir, "doc_quality")[["doc_id", "quality_score"]]
+    q = dict(zip(quality.doc_id, quality.quality_score))
+    for _, row in best.iterrows():
+        assert q[row.best_doc_id] >= q[row.canonical_id] - 1e-12
+    # every cluster of size >= 2 in canon appears exactly once
+    sizes = canon.groupby("canonical_id").size()
+    assert set(best.canonical_id) == set(sizes[sizes >= 2].index)
+
+
+def test_sq8_recall_high_on_unit_corpus(spark, sf_dir):
+    """8-bit scalar quantization on a unit-norm 64-dim corpus should barely
+    dent recall@10 — if this drops, the quantizer (not the corpus) broke."""
+    r = _run(spark, sf_dir, "sq8_recall").iloc[0]
+    assert r.recall_at_k >= 0.9, r.to_dict()
+
+
+def test_kmv_within_textbook_error(spark, sf_dir):
+    from multi_source_financial_data_pipeline_spark.plans.eventstream import KMV_K
+
+    k = _run(spark, sf_dir, "kmv_distinct")
+    assert (k.rel_err <= 3.0 / (KMV_K - 1) ** 0.5).all(), k.to_dict("records")
+
+
+def test_equi_depth_bins_are_equal_depth_and_ordered(spark, sf_dir):
+    b = _run(spark, sf_dir, "equi_depth_bins")
+    for t, g in b.groupby("event_type"):
+        assert g.n.max() - g.n.min() <= 1, t  # ntile depth contract
+        g = g.sort_values("bin")
+        # bins partition the value axis in order
+        assert (g.lo.values[1:] >= g.hi.values[:-1]).all(), t
+
+
+def test_shard_manifest_partitions_corpus(spark, sf_dir):
+    import duckdb
+
+    m = _run(spark, sf_dir, "shard_manifest")
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert m.n_docs.sum() == n_docs
+    assert m.members_fp.nunique() == len(m)  # shards hold disjoint members
