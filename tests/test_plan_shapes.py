@@ -640,3 +640,28 @@ def test_ngram_novelty_single_scan_linear(spark, sf_dir):
     assert plan.count("documents.parquet") == 1
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 3
+
+
+def test_round7_late_additions_shapes(spark, sf_dir):
+    """Compact pins for the wave-5 queries: readability is a pure map
+    (no exchange at all); seasonal_mase rides the single _daily_bars user
+    exchange; containment_pairs never goes cartesian; cusum_drift is one
+    grouped-map over one key exchange; equi_depth_bins reuses the ntile
+    window's type partitioning for its groupBy (one exchange)."""
+    plan = _plan(spark, sf_dir, "readability")
+    assert "Exchange" not in plan and "Join" not in plan
+
+    plan = _plan(spark, sf_dir, "seasonal_mase")
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+
+    plan = _plan(spark, sf_dir, "containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _plan(spark, sf_dir, "cusum_drift")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    plan = _plan(spark, sf_dir, "equi_depth_bins")
+    assert plan.count("Exchange hashpartitioning") == 1
