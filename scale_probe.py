@@ -95,6 +95,19 @@ PROBE_QUERIES = [
     "kmv_distinct",
     "sq8_recall",
     "macd_last",
+    # round-7 waves 4-5: LSH-bounded O(len²) verifiers (edit distance +
+    # containment both ride the banding bound), the gram-window novelty
+    # curve, per-source KL (gram hash-agg + 256-cell grid), the second
+    # grouped-map fold (CUSUM), map-only readability, ntile histogram
+    "editdist_verify",
+    "containment_pairs",
+    "ngram_novelty",
+    "source_kl",
+    "cusum_drift",
+    "readability",
+    "equi_depth_bins",
+    "seasonal_mase",
+    "shard_manifest",
 ]
 
 
