@@ -91,3 +91,39 @@ def test_shard_manifest_partitions_corpus(spark, sf_dir):
     ).fetchone()[0]
     assert m.n_docs.sum() == n_docs
     assert m.members_fp.nunique() == len(m)  # shards hold disjoint members
+
+
+def test_chunk_boilerplate_flags_shared_chunks_only(spark, tmp_path):
+    """Literal-frame semantics: a 10-token chunk shared verbatim by two
+    docs is boilerplate in both; unique chunks survive; a fully-unique doc
+    keeps every token; counts and kept-token arithmetic line up."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    u1 = " ".join(f"a{i}" for i in range(10))
+    u2 = " ".join(f"b{i}" for i in range(10))
+    u3 = " ".join(f"c{i}" for i in range(10))
+    rows = [
+        (0, shared + " " + u1, "en", "src0", 0),
+        (1, shared + " " + u2, "en", "src0", 0),
+        (2, u3, "en", "src0", 0),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    from multi_source_financial_data_pipeline_spark.plans.llmdata import q_chunk_boilerplate
+
+    out = {r["doc_id"]: r for r in q_chunk_boilerplate(spark, d).collect()}
+    assert out[0]["n_chunks"] == 2 and out[0]["n_boiler_chunks"] == 1
+    assert out[0]["n_kept_tokens"] == 10  # only the unique chunk survives
+    assert out[1]["n_chunks"] == 2 and out[1]["n_boiler_chunks"] == 1
+    assert out[2]["n_chunks"] == 1 and out[2]["n_boiler_chunks"] == 0
+    assert out[2]["n_kept_tokens"] == 10
+    import hashlib
+
+    assert out[2]["kept_fp"] == hashlib.md5(u3.encode()).hexdigest()
+    assert out[0]["kept_fp"] == hashlib.md5(u1.encode()).hexdigest()
