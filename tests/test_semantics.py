@@ -127,3 +127,33 @@ def test_chunk_boilerplate_flags_shared_chunks_only(spark, tmp_path):
 
     assert out[2]["kept_fp"] == hashlib.md5(u3.encode()).hexdigest()
     assert out[0]["kept_fp"] == hashlib.md5(u1.encode()).hexdigest()
+
+
+def test_cusum_detects_level_shift(spark, tmp_path):
+    """Constant series → both CUSUMs exactly 0; a mid-series upward level
+    shift drives cusum_pos far above cusum_neg (the detector's job)."""
+    import os
+
+    rows = []
+    for i in range(40):  # user 0: constant
+        rows.append((i, f"2024-01-01 00:{i:02d}:00", 0, "view", 50.0, "{}"))
+    for i in range(40):  # user 1: +20 level shift at t=20
+        v = 50.0 if i < 20 else 70.0
+        rows.append((100 + i, f"2024-01-01 00:{i:02d}:00", 1, "view", v, "{}"))
+    d = str(tmp_path)
+    from pyspark.sql import functions as F
+
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    from multi_source_financial_data_pipeline_spark.plans.eventstream import q_cusum_drift
+
+    out = {r["user_id"]: r for r in q_cusum_drift(spark, d).collect()}
+    assert out[0]["cusum_pos"] == 0.0 and out[0]["cusum_neg"] == 0.0
+    assert out[1]["mean_value"] == 60.0
+    # drift: final positive CUSUM = 20 steps x 10 above mean = 200
+    assert out[1]["cusum_pos"] == 200.0
+    assert out[1]["cusum_neg"] == 0.0
