@@ -131,6 +131,77 @@ def gap_fill_daily(
     )
 
 
+def gap_fill_interp(
+    df: DataFrame,
+    key: str,
+    date_col: str,
+    value_col: str,
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Linear interpolation across unobserved days — `gap_fill_daily`'s
+    ``pandas interpolate(method='time')`` sibling: each gap day takes
+    prev + (next − prev) · (days since prev) / (days between anchors).
+    Same spine machinery; the fill needs BOTH directions, so two window
+    passes over ONE (key)-ordered exchange (forward: last ignorenulls;
+    backward: first ignorenulls over the following frame). The span is
+    [min obs, max obs], so both anchors always exist on gap days and the
+    interpolation is total. Interpolated values are rounded at 6 on both
+    engines (the anchors sit on the 2-decimal grid; the fraction divides
+    exact day counts)."""
+    w_last = Window.partitionBy(key, date_col).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    daily = (
+        df.withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(key).alias("__k"),
+            F.col(date_col).alias("obs_date"),
+            F.col(value_col).alias("__v"),
+        )
+    )
+    bounds = daily.groupBy(F.col("__k").alias(key)).agg(
+        F.min("obs_date").alias("min_date"), F.max("obs_date").alias("max_date")
+    )
+    spine = bounds.select(
+        key,
+        F.explode(
+            F.sequence(F.col("min_date"), F.col("max_date"), F.expr("interval 1 day"))
+        ).alias("cal_date"),
+    )
+    joined = spine.join(
+        daily,
+        (F.col(key) == F.col("__k")) & (F.col("cal_date") == F.col("obs_date")),
+        "left",
+    ).select(key, "cal_date", "obs_date", "__v")
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy("cal_date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_bwd = (
+        Window.partitionBy(key)
+        .orderBy("cal_date")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("__v", ignorenulls=True).over(w_fwd)
+    prev_d = F.last("obs_date", ignorenulls=True).over(w_fwd)
+    next_v = F.first("__v", ignorenulls=True).over(w_bwd)
+    next_d = F.first("obs_date", ignorenulls=True).over(w_bwd)
+    frac = F.datediff(F.col("cal_date"), prev_d).cast("double") / F.nullif(
+        F.datediff(next_d, prev_d).cast("double"), F.lit(0.0)
+    )
+    interp = F.when(
+        F.col("obs_date").isNotNull(), F.col("__v")
+    ).otherwise(F.round(prev_v + (next_v - prev_v) * frac, 6))
+    return joined.select(
+        key,
+        "cal_date",
+        interp.alias("value_interp"),
+        F.col("obs_date").isNotNull().cast("int").alias("is_observed"),
+    )
+
+
 def timeseries_features(
     df: DataFrame,
     key: str = "ticker",

@@ -725,6 +725,66 @@ LEFT JOIN daily d ON d.user_id = c.user_id AND d.obs_date = c.cal_date
 """
 
 
+def q_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``interpolate(method='time')`` per key: unobserved days take
+    the time-weighted line between their surrounding observations (see
+    operators/timeseries.gap_fill_interp for the two-direction window
+    shape — both fills ride ONE key-ordered exchange)."""
+    ev = _t(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    from multi_source_financial_data_pipeline_spark.operators.timeseries import gap_fill_interp
+
+    return gap_fill_interp(
+        ev, "user_id", "date", "value", order_cols=("ts", "event_id")
+    )
+
+
+SQL_GAP_FILL_INTERP = """
+WITH daily AS (
+  SELECT user_id, event_date AS obs_date, value FROM (
+    SELECT user_id, CAST(ts AS DATE) AS event_date, value,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+), bounds AS (
+  SELECT user_id, min(obs_date) AS min_date, max(obs_date) AS max_date
+  FROM daily GROUP BY user_id
+), cal AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(min_date, max_date, INTERVAL 1 DAY)) AS DATE) AS cal_date
+  FROM bounds
+), j AS (
+  SELECT c.user_id, c.cal_date, d.obs_date, d.value AS v
+  FROM cal c
+  LEFT JOIN daily d ON d.user_id = c.user_id AND d.obs_date = c.cal_date
+), w AS (
+  SELECT user_id, cal_date, obs_date, v,
+         last_value(v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY cal_date
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(obs_date IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY cal_date
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         first_value(v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY cal_date
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(obs_date IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY cal_date
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j
+)
+SELECT user_id, cal_date,
+       CASE WHEN obs_date IS NOT NULL THEN v
+            ELSE round(pv + (nv - pv)
+                       * (CAST(date_diff('day', pd, cal_date) AS DOUBLE)
+                          / nullif(CAST(date_diff('day', pd, nd) AS DOUBLE),
+                                   0.0)), 6)
+       END AS value_interp,
+       CAST(obs_date IS NOT NULL AS INT) AS is_observed
+FROM w
+"""
+
+
 # --- weekly OHLC bars: pandas resample('W').ohlc() as one grouped pass ------
 
 def q_weekly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1581,6 +1641,13 @@ SPECS = {
         SQL_STOCHASTIC,
         "stochastic %K/%D: stacked 14/3-row windows, %K bit-exact",
         ("window",),
+    ),
+    "gap_fill_interp": QuerySpec(
+        q_gap_fill_interp,
+        SQL_GAP_FILL_INTERP,
+        "time-weighted linear interpolation across unobserved days "
+        "(pandas interpolate sibling of gap_fill_ffill)",
+        ("window", "join"),
     ),
     "seasonal_mase": QuerySpec(
         q_seasonal_mase,

@@ -37,13 +37,14 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #:      silently drift if semantics change), the 4 connectors, the 8
 #:      remaining complex TPC-H shapes, and ivf_assign (the quantizer every
 #:      IVF/SemDeDup query builds on).
-#: Round-8 rotation backlog: the 26 round-7 additions never driver-checked
+#: Round-8 rotation backlog: the 27 round-7 additions never driver-checked
 #: first (atr_14, obv, stochastic_osc, rolling_beta, chunk_boilerplate,
 #: perplexity_buckets, pii_scrub, kmeans_refine, dsir_weights, sq8_recall,
 #: kmv_distinct, macd_last, bucketed_revenue, cluster_best_doc, source_kl,
 #: editdist_verify, shard_manifest, stream_static_anti,
 #: dedup_cluster_sizes, ngram_novelty, embedding_norm_audit, cusum_drift,
-#: readability, containment_pairs, seasonal_mase, equi_depth_bins),
+#: readability, containment_pairs, seasonal_mase, equi_depth_bins,
+#: gap_fill_interp),
 #: then the 30 r05-green names left out of this window (oldest rows after
 #: r07 lands): ann_topk_ivf, ann_topk_lsh, cohort_retention,
 #: curation_kept, database_stats, decontaminate_overlap, doc_repetition,
