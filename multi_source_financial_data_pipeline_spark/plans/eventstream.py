@@ -635,65 +635,167 @@ GROUP BY type_a, type_b, n_total_users
 """
 
 
-# --- winsorized per-type stats (percentile window, no second scan) -----------
+# --- winsorized per-type stats (histogram cutoffs, no per-type row sort) -----
 
 WINSOR_LO, WINSOR_HI = 0.05, 0.95
 
 
-def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust per-type cleaning stats: clip `value` into its type's
-    [p05, p95] band and report clip counts + winsorized mean. The
-    percentiles are WINDOW aggregates over the type partition (Spark
-    `percentile` ≡ DuckDB `quantile_cont`, bit-identical interpolation), so
-    the whole query is ONE scan and ONE exchange — the groupBy reuses the
-    window's partitioning. The mean sums round(clipped, 6) as DECIMAL
-    (identical clipped doubles on both engines) and divides once."""
+def _value_histogram(ev: DataFrame) -> DataFrame:
+    """`(event_type, value) → cnt` compressed histogram with per-type
+    cumulative count and total. ONE mergeable hash aggregate over the fact
+    rows (map-side partial combine), then windows run over the HISTOGRAM,
+    whose size is bounded by |types| × |value grid| — `value` sits on a
+    2-decimal grid with a bounded range, so the histogram does not grow with
+    row count. (For a continuous domain you would quantize to a fixed grid
+    first, or fall back to the GK `percentile_approx` sketch whose error
+    contract is pinned in tests/test_scale_ops.py.)"""
     from pyspark.sql import Window
 
-    ev = _events(spark, sf_dir)
-    w = Window.partitionBy("event_type")
-    pcts = F.expr(
-        f"percentile(value, array({WINSOR_LO}, {WINSOR_HI}))"
-    ).over(w)
-    clipped = ev.select(
-        "event_type",
-        "value",
-        pcts[0].alias("p_lo"),
-        pcts[1].alias("p_hi"),
-    ).select(
-        "event_type",
-        "value",
-        "p_lo",
-        "p_hi",
-        F.greatest("p_lo", F.least("p_hi", F.col("value"))).alias("wval"),
+    hist = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("value").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return clipped.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("value") < F.col("p_lo")).cast("long")).alias("n_clipped_low"),
-        F.sum((F.col("value") > F.col("p_hi")).cast("long")).alias("n_clipped_high"),
+    w_all = Window.partitionBy("event_type")
+    return hist.select(
+        "event_type",
+        "value",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+
+def _quantile_cutoffs(hist: DataFrame, probs: dict[str, float]) -> DataFrame:
+    """Exact `quantile_cont` (linear interpolation at 0-indexed position
+    p·(n−1)) computed from the cumulative histogram: value_at(k) is the
+    smallest value with cum ≥ k+1, taken as a conditional MIN inside one
+    hash aggregate — never a sort over raw rows. Returns one row per type
+    with a DOUBLE column per named prob; every arithmetic step is the same
+    IEEE expression on both engines, so the cutoffs are bit-identical to
+    DuckDB's own `quantile_cont`."""
+    targets = hist.select(
+        "event_type",
+        "value",
+        "cum",
+        *[
+            (F.lit(p) * (F.col("n") - F.lit(1)).cast("double")).alias(f"t_{name}")
+            for name, p in probs.items()
+        ],
+    )
+    aggs = []
+    for name in probs:
+        t = F.col(f"t_{name}")
+        v_f = F.min(F.when(F.col("cum") >= F.floor(t) + 1, F.col("value")))
+        v_c = F.min(F.when(F.col("cum") >= F.ceil(t) + 1, F.col("value")))
+        aggs += [
+            v_f.alias(f"vf_{name}"),
+            v_c.alias(f"vc_{name}"),
+            F.min(t).alias(f"tv_{name}"),  # constant per type
+        ]
+    cuts = targets.groupBy("event_type").agg(*aggs)
+    return cuts.select(
+        "event_type",
+        *[
+            (
+                F.col(f"vf_{name}")
+                + (F.col(f"tv_{name}") - F.floor(f"tv_{name}"))
+                * (F.col(f"vc_{name}") - F.col(f"vf_{name}"))
+            ).alias(name)
+            for name in probs
+        ],
+    )
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type cleaning stats: clip `value` into its type's
+    [p05, p95] band and report clip counts + winsorized mean.
+
+    Scale shape (r07 fix): the previous formulation ran `percentile OVER
+    (PARTITION BY event_type)` — with a handful of types that concentrates
+    EVERY row of a type in one task's buffer. Now the only pass over fact
+    rows is a mergeable (type, value) hash aggregate; cutoffs come from the
+    bounded histogram (`_quantile_cutoffs`, exact quantile_cont semantics);
+    and because the clipped value depends only on `value`, the clip counts
+    and winsorized mean are ALSO computed from the histogram (weighting by
+    cnt) — one fact scan, no join back to rows, nothing downstream scales
+    with row count. The mean sums round(clipped, 6)·cnt as DECIMAL
+    (identical clipped doubles on both engines) and divides once."""
+    ev = _events(spark, sf_dir)
+    hist = _value_histogram(ev)
+    cuts = _quantile_cutoffs(hist, {"p_lo": WINSOR_LO, "p_hi": WINSOR_HI})
+    joined = hist.join(F.broadcast(cuts), "event_type")
+    wval = F.greatest("p_lo", F.least("p_hi", F.col("value")))
+    return joined.groupBy("event_type").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.when(F.col("value") < F.col("p_lo"), F.col("cnt")).otherwise(0)).alias(
+            "n_clipped_low"
+        ),
+        F.sum(F.when(F.col("value") > F.col("p_hi"), F.col("cnt")).otherwise(0)).alias(
+            "n_clipped_high"
+        ),
         (
-            F.sum(F.round("wval", 6).cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)).cast("double")
+            F.sum(F.round(wval, 6).cast("decimal(18,6)") * F.col("cnt")).cast("double")
+            / F.sum("cnt").cast("double")
         ).alias("winsorized_mean"),
     )
 
 
+#: shared histogram+cutoff CTE prefix — mirrors _value_histogram /
+#: _quantile_cutoffs step for step (same IEEE interpolation expression)
+def _sql_hist_cuts(probs: dict[str, float]) -> str:
+    t_cols = ",\n         ".join(
+        f"{p} * CAST(n - 1 AS DOUBLE) AS t_{name}" for name, p in probs.items()
+    )
+    agg_cols = ",\n         ".join(
+        f"min(CASE WHEN cum >= floor(t_{name}) + 1 THEN value END) AS vf_{name},\n"
+        f"         min(CASE WHEN cum >= ceil(t_{name}) + 1 THEN value END) AS vc_{name},\n"
+        f"         min(t_{name}) AS tv_{name}"
+        for name in probs
+    )
+    cut_cols = ",\n         ".join(
+        f"vf_{name} + (tv_{name} - floor(tv_{name})) * (vc_{name} - vf_{name}) AS {name}"
+        for name in probs
+    )
+    return f"""
+hist AS (
+  SELECT event_type, value, count(*) AS cnt
+  FROM events GROUP BY event_type, value
+), c AS (
+  SELECT event_type, value, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+), t AS (
+  SELECT event_type, value, cnt, cum,
+         {t_cols}
+  FROM c
+), a AS (
+  SELECT event_type,
+         {agg_cols}
+  FROM t GROUP BY event_type
+), cuts AS (
+  SELECT event_type,
+         {cut_cols}
+  FROM a
+)"""
+
+
 SQL_WINSORIZED_STATS = f"""
-WITH c AS (
-  SELECT event_type, value,
-         quantile_cont(value, {WINSOR_LO}) OVER (PARTITION BY event_type) AS p_lo,
-         quantile_cont(value, {WINSOR_HI}) OVER (PARTITION BY event_type) AS p_hi
-  FROM events
-)
-SELECT event_type, count(*) AS n,
-       CAST(sum(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+WITH {_sql_hist_cuts({'p_lo': WINSOR_LO, 'p_hi': WINSOR_HI})}
+SELECT h.event_type, CAST(sum(cnt) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN value < p_lo THEN cnt ELSE 0 END) AS BIGINT)
          AS n_clipped_low,
-       CAST(sum(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN value > p_hi THEN cnt ELSE 0 END) AS BIGINT)
          AS n_clipped_high,
        CAST(sum(CAST(round(greatest(p_lo, least(p_hi, value)), 6)
-                     AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS DECIMAL(18,6)) * cnt) AS DOUBLE)
+         / CAST(sum(cnt) AS DOUBLE)
          AS winsorized_mean
-FROM c GROUP BY event_type
+FROM hist h JOIN cuts USING (event_type)
+GROUP BY h.event_type
 """
 
 
@@ -871,12 +973,68 @@ N_BINS = 10
 def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth value histogram per event type — the statistics object a
     cost-based optimizer keeps per column (selectivity estimation needs
-    equal-COUNT bins, not equal-width): ntile(10) over the total order
-    (value, event_id) then per-bin count/min/max/decimal-exact sum. The
-    tiebreak makes bin assignment deterministic, so both engines cut
-    identical bins. Exact formulation = one sort per type partition; the
-    at-scale substitute is the GK `percentile_approx` sketch whose error
-    contract is pinned in tests/test_scale_ops.py."""
+    equal-COUNT bins, not equal-width).
+
+    Scale shape (r07 fix): the previous formulation ntile'd EVERY row of a
+    type through one task's sort. Now the only pass over fact rows is the
+    mergeable (type, value) hash aggregate of `_value_histogram`; a distinct
+    value with cum_before rows strictly below it lands in bin
+    1 + (cum_before·10) div n (exact integer arithmetic — the bin ntile
+    would give its FIRST row), ties share a bin (the distinct-value
+    boundary semantics a real optimizer histogram has), and the per-bin
+    n/lo/hi/sum are computed from the histogram weighted by cnt — one fact
+    scan, nothing downstream scales with row count. Bin depth deviates from
+    n/10 only by the tie mass at bin boundaries. The exact row-level ntile
+    twin stays registered as `equi_depth_bins_ntile` (small-data oracle,
+    same exact/approx pairing `value_percentiles_by_type` documents)."""
+    ev = _events(spark, sf_dir)
+    hist = _value_histogram(ev)
+    binned = hist.select(
+        "event_type",
+        "value",
+        "cnt",
+        (F.lit(1) + F.expr(f"((cum - cnt) * {N_BINS}) div n")).alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.sum("cnt").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.sum(F.col("value").cast("decimal(12,2)") * F.col("cnt"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+SQL_EQUI_DEPTH_BINS = f"""
+WITH hist AS (
+  SELECT event_type, value, count(*) AS cnt
+  FROM events GROUP BY event_type, value
+), c AS (
+  SELECT event_type, value, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+), b AS (
+  SELECT event_type, value, cnt,
+         CAST(1 + ((cum - cnt) * {N_BINS}) // n AS BIGINT) AS bin
+  FROM c
+)
+SELECT event_type, bin, CAST(sum(cnt) AS BIGINT) AS n,
+       min(value) AS lo, max(value) AS hi,
+       CAST(sum(CAST(value AS DECIMAL(12,2)) * cnt) AS DOUBLE) AS sum_value
+FROM b GROUP BY event_type, bin
+"""
+
+
+def q_equi_depth_bins_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact row-level equi-depth twin of `equi_depth_bins`: ntile(10) over
+    the total order (value, event_id), so every bin holds exactly n/10 rows
+    (±1) and ties straddling a boundary are SPLIT by event_id. This is the
+    small-data oracle formulation ONLY — the per-type sort concentrates all
+    of a type's rows in one task (the r07 weak shape); at scale, run the
+    histogram-based primary. Both engines cut identical bins (deterministic
+    tiebreak)."""
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir)
@@ -894,7 +1052,7 @@ def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EQUI_DEPTH_BINS = f"""
+SQL_EQUI_DEPTH_BINS_NTILE = f"""
 WITH b AS (
   SELECT event_type, value,
          ntile({N_BINS}) OVER (PARTITION BY event_type
@@ -976,7 +1134,8 @@ SPECS = {
     "winsorized_stats": QuerySpec(
         q_winsorized_stats,
         SQL_WINSORIZED_STATS,
-        "percentile-window clip + winsorized mean, one scan one exchange",
+        "winsorized clip stats from histogram quantile_cont cutoffs — "
+        "one fact scan, no per-type row sort/percentile window",
         ("events", "window", "agg"),
     ),
     "asof_join": QuerySpec(
@@ -1055,8 +1214,15 @@ SPECS = {
     "equi_depth_bins": QuerySpec(
         q_equi_depth_bins,
         SQL_EQUI_DEPTH_BINS,
-        "equi-depth value histogram per type (CBO statistics primitive); "
-        "deterministic ntile over a total order",
+        "equi-depth value histogram per type (CBO statistics primitive) "
+        "from a mergeable (type,value) hash agg — no per-type row sort",
+        ("events", "agg"),
+    ),
+    "equi_depth_bins_ntile": QuerySpec(
+        q_equi_depth_bins_ntile,
+        SQL_EQUI_DEPTH_BINS_NTILE,
+        "exact row-level ntile twin of equi_depth_bins (small-data oracle; "
+        "per-type sort concentrates — do not run at scale)",
         ("events", "window", "agg"),
     ),
     "cusum_drift": QuerySpec(

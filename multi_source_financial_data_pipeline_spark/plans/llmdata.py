@@ -1580,35 +1580,54 @@ GROUP BY doc_id
 # --- sequence packing: per-shard concat-and-chunk ----------------------------
 
 SEQ_LEN = 512
+#: sub-shards per source — the scale knob: window partition size is
+#: corpus/(|sources|·N_PACK_SHARDS); grow with the corpus (pure function of
+#: doc_id, so regrowing N re-derives a fully deterministic packing)
+N_PACK_SHARDS = 8
 
 
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GPT-style concat-and-chunk packing: documents concatenated per source
-    shard in doc_id order, token stream chunked into SEQ_LEN sequences; each
-    doc gets its absolute offset + first/last sequence index. One window
-    cumsum per shard (see operators/packing.py) — the only distributed-safe
-    packing formulation, since placement depends only on the prefix sum."""
+    """GPT-style concat-and-chunk packing: documents concatenated per
+    (source, shard) in doc_id order, token stream chunked into SEQ_LEN
+    sequences; each doc gets its absolute offset + first/last sequence
+    index. One window cumsum per shard (see operators/packing.py) — the
+    only distributed-safe packing formulation, since placement depends only
+    on the prefix sum.
+
+    Scale shape (r08): shard = md5(doc_id) % N_PACK_SHARDS sub-divides each
+    source, so no window partition holds more than ~1/N of a source's rows
+    — the previous source-only sharding funneled every row of a source
+    through one task's sort (the same concentration class as the r07
+    equi_depth_bins finding). md5-prefix hashing is the cross-engine idiom
+    `operators/sampling.hash_uniform` already uses."""
     docs = _t(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    docs = docs.withColumn("shard", (h32 % N_PACK_SHARDS).cast("int"))
     return packing.concat_chunk_packing(
         docs,
         seq_len=SEQ_LEN,
         tokens=F.size(text.tokens(F.col("text"))),
-        shard_col="source",
+        shard_col=["source", "shard"],
         order_col="doc_id",
     )
 
 
 SQL_SEQUENCE_PACKING = f"""
 WITH n AS (
-  SELECT doc_id, source, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {N_PACK_SHARDS} AS shard,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
   FROM documents
 ), c AS (
-  SELECT doc_id, source, n_tokens,
-         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+  SELECT doc_id, source, CAST(shard AS INTEGER) AS shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_offset
   FROM n
 )
-SELECT doc_id, source, n_tokens,
+SELECT doc_id, source, shard, n_tokens,
        end_offset - n_tokens AS start_offset,
        (end_offset - n_tokens) // {SEQ_LEN} AS first_seq,
        (end_offset - 1) // {SEQ_LEN} AS last_seq,

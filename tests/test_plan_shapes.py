@@ -646,8 +646,8 @@ def test_round7_late_additions_shapes(spark, sf_dir):
     """Compact pins for the wave-5 queries: readability is a pure map
     (no exchange at all); seasonal_mase rides the single _daily_bars user
     exchange; containment_pairs never goes cartesian; cusum_drift is one
-    grouped-map over one key exchange; equi_depth_bins reuses the ntile
-    window's type partitioning for its groupBy (one exchange)."""
+    grouped-map over one key exchange; equi_depth_bins_ntile reuses the
+    ntile window's type partitioning for its groupBy (one exchange)."""
     plan = _plan(spark, sf_dir, "readability")
     assert "Exchange" not in plan and "Join" not in plan
 
@@ -663,5 +663,139 @@ def test_round7_late_additions_shapes(spark, sf_dir):
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert plan.count("Exchange hashpartitioning") == 1
 
-    plan = _plan(spark, sf_dir, "equi_depth_bins")
+    plan = _plan(spark, sf_dir, "equi_depth_bins_ntile")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_equi_depth_bins_histogram_shape(spark, sf_dir):
+    """r07 weak-item fix: the primary equi-depth query never sorts raw rows
+    per type. One fact scan feeding a mergeable (type, value) partial hash
+    aggregate; the cum/total windows and the bin groupBy run over the
+    grid-bounded histogram; no ntile anywhere."""
+    plan = _plan(spark, sf_dir, "equi_depth_bins")
+    assert plan.count("events.parquet") == 1
+    assert "ntile" not in plan
+    # hist shuffle + final (type, bin) groupBy — both over bounded frames
+    assert plan.count("Exchange hashpartitioning") == 2
+    # the scan's immediate consumer is the partial (type, value) aggregate:
+    # no row ever reaches a Window/Sort without being aggregated first
+    import re
+
+    m = re.search(
+        r"HashAggregate\(keys=\[event_type\S* knownfloatingpointnormalized"
+        r"\(normalizenanandzero\(value\S*\)\)[^\n]*partial_count",
+        plan,
+    )
+    assert m, "fact scan must feed the partial (type, value) histogram agg"
+
+
+def test_winsorized_stats_histogram_shape(spark, sf_dir):
+    """r07 weak-item fix: no `percentile OVER (PARTITION BY event_type)`
+    row buffering. Cutoffs are exact quantile_cont derived from the bounded
+    (type, value) histogram via conditional MINs, broadcast back; the
+    winsorized mean re-reads the HISTOGRAM (cnt-weighted), never the fact
+    rows, and AQE reuses the single histogram exchange for both branches."""
+    plan = _final_plan(spark, sf_dir, "winsorized_stats")
+    assert "percentile" not in plan
+    assert "BroadcastHashJoin" in plan
+    # both consumers of the histogram ride ONE exchange over ONE fact scan
+    assert "ReusedExchange" in plan
+    assert plan.count("events.parquet") == 1
+
+
+def test_sequence_packing_subsharded(spark, sf_dir):
+    """The packing cumsum window partitions by (source, shard) — the md5
+    sub-shard keeps any one task's sort at ~1/N of a source's rows (source
+    alone is low-cardinality: the r08 de-concentration)."""
+    plan = _plan(spark, sf_dir, "sequence_packing")
+    assert "shard" in plan
+    assert plan.count("Exchange hashpartitioning(source") == 1
+    import re
+
+    assert re.search(r"Exchange hashpartitioning\(source\S* shard", plan)
+
+
+def test_window_partition_key_audit(spark, sf_dir):
+    """Registry-wide audit (r07 VERDICT item 4): enumerate EVERY Window in
+    every registered query's optimized logical plan and classify its
+    partition keys. The r06/r07 weak items were all one shape — a window
+    whose partition key has bounded cardinality riding NON-aggregated rows,
+    so one task buffers an unbounded share of the data. Rules, in order:
+
+    1. no partition keys → the window input must be an Aggregate (bounded
+       by group count, the `doc_length_quantiles` shape);
+    2. any partition key in _HIGH_CARD_KEYS → OK (group count grows with
+       the data, so per-group size stays bounded);
+    3. input contains an Aggregate below the window → OK (the window runs
+       over a grouped frame, not raw rows);
+    4. otherwise the (query, keys) pair must carry an explicit justification
+       in _LOW_CARD_RAW_OK — and every justification must still be used,
+       so stale entries fail too.
+
+    A new window with an unclassified key shape fails here by design: add
+    the key to the table WITH its scale story, or fix the plan."""
+    import re
+
+    # keys whose distinct count grows with the data — per-group windows
+    # parallelize across groups (date-grain columns appear only as SECONDARY
+    # keys next to one of these and never alone)
+    _HIGH_CARD_KEYS = {
+        "user_id", "doc_id", "event_id", "o_custkey", "l_partkey",
+        "query_id", "vec_id", "gram", "w1", "tok", "fp", "s",
+        "canonical_id", "bucket",
+    }
+    # low-cardinality partition keys over NON-aggregated input, each with
+    # the reason one task per group is still bounded
+    _LOW_CARD_RAW_OK = {
+        ("equi_depth_bins_ntile", ("event_type",)):
+            "documented small-data oracle twin of equi_depth_bins; the "
+            "histogram formulation is the registered at-scale primary",
+        ("export_shape", ("ticker",)):
+            "per-ticker daily OHLCV bars - rows per ticker bounded by the "
+            "trading calendar, not the corpus",
+        ("stream_running_totals", ("key",)):
+            "per-micro-batch window: rows per key per trigger are bounded "
+            "by the trigger interval; state never accumulates in the sort",
+        ("sequence_packing", ("source", "shard")):
+            "md5 sub-shard of doc_id; N_PACK_SHARDS is the scale knob "
+            "grown with the corpus (deterministic re-derivation)",
+    }
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    flagged, used = [], set()
+    for name, spec in QUERIES.items():
+        df = spec.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for node in walk(plan):
+            if node.getClass().getSimpleName() != "Window":
+                continue
+            parts = node.partitionSpec()
+            keys = tuple(
+                re.sub(r"#\d+L?", "", parts.apply(i).toString())
+                for i in range(parts.size())
+            )
+            has_agg = any(
+                n.getClass().getSimpleName() == "Aggregate"
+                for n in walk(node.child())
+            )
+            if not keys:
+                ok = has_agg
+            elif any(k in _HIGH_CARD_KEYS for k in keys):
+                ok = True
+            elif has_agg:
+                ok = True
+            elif (name, keys) in _LOW_CARD_RAW_OK:
+                used.add((name, keys))
+                ok = True
+            else:
+                ok = False
+            if not ok:
+                flagged.append((name, keys, "agg" if has_agg else "raw"))
+    assert flagged == [], f"unclassified window partition keys: {flagged}"
+    stale = set(_LOW_CARD_RAW_OK) - used
+    assert stale == set(), f"stale _LOW_CARD_RAW_OK entries: {stale}"
