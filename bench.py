@@ -134,7 +134,116 @@ HEADLINE = [
     "containment_pairs",
     "seasonal_mase",
     "embedding_norm_audit",
+    # round-8: the five r07 additions the VERDICT flagged as unbenched,
+    # plus the reshaped histogram-cutoff queries and the Wilder folds
+    "gap_fill_interp",
+    "equi_depth_bins",
+    "cluster_best_doc",
+    "dedup_cluster_sizes",
+    "stream_static_anti",
+    "winsorized_stats",
+    "rsi_14_wilder",
+    "atr_14_wilder",
+    # round-8: complete the TPC-H sweep (every one of the 22 shapes now has
+    # its own bench row) and the salted-skew rollup demonstrator
+    "q8_market_share",
+    "q9_profit",
+    "q12_ship_priority",
+    "q13_order_distribution",
+    "q16_part_supplier",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q21_late_suppliers",
+    "q22_dormant_customers",
+    "skewed_event_rollup",
 ]
+
+#: registry ↔ bench completeness contract (r07 VERDICT item 5): every
+#: registered query is either in HEADLINE or exempted HERE with the reason
+#: its wall-clock would not measure engine throughput (pinned by
+#: tests/test_bench_coverage.py, so a new query without a bench decision
+#: fails CI). Exemption classes:
+#:   latency-bound — wall-clock is simulated HTTP latency or streaming
+#:     trigger waits, not plan execution;
+#:   fixed-overhead — sub-100 ms catalog/report utilities dominated by
+#:     Spark's per-job constant cost;
+#:   subplan — strict subtree of a benched composite (benching it twice
+#:     would double-count the same operators);
+#:   sibling — same physical plan shape as a named benched representative,
+#:     differing only in parameters/projection.
+EXEMPT: dict[str, str] = {
+    # -- latency-bound: connector family (rate-limit sleeps + local HTTP) --
+    "connector_ohlcv": "latency-bound: simulated vendor HTTP + rate-limit",
+    "connector_crossval": "latency-bound: simulated vendor HTTP + rate-limit",
+    "connector_macro": "latency-bound: simulated vendor HTTP + rate-limit",
+    "connector_macro_summary": "latency-bound: simulated vendor HTTP",
+    "connector_stream_ticks": "latency-bound: streaming micro-batch waits",
+    "connector_vwap": "latency-bound: simulated vendor HTTP",
+    "export_shape": "fixed-overhead: 16-row golden export ordering",
+    # -- latency-bound: streaming micro-batch harnesses (representatives
+    #    stream_sliding_counts + stream_static_anti ARE benched) -----------
+    "stream_hourly_counts": "latency-bound: trigger waits; sibling of stream_sliding_counts",
+    "stream_dedup_count": "latency-bound: trigger waits; sibling of stream_sliding_counts",
+    "stream_running_totals": "latency-bound: trigger waits; sibling of stream_sliding_counts",
+    "stream_session_windows": "latency-bound: trigger waits; sibling of stream_sliding_counts",
+    "stream_interval_join": "latency-bound: trigger waits; sibling of stream_static_anti",
+    "stream_left_interval_join": "latency-bound: trigger waits; sibling of stream_static_anti",
+    "stream_enriched_counts": "latency-bound: trigger waits; sibling of stream_static_anti",
+    "stream_media_features": "latency-bound: trigger waits; codec cost benched via media_real_decode",
+    # -- fixed-overhead report/catalog utilities ---------------------------
+    "validation_counts": "fixed-overhead: per-column null/predicate counts on the 4-ticker frame",
+    "series_summary": "fixed-overhead: per-series stats on the macro registry",
+    "global_summary": "fixed-overhead: 1-row global rollup",
+    "table_stats": "fixed-overhead: catalog stats scan",
+    "database_stats": "fixed-overhead: catalog stats scan",
+    "quality_score": "fixed-overhead: per-ticker quality report",
+    "discrepancy_flags": "fixed-overhead: 4-ticker flag merge-back",
+    "first_request_wins": "fixed-overhead: anti-join on the 4-ticker frame",
+    "ledger_latest_status": "fixed-overhead: latest-per-key ledger view",
+    # -- subplans of benched composites ------------------------------------
+    "equi_depth_bins_ntile": "subplan: small-data oracle twin of equi_depth_bins (documented non-scale path)",
+    "exact_dedup": "subplan: hash-groupBy inside curation_kept/neardup_verified",
+    "minhash_signatures": "subplan: signature scan inside minhash_lsh_pairs",
+    "lsh_bucket": "subplan: banding stage inside lsh_neardup_pairs",
+    "ivf_assign": "subplan: quantizer inside ann_topk_ivf/kmeans_refine",
+    "embedding_centroids": "subplan: centroid agg inside kmeans_refine",
+    "mixture_weights": "subplan: weights stage inside mixture_resample",
+    "doc_winnow": "subplan: winnowing fingerprints inside dup_span_stats family; same explode+window shape as ngram_novelty",
+    "dup_span_stats": "sibling: exploded-span window, same shape as ngram_novelty",
+    "ann_recall_ivf": "subplan: re-runs benched ann_topk + ann_topk_ivf to compare",
+    "ann_recall_lsh": "subplan: re-runs benched ann_topk + ann_topk_lsh legs",
+    "ann_topk_lsh": "sibling: bucketed cosine top-k, same shape as ann_topk_ivf",
+    # -- siblings of a benched representative ------------------------------
+    "media_features": "sibling: md5-stub variant of benched media_real_decode",
+    "media_frames": "sibling: md5-stub variant of benched media_real_resize",
+    "media_resize": "sibling: md5-stub variant of benched media_real_resize",
+    "media_real_frames": "sibling: same Y4M demux codec path as media_real_resize",
+    "media_real_channel_stats": "sibling: same decode+per-channel agg path as media_real_decode",
+    "rsi_14": "sibling: stacked per-user windows, same exchange shape as atr_14",
+    "bollinger_bands": "sibling: stacked per-user windows, same shape as atr_14",
+    "mad_outliers": "sibling: per-user rank/percentile windows, same shape as max_drawdown",
+    "value_percentiles_by_type": "sibling: per-type percentile agg, same shape as winsorized_stats cutoffs",
+    "ewma_last": "sibling: grouped-map fold, same shape as macd_last/cusum_drift",
+    "lang_id": "sibling: map-only text scan, same shape as readability",
+    "doc_quality": "sibling: map-only text scan, same shape as readability",
+    "doc_fingerprint": "sibling: map-only hash scan, same shape as pii_scrub",
+    "doc_scrub": "sibling: map-only regex scan, same shape as pii_scrub",
+    "stratified_sample": "sibling: map-only hash-threshold filter, same shape as pii_scrub",
+    "ngram_jaccard_pairs": "sibling: candidate-bounded pair scoring, same shape as containment_pairs",
+    "doc_length_quantiles": "sibling: bounded-histogram quantiles, same shape as perplexity_buckets cutoffs",
+    "vocab_topk": "sibling: explode+agg+topk, same shape as tfidf_topk family benched via bigram_prob",
+    "tfidf_topk": "sibling: explode+agg+window rank, same shape as bigram_prob",
+    "token_len_histogram": "sibling: explode+hash agg, same shape as token_stats",
+    "token_diversity": "sibling: explode+hash agg, same shape as token_stats",
+    "subword_stats": "sibling: explode+hash agg, same shape as token_stats",
+    "dup_stats": "sibling: hash-groupBy dup counts, same shape as exact_dedup/curation_kept",
+    "json_props_stats": "sibling: from_json projection + rollup, same shape as event_rollup_day",
+    "event_pivot": "sibling: single hash agg with pivot values, same shape as event_rollup_day",
+    "asof_tolerance": "sibling: same one-pass asof plan as benched asof_join",
+    "type_cooccurrence": "sibling: per-user set pairs, same shape as funnel_conversion",
+    "user_setops": "sibling: semi/anti join algebra, same shape as decontaminate_overlap",
+    # -- TPC-H: all 22 shapes are benched individually ---------------------
+}
 
 
 def _run(name: str, sf_dir: str, spark) -> None:

@@ -181,3 +181,112 @@ def macd_last(
     return df.select(key, ts_col, tiebreak, value_col).groupBy(key).applyInPandas(
         fold, schema=MACD_SCHEMA
     )
+
+
+RSI_WILDER_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("avg_gain", T.DoubleType()),
+        T.StructField("avg_loss", T.DoubleType()),
+        T.StructField("rsi", T.DoubleType()),
+    ]
+)
+
+
+def rsi_wilder_last(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak: str,
+    value_col: str,
+    n: int = 14,
+) -> DataFrame:
+    """Final Wilder-smoothed RSI state per key (the industry-standard RSI;
+    `plans/financial.q_rsi` is the window-expressible Cutler variant): the
+    first n diffs seed avg_gain/avg_loss as plain means, then each later
+    diff folds g ← (g·(n−1) + gain)/n — an EWMA recursion with α = 1/n
+    seeded by a mean, which no window frame can express. NULL until n diffs
+    exist; RSI NULL when the series is flat (0/0 guard).
+
+    Losses use `max(0.0 − d, 0.0)` (not −d): a = +0.0 diff would give
+    −0.0 under unary minus in python but engine-dependent sign under SQL
+    `greatest`, and the seedless fold starts from the raw first element, so
+    the −0.0 could surface in an all-flat series' output."""
+    hi = float(n - 1)
+    lo = float(n)
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        s = pdf.sort_values([ts_col, tiebreak])[value_col].to_numpy()
+        diffs = [float(s[i]) - float(s[i - 1]) for i in range(1, len(s))]
+        out = {"key": [pdf[key].iloc[0]], "n_rows": [len(s)]}
+        if len(diffs) < n:
+            out.update({"avg_gain": [None], "avg_loss": [None], "rsi": [None]})
+            return pd.DataFrame(out)
+        gains = [max(d, 0.0) for d in diffs]
+        losses = [max(0.0 - d, 0.0) for d in diffs]
+
+        def wilder(xs: list) -> float:
+            acc = 0.0
+            for x in xs[:n]:
+                acc = acc + x
+            acc = acc / lo
+            for x in xs[n:]:
+                acc = (acc * hi + x) / lo
+            return acc
+
+        ag, al = wilder(gains), wilder(losses)
+        rsi = None if ag + al == 0.0 else 100.0 * ag / (ag + al)
+        out.update({"avg_gain": [ag], "avg_loss": [al], "rsi": [rsi]})
+        return pd.DataFrame(out)
+
+    return df.select(key, ts_col, tiebreak, value_col).groupBy(key).applyInPandas(
+        fold, schema=RSI_WILDER_SCHEMA
+    )
+
+
+WILDER_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("wilder", T.DoubleType()),
+    ]
+)
+
+
+def wilder_last(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value_col: str,
+    n: int = 14,
+) -> DataFrame:
+    """Final Wilder-smoothed value per key: mean of the first n values,
+    then acc ← (acc·(n−1) + x)/n per later value — the ATR/ADX smoothing
+    recursion (EWMA, α = 1/n, mean seed). NULL until n values exist.
+    `order_col` must be unique per key (e.g. the bar day)."""
+    hi = float(n - 1)
+    lo = float(n)
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        s = pdf.sort_values(order_col)[value_col].to_numpy()
+        out = {"key": [pdf[key].iloc[0]], "n_rows": [len(s)]}
+        if len(s) < n:
+            out["wilder"] = [None]
+            return pd.DataFrame(out)
+        acc = 0.0
+        for x in s[:n]:
+            acc = acc + float(x)
+        acc = acc / lo
+        for x in s[n:]:
+            acc = (acc * hi + float(x)) / lo
+        out["wilder"] = [acc]
+        return pd.DataFrame(out)
+
+    return df.select(key, order_col, value_col).groupBy(key).applyInPandas(
+        fold, schema=WILDER_SCHEMA
+    )

@@ -249,9 +249,15 @@ def scrub(
 #: so Spark (java.util.regex) and any RE2 engine (DuckDB, Go, C++) match the
 #: SAME spans. Applied in tuple order; counts are measured per pattern on
 #: the ORIGINAL text, redaction is sequential.
+#: one valid IPv4 octet, 0–255 with no leading-zero requirement relaxed
+#: (alternation + bounded classes only — still Java ∩ RE2 portable); the
+#: r07 ADVICE item: \d{1,3} matched 999.999.999.999 and version-like
+#: strings, inflating n_ipv4 and over-redacting
+_IPV4_OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ipv4", rf"\b{_IPV4_OCTET}(?:\.{_IPV4_OCTET}){{3}}\b", "<IP>"),
     ("phone", r"\+\d(?:[ -]?\d){6,14}", "<PHONE>"),
 )
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from multi_source_financial_data_pipeline_spark.operators import crossval, series_stats, validation
+from multi_source_financial_data_pipeline_spark.operators import crossval, grouped, series_stats, validation
 from multi_source_financial_data_pipeline_spark.operators.timeseries import (
     gap_fill_daily,
     timeseries_features,
@@ -1204,6 +1204,126 @@ WINDOW w AS (PARTITION BY user_id ORDER BY day ASC
 """
 
 
+# --- Wilder-smoothed RSI/ATR (the industry-standard recursions) --------------
+#
+# Wilder smoothing is acc ← (acc·(n−1) + x)/n after a mean-of-first-n seed —
+# an EWMA recursion (α = 1/n) no window frame can express; same grouped-map
+# family as macd_last/cusum_last (operators/grouped.py), prefix-list_reduce
+# oracles. Reference scope note: the reference computes no indicators at all
+# (SURVEY.md §2.7 extension family); these pair with the window-expressible
+# rsi_14 (Cutler) / atr_14 (SMA) variants already registered.
+
+_W_HI = repr(float(RSI_N - 1))  # 13.0 — shared literal, both engines
+_W_LO = repr(float(RSI_N))  # 14.0
+
+
+def q_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = grouped.rsi_wilder_last(
+        _t(spark, sf_dir, "events"),
+        key="user_id",
+        ts_col="ts",
+        tiebreak="event_id",
+        value_col="value",
+        n=RSI_N,
+    )
+    return out.select(
+        F.col("key").alias("user_id"), "n_rows", "avg_gain", "avg_loss", "rsi"
+    )
+
+
+#: seedless list_reduce starts from the raw first element (0.0 + x₀ is
+#: bitwise x₀, matching the python fold's 0.0 seed); the recursion replays
+#: via a mean-seed list_prepend — empty tail (exactly n diffs) reduces to
+#: the seed itself, the python no-iteration case
+SQL_RSI_WILDER = f"""
+WITH g AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY user_id
+), d AS (
+  SELECT user_id, CAST(len(vs) AS BIGINT) AS n_rows,
+         list_transform(generate_series(2, len(vs)), t -> vs[t] - vs[t-1])
+           AS diffs
+  FROM g
+), gl AS (
+  SELECT user_id, n_rows,
+         list_transform(diffs, x -> greatest(x, 0.0)) AS gains,
+         list_transform(diffs, x -> greatest(0.0 - x, 0.0)) AS losses
+  FROM d
+), w AS (
+  SELECT user_id, n_rows,
+         CASE WHEN len(gains) >= {RSI_N} THEN
+           list_reduce(
+             list_prepend(
+               list_reduce(list_slice(gains, 1, {RSI_N}), (a, x) -> a + x)
+                 / {_W_LO},
+               list_slice(gains, {RSI_N} + 1, len(gains))),
+             (acc, x) -> (acc * {_W_HI} + x) / {_W_LO})
+         END AS avg_gain,
+         CASE WHEN len(losses) >= {RSI_N} THEN
+           list_reduce(
+             list_prepend(
+               list_reduce(list_slice(losses, 1, {RSI_N}), (a, x) -> a + x)
+                 / {_W_LO},
+               list_slice(losses, {RSI_N} + 1, len(losses))),
+             (acc, x) -> (acc * {_W_HI} + x) / {_W_LO})
+         END AS avg_loss
+  FROM gl
+)
+SELECT user_id, n_rows, avg_gain, avg_loss,
+       CASE WHEN avg_gain + avg_loss = 0.0 THEN NULL
+            ELSE 100.0 * avg_gain / (avg_gain + avg_loss) END AS rsi
+FROM w
+"""
+
+
+def q_atr_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _daily_bars(_t(spark, sf_dir, "events"))
+    w_ord = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    prev_close = F.lag("close_value").over(w_ord)
+    h, low = F.col("high_value"), F.col("low_value")
+    tr = F.when(prev_close.isNull(), h - low).otherwise(
+        F.greatest(h - low, F.abs(h - prev_close), F.abs(low - prev_close))
+    )
+    with_tr = bars.select("user_id", "day", tr.alias("tr"))
+    out = grouped.wilder_last(
+        with_tr, key="user_id", order_col="day", value_col="tr", n=ATR_N
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.col("n_rows").alias("n_bars"),
+        F.col("wilder").alias("atr_wilder"),
+    )
+
+
+SQL_ATR_WILDER = f"""{_SQL_DAILY_BARS},
+d AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_bars,
+         list(high_value ORDER BY day) AS hs,
+         list(low_value ORDER BY day) AS ls,
+         list(close_value ORDER BY day) AS cs
+  FROM bars GROUP BY user_id
+), trs AS (
+  SELECT user_id, n_bars,
+         list_transform(generate_series(1, len(hs)), t ->
+           CASE WHEN t = 1 THEN hs[1] - ls[1]
+                ELSE greatest(hs[t] - ls[t],
+                              abs(hs[t] - cs[t-1]),
+                              abs(ls[t] - cs[t-1])) END) AS trs
+  FROM d
+)
+SELECT user_id, n_bars,
+       CASE WHEN n_bars >= {ATR_N} THEN
+         list_reduce(
+           list_prepend(
+             list_reduce(list_slice(trs, 1, {ATR_N}), (a, x) -> a + x)
+               / {_W_LO},
+             list_slice(trs, {ATR_N} + 1, len(trs))),
+           (acc, x) -> (acc * {_W_HI} + x) / {_W_LO})
+       END AS atr_wilder
+FROM trs
+"""
+
+
 def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """On-balance volume: daily bars → sign(close − prev close) · volume,
     running-summed per user in day order (volume = bar event count). All
@@ -1628,6 +1748,20 @@ SPECS = {
         q_atr,
         SQL_ATR,
         "ATR-14 over daily OHLC bars: one user-hash exchange end-to-end",
+        ("window", "agg"),
+    ),
+    "rsi_14_wilder": QuerySpec(
+        q_rsi_wilder,
+        SQL_RSI_WILDER,
+        "industry-standard Wilder RSI: mean-seeded α=1/14 EWMA fold per "
+        "user (grouped-map), prefix-list_reduce oracle",
+        ("window",),
+    ),
+    "atr_14_wilder": QuerySpec(
+        q_atr_wilder,
+        SQL_ATR_WILDER,
+        "Wilder ATR over daily bars: mean-seeded α=1/14 EWMA fold of true "
+        "range (grouped-map), prefix-list_reduce oracle",
         ("window", "agg"),
     ),
     "obv": QuerySpec(

@@ -1813,20 +1813,30 @@ FROM flagged GROUP BY doc_id
 
 # --- CCNet-style perplexity tiers over the in-plan unigram LM ---------------
 
-PPLX_GRID = 10000
+#: bucket = floor(mean_log_prob · PPLX_LOG_SCALE): four decimal digits of
+#: log-prob resolution. The grid is bounded by scale·|ln p_min| =
+#: scale·ln(corpus tokens) — LOGARITHMIC in corpus size (~280k buckets at
+#: 10¹² tokens), so the histogram the cutoffs run over never grows
+#: meaningfully.
+PPLX_LOG_SCALE = 10000
 
 
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet head/middle/tail tiers by LM score: every doc's mean token
-    probability under the corpus unigram LM (the q_unigram_prob subtree,
-    integer-exact) is bucketed on a FIXED grid (floor(p·10⁴) ∈ [0, 10⁴] —
-    probabilities are bounded, so the grid is, regardless of corpus size);
-    tier cutoffs are thirds of the bucket histogram's cumulative counts.
-    The quantile machinery therefore runs over ≤10⁴ histogram rows (the
-    doc_length_quantiles pattern), never over doc rows — cutoffs come back
-    as a broadcast 1-row cross join. Bucket-granular quantiles are exactly
-    the binned-perplexity practice of CCNet (Wenzek et al. 2020, §4.3's
-    head/middle/tail split)."""
+    """CCNet head/middle/tail tiers by LM score: every doc's MEAN LOG token
+    probability under the corpus unigram LM — (1/n_d)·Σ_t c_dt·ln(c_t/N),
+    i.e. −log-perplexity, the quantity CCNet actually tiers on (Wenzek et
+    al. 2020 §4.3; an arithmetic mean of raw probabilities would be
+    dominated by the few highest-frequency tokens — the r07 ADVICE item) —
+    bucketed on the fixed log grid above; tier cutoffs are thirds of the
+    bucket histogram's cumulative counts. The quantile machinery therefore
+    runs over the bounded histogram (the doc_length_quantiles pattern),
+    never over doc rows — cutoffs come back as a broadcast 1-row cross
+    join.
+
+    Cross-engine exactness: ln(c_t/N) is the identical IEEE expression in
+    both engines, rounded to 9 decimals and summed c_dt-weighted as DECIMAL
+    (order-independent); per the registry contract the true values sit far
+    from the 1e-9 rounding boundaries relative to libm's 1-ulp error."""
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
@@ -1835,18 +1845,25 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c_dt"))
     w_tok = Window.partitionBy("tok")
     scored = pairs.withColumn("c_t", F.sum("c_dt").over(w_tok))
-    per_doc = scored.groupBy("doc_id").agg(
-        F.sum("c_dt").alias("n_tokens"),
-        F.sum(F.col("c_dt") * F.col("c_t")).alias("__sum_ct"),
+    total_df = pairs.agg(F.sum("c_dt").cast("double").alias("__total"))
+    logp = F.round(
+        F.log(F.col("c_t").cast("double") / F.col("__total")), 9
+    ).cast("decimal(12,9)")
+    per_doc = (
+        scored.crossJoin(F.broadcast(total_df))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dt").alias("n_tokens"),
+            F.sum(F.col("c_dt") * logp).alias("__sum_logp"),
+        )
     )
-    total_df = per_doc.agg(F.sum("n_tokens").cast("double").alias("__total"))
-    with_p = per_doc.crossJoin(F.broadcast(total_df)).select(
+    with_p = per_doc.select(
         "doc_id",
         "n_tokens",
         F.floor(
-            F.col("__sum_ct").cast("double")
-            / (F.col("n_tokens").cast("double") * F.col("__total"))
-            * PPLX_GRID
+            F.col("__sum_logp").cast("double")
+            / F.col("n_tokens").cast("double")
+            * PPLX_LOG_SCALE
         ).cast("int").alias("bucket"),
     )
     hist = with_p.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1881,19 +1898,20 @@ WITH pairs AS (
   SELECT doc_id, tok, count(*) AS c_dt FROM pairs GROUP BY doc_id, tok
 ), scored AS (
   SELECT doc_id, c_dt, sum(c_dt) OVER (PARTITION BY tok) AS c_t FROM cdt
+), tot AS (
+  SELECT CAST(sum(c_dt) AS DOUBLE) AS total FROM cdt
 ), per_doc AS (
   SELECT doc_id,
          CAST(sum(c_dt) AS BIGINT) AS n_tokens,
-         CAST(sum(c_dt * c_t) AS BIGINT) AS sum_ct
-  FROM scored GROUP BY doc_id
-), tot AS (
-  SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM per_doc
+         sum(c_dt * CAST(round(ln(CAST(c_t AS DOUBLE) / total), 9)
+                         AS DECIMAL(12,9))) AS sum_logp
+  FROM scored, tot GROUP BY doc_id
 ), with_p AS (
   SELECT doc_id, n_tokens,
-         CAST(floor(CAST(sum_ct AS DOUBLE)
-                    / (CAST(n_tokens AS DOUBLE) * total) * {PPLX_GRID})
+         CAST(floor(CAST(sum_logp AS DOUBLE)
+                    / CAST(n_tokens AS DOUBLE) * {PPLX_LOG_SCALE})
               AS INTEGER) AS bucket
-  FROM per_doc, tot
+  FROM per_doc
 ), hist AS (
   SELECT bucket, count(*) AS cnt FROM with_p GROUP BY bucket
 ), cum AS (

@@ -68,17 +68,28 @@ def ensure_bucketed_tpch(spark: SparkSession, sf_dir: str) -> "tuple[str, str]":
     hit = _BUCKETED_BUILT.get(key)
     if hit is not None and all(spark.catalog.tableExists(t) for t in hit):
         return hit
-    # tag carries a digest of the FULL path: two sf dirs sharing a basename
-    # (/a/sf0.1 vs /b/sf0.1) must not collide on catalog table names — a
-    # collision would silently serve the second dir's data to the first
+    # tag carries a digest of the FULL path AND the applicationId: two sf
+    # dirs sharing a basename (/a/sf0.1 vs /b/sf0.1) must not collide on
+    # catalog table names — a collision would silently serve the second
+    # dir's data to the first — and two concurrent sessions sharing a
+    # warehouse/metastore must not drop/overwrite each other's tables
+    # mid-query (r07 ADVICE item)
     import hashlib
 
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    digest = hashlib.md5(
+        (spark.sparkContext.applicationId + "|" + os.path.abspath(sf_dir)).encode()
+    ).hexdigest()[:8]
     tag = (
         re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
         + "_" + digest
     )
     base = tempfile.mkdtemp(prefix=f"msfdp_bucketed_{tag}_")
+    # the parquet copies live only for this session: reclaim them at
+    # interpreter exit so repeated sessions don't leak disk (r07 ADVICE)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     lt, ot = f"msfdp_b_lineitem_{tag}", f"msfdp_b_orders_{tag}"
     for t in (lt, ot):
         spark.sql(f"DROP TABLE IF EXISTS {t}")

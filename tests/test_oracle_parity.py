@@ -45,7 +45,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[col] = pd.to_datetime(df[col]).astype("datetime64[ns]")
         elif df[col].dtype == object and len(df) and df[col].map(
             lambda v: hasattr(v, "toordinal"), na_action="ignore"
-        ).fillna(False).all():
+        ).eq(True).all():
             df[col] = pd.to_datetime(df[col]).astype("datetime64[ns]")
     if len(df):
         df = df.sort_values(by=list(df.columns), na_position="first")

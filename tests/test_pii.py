@@ -30,6 +30,11 @@ CRAFTED = [
     "edge @example.com leading-at only, and a@b.cd minimal",
     "ip at end 192.168.0.1",
     "email@host.travel +123456789012345 8.8.8.8",
+    # r07 ADVICE: octets are now range-constrained — invalid quads must NOT
+    # count as IPv4 in either engine (999.* has valid word boundaries here)
+    "bogus quad 999.999.999.999 and 256.256.256.256 stay unredacted",
+    "version string 1.2.3.4 IS a valid quad; 300.1.2.3 is not",
+    "boundary octets 0.0.0.0 and 255.255.255.255 both match",
     "",
 ]
 
@@ -72,6 +77,12 @@ def test_pii_span_parity(spark):
     assert got["n_email"].sum() >= 5
     assert got["n_ipv4"].sum() >= 3
     assert got["n_phone"].sum() >= 3
+    # octet range constraint: invalid quads count zero, valid ones count —
+    # parity alone can't prove this (both engines could over-match equally)
+    by_text = dict(zip(CRAFTED, got["n_ipv4"].tolist()))
+    assert by_text["bogus quad 999.999.999.999 and 256.256.256.256 stay unredacted"] == 0
+    assert by_text["version string 1.2.3.4 IS a valid quad; 300.1.2.3 is not"] == 1
+    assert by_text["boundary octets 0.0.0.0 and 255.255.255.255 both match"] == 2
 
 
 # --- third-engine referee: python `re` over randomized strings ---------------

@@ -156,8 +156,8 @@ def test_no_whole_frame_window_over_unbounded_rows(spark, sf_dir):
         # index-return lag window runs over the per-day aggregate
         # (≤ |calendar days| rows — bounded by the calendar, not the corpus)
         "rolling_beta",
-        # cutoff windows run over the fixed probability-grid histogram
-        # (≤ PPLX_GRID+1 rows — bounded because probabilities are)
+        # cutoff windows run over the log-prob-grid histogram (≤
+        # PPLX_LOG_SCALE·ln(corpus tokens) rows — logarithmic in corpus)
         "perplexity_buckets",
     }
     import re

@@ -74,6 +74,12 @@ def test_gate_window_fronts_never_checked_then_oldest():
         "winsorized_stats", "stream_sliding_counts",
         "media_real_channel_stats", "asof_tolerance",
     }
-    assert r06_new <= set(window[:17]) | (ever_recorded - set(window))
-    # no slot is wasted on a query checked in the latest round
-    assert not (set(window) & latest)
+    # a query whose FORMULATION changed since its latest row may re-enter
+    # the window even though that row is recent — the old green row proves
+    # the old plan, not the new one (r08: winsorized_stats was rewritten
+    # from the percentile-window shape onto histogram cutoffs)
+    reformulated_ok = {"winsorized_stats"}
+    assert r06_new <= set(window[:17]) | (ever_recorded - set(window)) | reformulated_ok
+    # no slot is wasted on a query checked in the latest round, except the
+    # justified reformulations above
+    assert not ((set(window) - reformulated_ok) & latest)

@@ -157,3 +157,45 @@ def test_cusum_detects_level_shift(spark, tmp_path):
     # drift: final positive CUSUM = 20 steps x 10 above mean = 200
     assert out[1]["cusum_pos"] == 200.0
     assert out[1]["cusum_neg"] == 0.0
+
+
+def test_wilder_rsi_atr_semantics(spark, sf_dir):
+    """Wilder RSI lies in [0, 100] wherever defined and agrees with a
+    direct pandas replay (mean seed + α=1/14 recursion) on a sample of
+    users; Wilder ATR is strictly positive and bounded above by the max
+    true range (it is a convex combination of TRs)."""
+    rsi = _run(spark, sf_dir, "rsi_14_wilder")
+    ok = rsi.rsi.dropna()
+    assert ((ok >= 0.0) & (ok <= 100.0)).all()
+    # independent replay for the largest user series
+    import duckdb
+
+    ev = duckdb.sql(
+        f"SELECT user_id, ts, event_id, value FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).df()
+    uid = ev.user_id.value_counts().index[0]
+    s = ev[ev.user_id == uid].sort_values(["ts", "event_id"]).value.to_numpy()
+    diffs = s[1:] - s[:-1]
+    gains = [max(float(d), 0.0) for d in diffs]
+    losses = [max(0.0 - float(d), 0.0) for d in diffs]
+
+    def wilder(xs):
+        acc = 0.0
+        for x in xs[:14]:
+            acc = acc + x
+        acc = acc / 14.0
+        for x in xs[14:]:
+            acc = (acc * 13.0 + x) / 14.0
+        return acc
+
+    ag, al = wilder(gains), wilder(losses)
+    want = 100.0 * ag / (ag + al)
+    got = float(rsi[rsi.user_id == uid].rsi.iloc[0])
+    assert got == want, (got, want)
+
+    atr = _run(spark, sf_dir, "atr_14_wilder")
+    a = atr.atr_wilder.dropna()
+    assert (a > 0.0).all()
+    cutler = _run(spark, sf_dir, "atr_14")
+    assert a.max() <= cutler.true_range.max() + 1e-9
