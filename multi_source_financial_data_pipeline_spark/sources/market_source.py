@@ -96,15 +96,24 @@ def http_fetch_ohlcv(
 ) -> list[tuple]:
     """REAL HTTP transport (stdlib urllib, no deps): GET
     ``{base_url}/ohlcv?ticker=..&start=..&end=..&source=..`` and parse the
-    JSON body into connector tuples. Two payload shapes:
+    JSON body into connector tuples. Three payload shapes:
 
-    - generic feed: ``{"rows": [{ticker,date,open,high,low,close,adj_close,
-      volume,source}, ...]}``;
+    - Yahoo v8 chart shape (the primary leg — what yfinance's
+      ``yf.download`` consumes under the hood,
+      /root/reference/src/pipeline.py:29): ``{"chart": {"result":
+      [{"timestamp": [epoch_s, ...], "indicators": {"quote": [{"open":
+      [...], "high": [...], ...}], "adjclose": [{"adjclose": [...]}]}}],
+      "error": null}}`` — columnar arrays keyed by epoch-SECOND UTC
+      timestamps, with JSON ``null`` entries on halted/unquoted days
+      (passed through as SQL NULLs for the A1 null-count validators, the
+      yfinance NaN behavior);
     - Alpha Vantage daily shape (the secondary-source leg):
       ``{"Time Series (Daily)": {date: {"1. open": "..", "2. high": "..",
       ...}, ...}}`` with stringified values — normalized through
       `normalize_vendor_keys` exactly as the reference does
-      (src/validation.py:159-163).
+      (src/validation.py:159-163);
+    - generic feed fallback: ``{"rows": [{ticker,date,open,high,low,close,
+      adj_close,volume,source}, ...]}``.
 
     This is the exact seam the reference's yfinance/Alpha Vantage calls
     occupy (/root/reference/src/pipeline.py:28-42, src/validation.py:128-185):
@@ -131,6 +140,38 @@ def http_fetch_ohlcv(
         if resp.status != 200:
             raise ConnectionError(f"HTTP {resp.status} for {ticker}")
         payload = _json.load(resp)
+    chart = payload.get("chart")
+    if chart is not None:
+        if chart.get("error"):
+            # the v8 API reports symbol errors in-band with HTTP 200
+            raise ConnectionError(f"chart error for {ticker}: {chart['error']}")
+        from datetime import datetime, timezone
+
+        res = chart["result"][0]
+        q = res["indicators"]["quote"][0]
+        adj_blocks = res["indicators"].get("adjclose") or [{}]
+        adj = adj_blocks[0].get("adjclose")
+
+        def fnum(v):  # JSON null (halted day) → SQL NULL
+            return None if v is None else float(v)
+
+        rows = []
+        for i, ts in enumerate(res.get("timestamp", [])):
+            close = fnum(q["close"][i])
+            rows.append(
+                (
+                    ticker,
+                    datetime.fromtimestamp(int(ts), tz=timezone.utc).date(),
+                    fnum(q["open"][i]),
+                    fnum(q["high"][i]),
+                    fnum(q["low"][i]),
+                    close,
+                    fnum(adj[i]) if adj is not None else close,
+                    None if q["volume"][i] is None else int(q["volume"][i]),
+                    source,
+                )
+            )
+        return rows
     series = payload.get("Time Series (Daily)")
     if series is not None:
         rows = []
@@ -348,6 +389,14 @@ class MacroSeriesReader(DataSourceReader):
             )
 
     def _http_rows(self, sid: str, name: str) -> list[tuple]:
+        """Parse the REAL FRED ``/fred/series/observations`` payload shape
+        (what fredapi's ``get_series`` consumes,
+        /root/reference/src/macro.py:136): ``{"observations": [{"date":
+        "YYYY-MM-DD", "value": "3.4", "realtime_start": ..., ...}, ...]}``
+        — values are STRINGS and a missing observation is the literal
+        ``"."``, which the reference coerces to NaN via
+        ``pd.to_numeric(errors='coerce')`` (src/macro.py:155); the SQL twin
+        is a NULL."""
         import json as _json
         from urllib.parse import urlencode
         from urllib.request import urlopen
@@ -360,8 +409,15 @@ class MacroSeriesReader(DataSourceReader):
             if resp.status != 200:
                 raise ConnectionError(f"HTTP {resp.status} for {sid}")
             payload = _json.load(resp)
+
+        def coerce(v):  # pd.to_numeric(errors="coerce") twin
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return None
+
         return [
-            (sid, name, date.fromisoformat(r["date"]), float(r["value"]))
+            (sid, name, date.fromisoformat(r["date"]), coerce(r["value"]))
             for r in payload["observations"]
         ]
 

@@ -207,6 +207,45 @@ class _QuoteHandler:
                             "Time Series (Daily)": series,
                         }
                     ).encode()
+                elif q["source"] == "yahoo":
+                    # the REAL Yahoo v8 chart payload shape (what yfinance
+                    # consumes): columnar arrays keyed by epoch-second UTC
+                    # timestamps — the client must transpose + convert
+                    from datetime import datetime, timezone
+
+                    def epoch(d):
+                        return int(
+                            datetime(
+                                d.year, d.month, d.day, tzinfo=timezone.utc
+                            ).timestamp()
+                        )
+
+                    body = json.dumps(
+                        {
+                            "chart": {
+                                "result": [
+                                    {
+                                        "meta": {"symbol": ticker,
+                                                 "currency": "USD"},
+                                        "timestamp": [epoch(r[1]) for r in quotes],
+                                        "indicators": {
+                                            "quote": [{
+                                                "open": [r[2] for r in quotes],
+                                                "high": [r[3] for r in quotes],
+                                                "low": [r[4] for r in quotes],
+                                                "close": [r[5] for r in quotes],
+                                                "volume": [r[7] for r in quotes],
+                                            }],
+                                            "adjclose": [{
+                                                "adjclose": [r[6] for r in quotes],
+                                            }],
+                                        },
+                                    }
+                                ],
+                                "error": None,
+                            }
+                        }
+                    ).encode()
                 else:
                     rows = [
                         dict(
@@ -259,6 +298,82 @@ def test_http_transport_matches_sim(spark):
         rows_http = sorted(map(tuple, via_http.collect()))
         rows_sim = sorted(map(tuple, _read(spark).collect()))
         assert rows_http == rows_sim and len(rows_http) == 16
+    finally:
+        srv.shutdown()
+
+
+def test_yahoo_chart_halted_day_nulls(spark):
+    """The v8 chart arrays carry JSON nulls on halted/unquoted days and an
+    in-band "error" object on bad symbols (both with HTTP 200). Nulls must
+    surface as SQL NULLs in their row — never a crash, never a dropped row
+    (yfinance's NaN behavior, which the A1 null-count validators then see);
+    the in-band error must trip the retry/skip path like a 500 would."""
+    import json
+    import threading
+    from datetime import date, datetime, timezone
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    def epoch(d):
+        return int(datetime(d.year, d.month, d.day, tzinfo=timezone.utc).timestamp())
+
+    days = [date(2024, 1, 2), date(2024, 1, 3), date(2024, 1, 4)]
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def do_GET(self):
+            q = {k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()}
+            if q["ticker"] == "BADSYM":
+                body = json.dumps({"chart": {"result": None, "error": {
+                    "code": "Not Found", "description": "No data found"}}}).encode()
+            else:
+                body = json.dumps({"chart": {"result": [{
+                    "meta": {"symbol": q["ticker"], "currency": "USD"},
+                    "timestamp": [epoch(d) for d in days],
+                    "indicators": {"quote": [{
+                        # day 2 is halted: every quote field is null
+                        "open": [10.0, None, 12.0],
+                        "high": [10.5, None, 12.5],
+                        "low": [9.5, None, 11.5],
+                        "close": [10.2, None, 12.2],
+                        "volume": [1000, None, 3000],
+                    }], "adjclose": [{"adjclose": [10.2, None, 12.2]}]},
+                }], "error": None}}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        market_source.register(spark)
+
+        def read(tickers):
+            return (
+                spark.read.format("market_sim")
+                .option("tickers", tickers)
+                .option("start", "2024-01-02")
+                .option("end", "2024-01-04")
+                .option("transport", "http")
+                .option("base_url", url)
+                .option("max_retries", "1")
+                .option("backoff_factor", "0.01")
+                .load()
+                .collect()
+            )
+
+        rows = sorted(map(tuple, read("HALTY")), key=lambda r: r[1])
+        assert len(rows) == 3
+        halted = rows[1]
+        assert halted[1] == date(2024, 1, 3)
+        assert halted[2:8] == (None, None, None, None, None, None)
+        assert rows[0][5] == 10.2 and rows[2][5] == 12.2
+        # in-band chart error → retries exhaust → partition skipped
+        assert read("BADSYM") == []
     finally:
         srv.shutdown()
 
@@ -399,9 +514,16 @@ def test_macro_http_transport_matches_sim(spark):
             if sid == "BROKEN":
                 self.send_error(500)
                 return
+            # the REAL FRED observations payload: STRING values,
+            # realtime_* fields the client must ignore, and the literal
+            # "." for a missing observation (served for MISSDOT below)
             obs = [
-                {"date": d.isoformat(),
-                 "value": (market_source._h(f"{sid}|{d.isoformat()}") % 100000) / 100.0}
+                {"realtime_start": "2024-01-01",
+                 "realtime_end": "9999-12-31",
+                 "date": d.isoformat(),
+                 "value": "."
+                 if sid == "MISSDOT" and d.month == 6
+                 else str((market_source._h(f"{sid}|{d.isoformat()}") % 100000) / 100.0)}
                 for d in month_firsts(
                     date.fromisoformat(q["start"]), date.fromisoformat(q["end"])
                 )
@@ -440,5 +562,13 @@ def test_macro_http_transport_matches_sim(spark):
         # a broken series skips (rows only from the healthy one)
         rows = read_macro("http", "UNRATE,BROKEN")
         assert rows and all(r[0] == "UNRATE" for r in rows)
+        # the "." missing-value marker coerces to SQL NULL (the
+        # pd.to_numeric(errors='coerce') twin, src/macro.py:155), never a
+        # parse failure and never a dropped row
+        rows = read_macro("http", "MISSDOT")
+        assert len(rows) == 11  # Feb..Dec (the 2023-01-15 start skips Jan 1)
+        junes = [r for r in rows if r[2].month == 6]
+        assert len(junes) == 1 and junes[0][3] is None
+        assert all(isinstance(r[3], float) for r in rows if r[2].month != 6)
     finally:
         srv.shutdown()

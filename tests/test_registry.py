@@ -83,3 +83,17 @@ def test_gate_window_fronts_never_checked_then_oldest():
     # no slot is wasted on a query checked in the latest round, except the
     # justified reformulations above
     assert not ((set(window) - reformulated_ok) & latest)
+
+
+def test_readme_query_count_matches_registry():
+    """The README's headline '<N> registered queries' must equal
+    len(QUERIES) — the r07 ADVICE caught this drifting."""
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    text = (root / "README.md").read_text()
+    m = re.search(r"(\d+) registered\s+queries", text)
+    assert m, "README must state the registered-query count"
+    assert int(m.group(1)) == len(registry.QUERIES), (
+        f"README says {m.group(1)}, registry has {len(registry.QUERIES)}"
+    )
