@@ -156,6 +156,9 @@ HEADLINE = [
     "q21_late_suppliers",
     "q22_dormant_customers",
     "skewed_event_rollup",
+    # round-8: the new pure-stdlib PNG codec (zlib inflate + per-row filter
+    # reconstruction) — the heaviest per-byte Python path in the repo
+    "media_png_channel_stats",
 ]
 
 #: registry ↔ bench completeness contract (r07 VERDICT item 5): every

@@ -4,12 +4,14 @@ as opaque binary columns with typed metadata).
 The Spark side is fully real — explicit schemas, ``mapInPandas`` with
 Arrow-batched pandas DataFrames, per-partition batching, deterministic
 output shapes — and so are the codecs for every format the stdlib can
-carry: 24-bit BMP decode + nearest-neighbor resize + re-encode, PCM-16 WAV
-decode (headers AND pixel/sample content), and YUV4MPEG2 frame demux, all
-pure `struct`/bytes parsing with strict magic+length detection. Formats
-that genuinely need external libraries (JPEG/PNG/MP4…) fall back to a
-deterministic md5 stub; ``require_codecs=True`` raises NotImplementedError
-at exactly that boundary, where PIL/ffmpeg would plug in.
+carry: 24-bit BMP decode + nearest-neighbor resize + re-encode, 8-bit PNG
+decode/encode/resize (zlib inflate + all five RFC 2083 scanline filters,
+CRC-validated), PCM-16 WAV decode (headers AND pixel/sample content), and
+YUV4MPEG2 frame demux, all pure `struct`/`zlib` parsing with strict
+magic+length detection. Formats that genuinely need external
+entropy-coding libraries (JPEG/MP4…) fall back to a deterministic md5
+stub; ``require_codecs=True`` raises NotImplementedError at exactly that
+boundary, where PIL/ffmpeg would plug in.
 
 Scale notes: binary payloads ride in parquet as byte arrays; keep
 ``spark.sql.files.maxPartitionBytes`` low enough that a partition of blobs
@@ -98,7 +100,8 @@ def _fake_decode(data: bytes | None) -> tuple[int | None, int | None, list[float
 # (RIFF/WAVE, PCM 16-bit) are fully specified header-plus-samples formats
 # parseable with `struct` alone — so the decode step is REAL byte-level
 # decoding for these kinds, with the md5 stub kept only for formats that
-# genuinely need an external codec (JPEG/PNG/MP4...). Detection is strict
+# genuinely need an external codec (JPEG/MP4...; PNG is real too — see
+# the zlib section below). Detection is strict
 # (magic AND the header's own size field must equal the actual payload
 # length), so an arbitrary blob can't false-positive into a parser.
 
@@ -197,7 +200,8 @@ def _decode_wav(data: bytes) -> dict | None:
 def _decode_any(data: bytes | None) -> dict:
     """Dispatch: real parser when the payload IS a real format, md5 stub
     otherwise. Every key of FEATURE_SCHEMA (minus id/kind/n_bytes) present;
-    ``codec`` records which path handled the payload (bmp | wav | stub)."""
+    ``codec`` records which path handled the payload
+    (bmp | png | wav | stub)."""
     out = {
         "width": None, "height": None,
         "sample_rate": None, "duration_ms": None, "feature": [], "codec": None,
@@ -208,19 +212,15 @@ def _decode_any(data: bytes | None) -> dict:
     # a malformed payload must degrade to the stub, never fail the task —
     # the parsers validate defensively but struct offsets on adversarial
     # bytes are still belt-and-braces-guarded here
-    try:
-        parsed = _decode_bmp(data)
-    except (struct.error, ValueError, ZeroDivisionError):
-        parsed = None
-    if parsed is not None:
-        out["codec"] = "bmp"
-    else:
+    parsed = None
+    for codec, fn in (("bmp", _decode_bmp), ("png", _decode_png), ("wav", _decode_wav)):
         try:
-            parsed = _decode_wav(data)
+            parsed = fn(data)
         except (struct.error, ValueError, ZeroDivisionError):
             parsed = None
         if parsed is not None:
-            out["codec"] = "wav"
+            out["codec"] = codec
+            break
     if parsed is None:
         w, h, feature = _fake_decode(data)
         parsed = {"width": w, "height": h, "feature": feature}
@@ -279,6 +279,205 @@ def _resize_bmp(data: bytes, max_side: int) -> bytes | None:
             )
         )
     return _bmp_encode(nw, nh, out_rows)
+
+
+# --- PNG (pure stdlib: zlib inflate + scanline filter reconstruction) --------
+#
+# PNG (RFC 2083) is zlib-compressed scanlines behind a CRC-chunked
+# container — both fully within the stdlib (`zlib`, `struct`), so the
+# "needs an external codec" boundary genuinely excludes only the
+# entropy-coded formats (JPEG/MP4). Scope: 8-bit gray/RGB/RGBA,
+# non-interlaced — the overwhelming majority of real-world PNGs; palette
+# and 16-bit variants degrade to the stub like any other unparsed payload.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per supported color type: 0=gray, 2=RGB, 6=RGBA (8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _parse_png(data: bytes) -> dict | None:
+    """Parse an 8-bit gray/RGB/RGBA non-interlaced PNG: signature, chunk
+    walk with CRC32 validation on EVERY chunk (strict detection — a random
+    blob cannot false-positive), concatenated-IDAT zlib inflate, then
+    scanline filter reconstruction (None/Sub/Up/Average/Paeth, RFC 2083
+    §6.2-6.6) to recover raw top-down pixel rows. Returns
+    {"width","height","channels","rows"} or None."""
+    import zlib
+
+    if not data.startswith(_PNG_SIG):
+        return None
+    pos, ihdr, idat, ended = len(_PNG_SIG), None, [], False
+    while pos + 12 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        if pos + 12 + clen > len(data):
+            return None
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            return None
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + clen
+    if ihdr is None or len(ihdr) != 13 or not idat or not ended:
+        return None
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color not in _PNG_CHANNELS or comp or filt or interlace:
+        return None
+    if width <= 0 or height <= 0:
+        return None
+    ch = _PNG_CHANNELS[color]
+    stride = width * ch
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    if len(raw) != height * (1 + stride):
+        return None
+    rows: list[bytes] = []
+    prev = bytearray(stride)
+    for y in range(height):
+        off = y * (1 + stride)
+        ftype = raw[off]
+        cur = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        rows.append(bytes(cur))
+        prev = cur
+    return {"width": width, "height": height, "channels": ch, "rows": rows}
+
+
+def _decode_png(data: bytes) -> dict | None:
+    """PNG → dimensions + mean color intensity (alpha excluded for RGBA, so
+    the metric matches the BMP decoder's mean-over-color-bytes)."""
+    parsed = _parse_png(data)
+    if parsed is None:
+        return None
+    w, h, ch = parsed["width"], parsed["height"], parsed["channels"]
+    total = 0
+    if ch == 4:
+        for row in parsed["rows"]:
+            for i in range(0, len(row), 4):
+                total += row[i] + row[i + 1] + row[i + 2]
+        denom = w * h * 3 * 255.0
+    else:
+        for row in parsed["rows"]:
+            total += sum(row)
+        denom = w * h * ch * 255.0
+    return {"width": w, "height": h, "feature": [total / denom]}
+
+
+def _png_filter_row(ftype: int, cur: bytes, prev: bytes, ch: int) -> bytes:
+    """Apply (forward) scanline filter `ftype` — the encoder-side inverse
+    of the reconstruction in `_parse_png`, so round-trips exercise every
+    filter type."""
+    stride = len(cur)
+    out = bytearray(stride)
+    for i in range(stride):
+        a = cur[i - ch] if i >= ch else 0
+        b = prev[i]
+        c = prev[i - ch] if i >= ch else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        out[i] = (cur[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_encode(
+    width: int, height: int, logical_rows: list[bytes], filters: list[int] | None = None
+) -> bytes:
+    """Encode a valid 8-bit PNG from top-down rows (gray/RGB/RGBA inferred
+    from row length). `filters` picks the per-row scanline filter (default
+    0/None); passing varied filters makes the DECODER's reconstruction
+    paths load-bearing in round-trip tests."""
+    import zlib
+
+    ch = len(logical_rows[0]) // width
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(width * ch)
+    for y, row in enumerate(logical_rows):
+        f = filters[y % len(filters)] if filters else 0
+        raw.append(f)
+        raw += _png_filter_row(f, row, prev, ch)
+        prev = row
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _resize_png(data: bytes, max_side: int) -> bytes | None:
+    """Nearest-neighbor downscale + re-encode for PNG payloads — the PNG
+    sibling of `_resize_bmp` (same source-pixel rule, so the same oracle
+    arithmetic applies)."""
+    parsed = _parse_png(data)
+    if parsed is None:
+        return None
+    w, h, ch, rows = (
+        parsed["width"], parsed["height"], parsed["channels"], parsed["rows"],
+    )
+    scale = min(1.0, max_side / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    out_rows = []
+    for y in range(nh):
+        src = rows[y * h // nh]
+        out_rows.append(
+            b"".join(
+                src[ch * (x * w // nw) : ch * (x * w // nw) + ch] for x in range(nw)
+            )
+        )
+    return _png_encode(nw, nh, out_rows)
 
 
 def _y4m_bytes(width: int, height: int, frame_y_vals: list[int]) -> bytes:
@@ -418,6 +617,45 @@ def synthetic_rgb_media(spark: SparkSession, n: int = 100, seed: int = 7) -> Dat
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synthetic_png_media(spark: SparkSession, n: int = 100, seed: int = 7) -> DataFrame:
+    """Real 8-bit RGB PNG blobs, generated distributed, with the scanline
+    FILTER rotating per row ((id + y) % 5 — None/Sub/Up/Average/Paeth), so
+    decoding exercises every reconstruction path, not just the trivial
+    filter-0 round-trip. Row-y pixel is (R, G, B) = ((id+s+y), (2id+s+y),
+    (3id+s+y)) mod 256 constant across the row — closed-form, so a SQL
+    oracle can recompute what the byte-level decoder must extract."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w, h = 2 + mid % 6, 3 + mid % 5
+                logical = [
+                    bytes(
+                        [
+                            (mid + seed + y) % 256,
+                            (2 * mid + seed + y) % 256,
+                            (3 * mid + seed + y) % 256,
+                        ]
+                        * w
+                    )
+                    for y in range(h)
+                ]
+                data = _png_encode(
+                    w, h, logical, filters=[(mid + y) % 5 for y in range(h)]
+                )
+                rows.append(
+                    {"media_id": mid, "kind": "image", "data": data,
+                     "meta": {"codec": "png/rgb8"}}
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 #: per-channel image means + audio energy, one row per media payload
 CHANNEL_STATS_SCHEMA = T.StructType(
     [
@@ -449,6 +687,27 @@ def _bmp_channel_means(data: bytes) -> tuple[float, float, float] | None:
     return (sums[0] / denom, sums[1] / denom, sums[2] / denom)
 
 
+def _png_channel_means(data: bytes) -> tuple[float, float, float] | None:
+    """Per-channel (R, G, B — PNG byte order) means for an RGB/RGBA PNG;
+    alpha excluded; gray PNGs return the same mean on all three channels.
+    Integer sums, one division per channel — engine-exact against a
+    closed-form oracle."""
+    parsed = _parse_png(data)
+    if parsed is None:
+        return None
+    w, h, ch = parsed["width"], parsed["height"], parsed["channels"]
+    if ch == 1:
+        total = sum(sum(row) for row in parsed["rows"])
+        mean = total / (w * h * 255.0)
+        return (mean, mean, mean)
+    sums = [0, 0, 0]
+    for row in parsed["rows"]:
+        for c in range(3):
+            sums[c] += sum(row[c::ch])
+    denom = w * h * 255.0
+    return (sums[0] / denom, sums[1] / denom, sums[2] / denom)
+
+
 def _wav_rms(data: bytes) -> float | None:
     """RMS energy of the PCM-16 samples, normalized to [0, 1]: integer
     sum of squares, one division, one IEEE sqrt (correctly rounded, so
@@ -473,7 +732,9 @@ def media_channel_stats(media: DataFrame) -> DataFrame:
     `mapInPandas` pass — the feature-extraction stage a multimodal curation
     pipeline runs before filtering (e.g. drop near-black images, drop
     near-silent audio). Real byte-level decoding, no stub path: payloads
-    that parse as neither BMP nor WAV yield all-null stats."""
+    that parse as none of BMP/PNG/WAV yield all-null stats. Channel columns
+    are named by color (mean_b/g/r), filled from BMP's B-G-R byte order or
+    PNG's R-G-B order as appropriate."""
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -494,7 +755,11 @@ def media_channel_stats(media: DataFrame) -> DataFrame:
                         if means is not None:
                             rec["mean_b"], rec["mean_g"], rec["mean_r"] = means
                         else:
-                            rec["rms"] = _wav_rms(data)
+                            png = _png_channel_means(data)
+                            if png is not None:
+                                rec["mean_r"], rec["mean_g"], rec["mean_b"] = png
+                            else:
+                                rec["rms"] = _wav_rms(data)
                     except (struct.error, ValueError, ZeroDivisionError):
                         pass
                 out.append(rec)
@@ -537,8 +802,8 @@ def decode_media_features(
     """Arrow-batched feature extraction over the binary column. The pandas
     iterator shape (schema in == MEDIA_SCHEMA, schema out == FEATURE_SCHEMA,
     multiple batches per partition) is the production plumbing. BMP and WAV
-    payloads are decoded for real, byte-level (`_decode_bmp`/`_decode_wav` —
-    pure stdlib); other formats fall back to the deterministic md5 stub,
+    payloads are decoded for real, byte-level (`_decode_bmp`/`_decode_png`/
+    `_decode_wav` — pure stdlib); other formats fall back to the deterministic md5 stub,
     or raise NotImplementedError when ``require_codecs=True`` (the exact
     boundary where PIL/ffmpeg would plug in)."""
 
@@ -553,7 +818,7 @@ def decode_media_features(
                     out = _decode_any(d)
                     if require_codecs and out["codec"] == "stub":
                         raise NotImplementedError(
-                            "payload is not a BMP/WAV and real codecs "
+                            "payload is not a BMP/PNG/WAV and real codecs "
                             "(PIL/ffmpeg) are not available in this environment"
                         )
                     decoded.append(out)
@@ -606,15 +871,19 @@ def resize_media(
                     widths.append(None), heights.append(None), blobs.append(None)
                     continue
                 real = _resize_bmp(bytes(d), max_side)
+                out = _decode_bmp(real) if real is not None else None
+                if real is None:
+                    real = _resize_png(bytes(d), max_side)
+                    out = _decode_png(real) if real is not None else None
                 if real is not None:
-                    out = _decode_bmp(real)
                     widths.append(out["width"]), heights.append(out["height"])
                     blobs.append(real)
                     continue
                 if require_codecs:
                     raise NotImplementedError(
-                        "payload is not a 24-bit BMP and real image codecs "
-                        "(PIL) are not available in this environment"
+                        "payload is not a 24-bit BMP or 8-bit PNG and real "
+                        "image codecs (PIL) are not available in this "
+                        "environment"
                     )
                 w, h, _ = _fake_decode(d)
                 scale = min(1.0, max_side / max(w, h))

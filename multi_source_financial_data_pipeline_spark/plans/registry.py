@@ -40,13 +40,14 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #:   3. 19 of the 30 r05-green names (rows now three rounds old),
 #:      drift-risk first — sequence_packing leads because its shard key
 #:      changed to (source, md5-sub-shard) this round.
-#: Round-9 rotation backlog: the 11 r05-green names that did not fit
-#: (lowest drift risk — simple aggs/windows): database_stats,
-#: global_summary, range_join_nearby, return_correlation, series_summary,
-#: table_stats, topn_orders_per_customer, trailing_7d_sum, user_setops,
-#: value_percentiles_by_type, vol_outliers; then backfill with the oldest
-#: r06 rows (asof_join, cross_source_compare, dedup_keep_last, ... — the
-#: full r06 window) as slots allow.
+#: Round-9 rotation backlog: media_png_channel_stats (landed after this
+#: window was sized, never driver-checked) first, then the 11 r05-green
+#: names that did not fit (lowest drift risk — simple aggs/windows):
+#: database_stats, global_summary, range_join_nearby, return_correlation,
+#: series_summary, table_stats, topn_orders_per_customer, trailing_7d_sum,
+#: user_setops, value_percentiles_by_type, vol_outliers; then backfill with
+#: the oldest r06 rows (asof_join, cross_source_compare, dedup_keep_last,
+#: ... — the full r06 window) as slots allow.
 _GATE_PRIORITY = (
     # -- 1. new in round 7, never driver-checked ---------------------------
     "atr_14",

@@ -235,6 +235,103 @@ def media_real_scaled(spark, k: int) -> dict:
     return {"n_media": n, "sec": round(time.perf_counter() - t0, 3)}
 
 
+def connector_ingest_latency(spark) -> dict:
+    """Ingest wall-clock at many tickers under a per-request politeness
+    delay (r07 VERDICT item 9): T one-request-per-ticker partitions, each
+    sleeping D ms before its GET (the reference's rate-limit sleep,
+    src/validation.py:178), schedule as ceil(T/cores) task waves against a
+    local HTTP server serving the REAL Yahoo v8 chart payload — so wall ≈
+    ceil(T/P)·(D + rtt) + fixed overhead, vs the reference's sequential
+    loop at T·(D + rtt). The probe measures both T=cores/4 (one wave) and
+    T=2·cores (two waves) to show the step function, and reports the
+    sequential-model equivalent for contrast."""
+    import threading
+    from datetime import date, datetime, timezone
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from multi_source_financial_data_pipeline_spark.sources import market_source
+
+    delay_ms = 200
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def do_GET(self):
+            q = {k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()}
+            days = list(
+                market_source.business_days(
+                    date.fromisoformat(q["start"]), date.fromisoformat(q["end"])
+                )
+            )
+            quotes = [market_source.quote(q["ticker"], d, q["source"]) for d in days]
+
+            def epoch(d):
+                return int(
+                    datetime(d.year, d.month, d.day, tzinfo=timezone.utc).timestamp()
+                )
+
+            body = json.dumps({"chart": {"result": [{
+                "meta": {"symbol": q["ticker"]},
+                "timestamp": [epoch(r[1]) for r in quotes],
+                "indicators": {"quote": [{
+                    "open": [r[2] for r in quotes],
+                    "high": [r[3] for r in quotes],
+                    "low": [r[4] for r in quotes],
+                    "close": [r[5] for r in quotes],
+                    "volume": [r[7] for r in quotes]}],
+                    "adjclose": [{"adjclose": [r[6] for r in quotes]}]},
+            }], "error": None}}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    cores = spark.sparkContext.defaultParallelism
+    out: dict = {"delay_ms": delay_ms, "cores": cores, "runs": []}
+    try:
+        market_source.register(spark)
+        for n_tickers in (max(1, cores // 4), cores * 2):
+            tickers = ",".join(f"T{i:04d}" for i in range(n_tickers))
+
+            def run():
+                (
+                    spark.read.format("market_sim")
+                    .option("tickers", tickers)
+                    .option("start", "2024-01-01")
+                    .option("end", "2024-01-31")
+                    .option("transport", "http")
+                    .option("base_url", url)
+                    .option("min_interval_ms", str(delay_ms))
+                    .load()
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+
+            run()  # warm (python worker pool spin-up)
+            t0 = time.perf_counter()
+            run()
+            wall = round(time.perf_counter() - t0, 3)
+            waves = -(-n_tickers // cores)
+            out["runs"].append(
+                {
+                    "n_tickers": n_tickers,
+                    "wall_sec": wall,
+                    "waves": waves,
+                    "parallel_model_sec": round(waves * delay_ms / 1000.0, 3),
+                    "sequential_model_sec": round(n_tickers * delay_ms / 1000.0, 3),
+                }
+            )
+    finally:
+        srv.shutdown()
+    return out
+
+
 def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     k = int(os.environ.get("SPARK_GRAFT_SCALE_K", "10"))
@@ -258,6 +355,7 @@ def main() -> None:
         # replica faked recall ~1.0); base-dir numbers stay in PERF.md
         frontier = ann_frontier(spark, dst)
         media = media_real_scaled(spark, k)
+        ingest = connector_ingest_latency(spark)
         print(
             json.dumps(
                 {
@@ -268,6 +366,7 @@ def main() -> None:
                     "queries": timings,
                     "ann_frontier": frontier,
                     "media_real_decode_scaled": media,
+                    "connector_ingest": ingest,
                     "unit": "sec",
                 }
             )

@@ -283,3 +283,64 @@ def test_streaming_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() == 800
     assert result.select("event_id").distinct().count() == 800
+
+
+def test_png_round_trip_all_filters():
+    """Encoder applies / decoder reconstructs every RFC 2083 scanline
+    filter; randomized rows over gray/RGB/RGBA must round-trip losslessly
+    and every structural corruption must reject (CRC, truncation, bogus
+    signature tail)."""
+    import random
+
+    from multi_source_financial_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(1)
+    for _ in range(40):
+        w, h = rng.randint(1, 9), rng.randint(1, 9)
+        ch = rng.choice([1, 3, 4])
+        rows = [bytes(rng.randrange(256) for _ in range(w * ch)) for _ in range(h)]
+        filters = [rng.randrange(5) for _ in range(h)]
+        data = mm._png_encode(w, h, rows, filters=filters)
+        parsed = mm._parse_png(data)
+        assert parsed is not None
+        assert (parsed["width"], parsed["height"], parsed["channels"]) == (w, h, ch)
+        assert parsed["rows"] == rows, filters
+    good = mm._png_encode(3, 3, [bytes(9)] * 3)
+    bad = bytearray(good)
+    bad[20] ^= 0xFF  # flip an IHDR byte → CRC mismatch
+    assert mm._parse_png(bytes(bad)) is None
+    assert mm._parse_png(good[:-5]) is None  # truncated IEND
+    assert mm._parse_png(b"\x89PNG\r\n\x1a\nnot a real chunk stream") is None
+    # dispatch tags the codec; alpha is excluded from the intensity mean
+    rows4 = [bytes([10, 20, 30, 255] * 4) for _ in range(4)]
+    img4 = mm._png_encode(4, 4, rows4, filters=[4, 3, 2, 1])
+    out = mm._decode_any(img4)
+    assert out["codec"] == "png"
+    assert abs(out["feature"][0] - 20 / 255.0) < 1e-12
+
+
+def test_png_resize_through_spark(spark):
+    """resize_media takes the REAL path for PNG payloads (require_codecs
+    never trips), halving dims by nearest-neighbor and re-encoding a valid
+    PNG whose pixels match the source sampling rule."""
+    from multi_source_financial_data_pipeline_spark.operators import multimodal as mm
+
+    media = mm.synthetic_png_media(spark, n=20, seed=7)
+    resized = mm.resize_media(media, max_side=3, require_codecs=True)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    assert len(rows) == 20
+    for mid, r in rows.items():
+        w, h = 2 + mid % 6, 3 + mid % 5
+        scale = min(1.0, 3 / max(w, h))
+        assert (r["width"], r["height"]) == (max(1, int(w * scale)), max(1, int(h * scale)))
+        parsed = mm._parse_png(bytes(r["data"]))
+        assert parsed is not None and parsed["channels"] == 3
+        # constant-per-row pattern survives: row y of the resized image is
+        # source row y*h//nh, whose (R,G,B) is the generation formula
+        for y, row in enumerate(parsed["rows"]):
+            sy = y * h // r["height"]
+            want = bytes(
+                [(mid + 7 + sy) % 256, (2 * mid + 7 + sy) % 256, (3 * mid + 7 + sy) % 256]
+                * r["width"]
+            )
+            assert row == want
