@@ -80,6 +80,56 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.
 """
 
 
+# --- exact-k uniform sample per stratum (eval-holdout selection) -------------
+
+SAMPLE_K = 25
+
+
+def q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k docs per source, uniformly at random yet DETERMINISTIC:
+    rank by the md5-prefix hash of doc_id within each source and keep rank
+    ≤ k — the fixed-size eval-holdout / inspection-sample primitive
+    (rate-based sampling can't hit an exact count; df.sample() isn't
+    reproducible across engines or partitionings). The hash makes the
+    selection a pure function of (doc_id, k): stable under reshuffles,
+    auditable by the oracle, and disjoint samples come free by ranking on
+    salted hashes.
+
+    Scale shape: the rank filter compiles to WindowGroupLimit (pinned), so
+    each map partition forwards at most k rows per source into the window
+    exchange — shuffled volume is |sources|·k per partition, independent
+    of corpus size."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    w = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("source", "doc_id", "lang", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .select("source", "doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+SQL_SAMPLE_K_PER_GROUP = f"""
+WITH h AS (
+  SELECT source, doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents
+), r AS (
+  SELECT source, doc_id, lang,
+         row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC)
+           AS rk
+  FROM h
+)
+SELECT source, doc_id, lang, CAST(rk AS INTEGER) AS rk
+FROM r WHERE rk <= {SAMPLE_K}
+"""
+
+
 # --- BPE-ish subword counting ------------------------------------------------
 
 def q_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2833,6 +2883,13 @@ SPECS = {
         SQL_EMBEDDING_CENTROIDS,
         "per-label embedding centroids (IVF coarse-quantizer construction)",
         ("similarity", "agg"),
+    ),
+    "sample_k_per_group": QuerySpec(
+        q_sample_k_per_group,
+        SQL_SAMPLE_K_PER_GROUP,
+        "exact-k deterministic uniform sample per source (hash rank + "
+        "WindowGroupLimit): the eval-holdout primitive",
+        ("documents", "window"),
     ),
     "stratified_sample": QuerySpec(
         q_stratified_sample,

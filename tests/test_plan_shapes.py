@@ -728,7 +728,10 @@ def test_window_partition_key_audit(spark, sf_dir):
        the data, so per-group size stays bounded);
     3. input contains an Aggregate below the window → OK (the window runs
        over a grouped frame, not raw rows);
-    4. otherwise the (query, keys) pair must carry an explicit justification
+    4. input contains a WindowGroupLimit below the window → OK (the rank
+       filter pre-prunes each map partition to k rows per group, so the
+       window task holds ≤ k·partitions rows per group — bounded);
+    5. otherwise the (query, keys) pair must carry an explicit justification
        in _LOW_CARD_RAW_OK — and every justification must still be used,
        so stale entries fail too.
 
@@ -753,9 +756,6 @@ def test_window_partition_key_audit(spark, sf_dir):
         ("export_shape", ("ticker",)):
             "per-ticker daily OHLCV bars - rows per ticker bounded by the "
             "trading calendar, not the corpus",
-        ("stream_running_totals", ("key",)):
-            "per-micro-batch window: rows per key per trigger are bounded "
-            "by the trigger interval; state never accumulates in the sort",
         ("sequence_packing", ("source", "shard")):
             "md5 sub-shard of doc_id; N_PACK_SHARDS is the scale knob "
             "grown with the corpus (deterministic re-derivation)",
@@ -779,15 +779,15 @@ def test_window_partition_key_audit(spark, sf_dir):
                 re.sub(r"#\d+L?", "", parts.apply(i).toString())
                 for i in range(parts.size())
             )
-            has_agg = any(
-                n.getClass().getSimpleName() == "Aggregate"
+            bounded_below = any(
+                n.getClass().getSimpleName() in ("Aggregate", "WindowGroupLimit")
                 for n in walk(node.child())
             )
             if not keys:
-                ok = has_agg
+                ok = bounded_below
             elif any(k in _HIGH_CARD_KEYS for k in keys):
                 ok = True
-            elif has_agg:
+            elif bounded_below:
                 ok = True
             elif (name, keys) in _LOW_CARD_RAW_OK:
                 used.add((name, keys))
@@ -799,3 +799,14 @@ def test_window_partition_key_audit(spark, sf_dir):
     assert flagged == [], f"unclassified window partition keys: {flagged}"
     stale = set(_LOW_CARD_RAW_OK) - used
     assert stale == set(), f"stale _LOW_CARD_RAW_OK entries: {stale}"
+
+
+def test_sample_k_per_group_group_limit(spark, sf_dir):
+    """The exact-k sampler's rank filter must push below the window
+    exchange (WindowGroupLimit): each map partition forwards at most k
+    rows per source, so shuffled volume is |sources|·k per partition
+    regardless of corpus size; one scan, no join."""
+    plan = _plan(spark, sf_dir, "sample_k_per_group")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
