@@ -108,6 +108,11 @@ PROBE_QUERIES = [
     "equi_depth_bins",
     "seasonal_mase",
     "shard_manifest",
+    # round-8 de-concentration fixes: both ran per-type sort/percentile
+    # windows before — their 10× time should now sit with the linear
+    # family (r07 measured the old equi_depth_bins at 4.6 s here)
+    "winsorized_stats",
+    "sample_k_per_group",
 ]
 
 
