@@ -2329,46 +2329,67 @@ N_SHARDS = 16
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The manifest a training-export step publishes: deterministic hash
     sharding of the corpus into N_SHARDS, with per-shard doc counts, token
-    totals, and a fingerprint of the ordered member list — the artifact a
+    totals, and a MULTISET fingerprint of the member ids — the artifact a
     downstream loader validates against before streaming shards. Shard
     assignment is the same md5-prefix hash every sampler here uses: a pure
     row function, so the shard of a doc never depends on partitioning,
-    cluster size, or engine. One scan, one shard-key exchange; the member
-    fingerprint orders ids INSIDE each shard group (bounded by shard
-    size)."""
+    cluster size, or engine.
+
+    Scale shape (r08 fix): the previous members_fp hashed the SORTED
+    CONCATENATED id list — collect_list per shard buffers corpus/N_SHARDS
+    ids in one agg task's state (unbounded, since the shard count is
+    fixed). Now the fingerprint is the classic incremental multiset hash:
+    (count, Σ h(id) as exact DECIMAL, XOR h(id)) folded into one md5 —
+    CONSTANT per-group state, mergeable map-side (commutative/associative),
+    order-independent (a set fingerprint validates the same membership; the
+    order is re-derivable by sorting). One scan, one shard-key exchange,
+    nothing grows with shard size."""
     docs = _t(spark, sf_dir, "documents")
-    shard = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % N_SHARDS
-    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
     d = docs.select(
-        shard.alias("shard"),
-        "doc_id",
+        (h % N_SHARDS).alias("shard"),
+        h.alias("h"),
         F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
-    members = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list("doc_id")),
-            lambda x: x.cast("string"),
-        ),
-        ",",
-    )
-    return d.groupBy("shard").agg(
+    agg = d.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
-        F.md5(members).alias("members_fp"),
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("__sum_h"),
+        F.expr("bit_xor(h)").alias("__xor_h"),
     )
+    fp = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("__sum_h").cast("string"),
+            F.col("__xor_h").cast("string"),
+            F.col("n_docs").cast("string"),
+        )
+    )
+    return agg.select("shard", "n_docs", "n_tokens", fp.alias("members_fp"))
 
+
+_SQL_H64 = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
 
 SQL_SHARD_MANIFEST = f"""
-SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-         % {N_SHARDS} AS shard,
-       count(*) AS n_docs,
-       CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS n_tokens,
-       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
-         AS members_fp
-FROM documents GROUP BY 1
+WITH d AS (
+  SELECT {_SQL_H64} % {N_SHARDS} AS shard,
+         {_SQL_H64} AS h,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), a AS (
+  SELECT shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_h,
+         bit_xor(h) AS xor_h
+  FROM d GROUP BY shard
+)
+SELECT shard, n_docs, n_tokens,
+       md5(CAST(sum_h AS VARCHAR) || '|' || CAST(xor_h AS VARCHAR)
+           || '|' || CAST(n_docs AS VARCHAR)) AS members_fp
+FROM a
 """
 
 

@@ -810,3 +810,15 @@ def test_sample_k_per_group_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert plan.count("documents.parquet") == 1
     assert "Join" not in plan
+
+
+def test_shard_manifest_mergeable_agg(spark, sf_dir):
+    """r08 fix: the member fingerprint is a constant-state multiset hash
+    (sum + xor + count), never a per-shard collect_list — the plan must be
+    a plain partial/final HashAggregate pair (ObjectHashAggregate is the
+    buffering collect_* path), one scan, no window."""
+    plan = _plan(spark, sf_dir, "shard_manifest")
+    assert "collect_list" not in plan and "ObjectHashAggregate" not in plan
+    assert "partial_" in plan  # map-side combine present
+    assert plan.count("documents.parquet") == 1
+    assert "Window" not in plan
