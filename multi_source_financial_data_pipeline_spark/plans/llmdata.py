@@ -2403,33 +2403,30 @@ def q_cluster_best_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic label; this query upgrades the kept representative to
     the best one. Plan: the component labels (LSH → Jaccard verify →
     min-label fixpoint) join the fused single-scan quality projection;
-    ranking + member counts stack as two Window ops over ONE shared
-    cluster-key exchange (no WindowGroupLimit pushdown is possible — the
-    member count needs every row, so the rank filter can only apply after
-    it; the price of emitting cluster sizes alongside the winner)."""
-    from pyspark.sql import Window
-
+    ranking + member counts fold into ONE mergeable hash aggregate:
+    max(struct(qs, −doc_id)) carries the winner AND its quality in a
+    single constant-size agg state (lexicographic struct order = highest
+    quality, then lowest doc_id), count carries the cluster size — both
+    combine map-side, so even a pathological mega-cluster (e.g. thousands
+    of identical boilerplate docs collapsing to one canonical id) costs
+    one constant-size buffer per task, never a per-cluster sort. (The r08
+    rewrite of the previous two-Window formulation, which buffered every
+    member of a cluster in one task.)"""
     canon = q_neardup_verified(spark, sf_dir).select("doc_id", "canonical_id")
     quality = _t(spark, sf_dir, "documents").select(
         "doc_id", text.quality_columns()["quality_score"].alias("qs")
     )
     scored = canon.join(quality, "doc_id")
-    w_rank = Window.partitionBy("canonical_id").orderBy(
-        F.col("qs").desc(), F.col("doc_id").asc()
+    best = F.max(F.struct(F.col("qs").alias("qs"), (-F.col("doc_id")).alias("nd")))
+    agg = scored.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        best.alias("__best"),
     )
-    w_all = Window.partitionBy("canonical_id")
-    ranked = scored.select(
+    return agg.filter(F.col("n_members") >= 2).select(
         "canonical_id",
-        "doc_id",
-        "qs",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(w_all).alias("n_members"),
-    )
-    return ranked.filter((F.col("rn") == 1) & (F.col("n_members") >= 2)).select(
-        "canonical_id",
-        F.col("doc_id").alias("best_doc_id"),
+        (-F.col("__best.nd")).alias("best_doc_id"),
         F.col("n_members").cast("long").alias("n_members"),
-        F.col("qs").alias("best_quality"),
+        F.col("__best.qs").alias("best_quality"),
     )
 
 
@@ -2437,15 +2434,15 @@ SQL_CLUSTER_BEST_DOC = f"""
 WITH canon AS (SELECT doc_id, canonical_id FROM ({SQL_NEARDUP_VERIFIED})),
 q AS (SELECT doc_id, quality_score AS qs FROM ({SQL_DOC_QUALITY})),
 s AS (SELECT c.canonical_id, c.doc_id, q.qs FROM canon c JOIN q USING (doc_id)),
-r AS (
-  SELECT *, row_number() OVER (PARTITION BY canonical_id
-                               ORDER BY qs DESC, doc_id ASC) AS rn,
-         count(*) OVER (PARTITION BY canonical_id) AS n_members
-  FROM s
+a AS (
+  SELECT canonical_id,
+         CAST(count(*) AS BIGINT) AS n_members,
+         max(struct_pack(qs := qs, nd := -doc_id)) AS best
+  FROM s GROUP BY canonical_id
 )
-SELECT canonical_id, doc_id AS best_doc_id,
-       CAST(n_members AS BIGINT) AS n_members, qs AS best_quality
-FROM r WHERE rn = 1 AND n_members >= 2
+SELECT canonical_id, -best.nd AS best_doc_id, n_members,
+       best.qs AS best_quality
+FROM a WHERE n_members >= 2
 """
 
 

@@ -610,14 +610,18 @@ def test_bucketed_revenue_join_no_exchange_below_join(spark, sf_dir):
     assert plan.count("SelectedBucketsCount") == 2  # both scans bucketed
 
 
-def test_cluster_best_doc_single_cluster_exchange(spark, sf_dir):
-    """Rank + member count stack as two Windows over ONE shared
-    cluster-key exchange — a second exchange on the cluster key would mean
-    the windows stopped sharing their partitioning. (No WindowGroupLimit:
-    the member count needs every row before the rank filter can drop any.)"""
+def test_cluster_best_doc_mergeable_agg(spark, sf_dir):
+    """r08 rewrite: winner + quality ride ONE max(struct) hash aggregate
+    with map-side partial combine (constant state per cluster — immune to
+    mega-clusters), member count alongside; no Window over the cluster key
+    at all, one exchange on it."""
     plan = _plan(spark, sf_dir, "cluster_best_doc")
     assert plan.count("Exchange hashpartitioning(canonical_id") == 1
-    assert plan.count("Window ") >= 2 or plan.count("Window [") == 2
+    import re
+
+    # no Window node may partition by the cluster key anywhere in the plan
+    assert not re.search(r"Window \[[^\n]*canonical_id", plan)
+    assert "partial_max" in plan and "partial_count" in plan
     assert "CartesianProduct" not in plan
 
 
