@@ -498,12 +498,14 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipeline's per-stage attrition report: how many docs
     survive (cumulatively) language-ID → quality threshold → exact-dedup
     canonicalization. One documents scan computes every per-doc flag in-row
-    (stopword ratio, quality score, fingerprint); the only shuffle is the
-    fingerprint window for canonical selection; the four stage counts are
-    conditional sums in ONE aggregate, unpivoted to (stage, n_docs) rows.
-    Counts are integers — engine-exact by construction."""
-    from pyspark.sql import Window
-
+    (stopword ratio, quality score, fingerprint); stage counts fold
+    through TWO mergeable hash aggregates: per-fp partial counts plus
+    min(struct(doc_id, flags)) — the lexicographic struct min IS the
+    canonical member and carries its flags, constant state per fp (the r08
+    rewrite of the per-fp min-window, whose task load grew with the
+    largest duplicate group) — then a 1-row rollup, unpivoted to
+    (stage, n_docs) rows. Counts are integers — engine-exact by
+    construction."""
     docs = _t(spark, sf_dir, "documents")
     quality = text.quality_columns("text")["quality_score"]
     fp = F.md5(F.concat_ws(" ", text.tokens(F.lower(F.col("text")))))
@@ -513,18 +515,18 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (quality >= FUNNEL_QUALITY_MIN).alias("is_quality"),
         fp.alias("fp"),
     )
-    w = Window.partitionBy("fp")
-    canon = flagged.withColumn(
-        "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
+    per_fp = flagged.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_en").cast("long")).alias("n_en"),
+        F.sum((F.col("is_en") & F.col("is_quality")).cast("long")).alias("n_q"),
+        F.min(F.struct("doc_id", "is_en", "is_quality")).alias("c"),
     )
-    agg = canon.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.sum(F.col("is_en").cast("long")).alias("en"),
-        F.sum((F.col("is_en") & F.col("is_quality")).cast("long")).alias("q"),
+    agg = per_fp.agg(
+        F.sum("n").alias("total"),
+        F.sum("n_en").alias("en"),
+        F.sum("n_q").alias("q"),
         F.sum(
-            (F.col("is_en") & F.col("is_quality") & F.col("is_canonical")).cast(
-                "long"
-            )
+            (F.col("c.is_en") & F.col("c.is_quality")).cast("long")
         ).alias("kept"),
     )
     return agg.select(
@@ -548,16 +550,20 @@ m AS (
          md5(array_to_string(regexp_split_to_array(lower(text), '\\s+'), ' ')) AS fp
   FROM d
 ),
-c AS (
-  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical FROM m
+per_fp AS (
+  SELECT fp, count(*) AS n,
+         sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS n_en,
+         sum(CASE WHEN is_en AND is_quality THEN 1 ELSE 0 END) AS n_q,
+         min(struct_pack(doc_id := doc_id, is_en := is_en,
+                         is_quality := is_quality)) AS c
+  FROM m GROUP BY fp
 ),
 agg AS (
-  SELECT count(*) AS total,
-         sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS en,
-         sum(CASE WHEN is_en AND is_quality THEN 1 ELSE 0 END) AS q,
-         sum(CASE WHEN is_en AND is_quality AND is_canonical THEN 1 ELSE 0 END)
-           AS kept
-  FROM c
+  SELECT sum(n) AS total,
+         sum(n_en) AS en,
+         sum(n_q) AS q,
+         sum(CASE WHEN c.is_en AND c.is_quality THEN 1 ELSE 0 END) AS kept
+  FROM per_fp
 )
 SELECT '0_total' AS stage, CAST(total AS BIGINT) AS n_docs FROM agg
 UNION ALL SELECT '1_lang_en', CAST(en AS BIGINT) FROM agg
@@ -1772,11 +1778,18 @@ def q_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the corpus has no layout, so chunks stand in for paragraphs): a chunk
     whose fingerprint appears in ≥2 DISTINCT docs is boilerplate; each doc
     is re-assembled from its surviving chunks in order. Plan: one scan →
-    chunk explode (linear, ~n_tokens/10 rows) → ONE fp-hash exchange
-    carrying BOTH the per-(fp) first-in-doc tagging (lag over doc order
-    inside the fp partition) and the distinct-doc-count window → doc-hash
-    groupBy re-assembly (ordered fold via array_sort on (idx, text)
-    structs). Never materializes a pair space; both shuffles are linear."""
+    chunk explode (linear, ~n_tokens/10 rows) → per-fp min/max(doc_id)
+    hash aggregate (appears-in-≥2-docs ⟺ min ≠ max at BOIL_K = 2 —
+    CONSTANT agg state per fp, map-side combine; a ≥K>2 threshold would
+    swap in the equally-mergeable two-stage distinct count) → fp equi-join
+    back → doc-hash groupBy re-assembly (ordered fold via array_sort on
+    (idx, text) structs). The r08 rewrite: the previous per-fp lag/sum
+    WINDOW pulled every occurrence of a fingerprint into one task — and a
+    mega-frequent chunk (exactly the boilerplate this query targets) is
+    the expected skew case; the join formulation streams, and AQE
+    skew-splits, what the window had to buffer, at the documented price of
+    a second row-local tokenize pass for the spread branch. Never
+    materializes a pair space; all shuffles are linear."""
     docs = _t(spark, sf_dir, "documents")
     seq, chunk, chunk_toks = text.token_chunks("text", width=CHUNK_W)
     chunks = docs.select(
@@ -1787,23 +1800,18 @@ def q_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk.alias("chunk_text"),
         chunk_toks.alias("chunk_toks"),
     ).withColumn("fp", F.md5("chunk_text"))
-    from pyspark.sql import Window
-
-    w_fp_ord = Window.partitionBy("fp").orderBy(
-        F.col("doc_id").asc(), F.col("chunk_idx").asc()
+    # the spread branch re-derives the chunk stream (column pruning gives
+    # it a narrower payload than the join side, so exchange reuse cannot
+    # collapse them): TWO linear row-local tokenize passes in exchange for
+    # removing an unbounded per-fp window buffer — the right trade at
+    # scale, where map passes parallelize perfectly and hot fingerprints
+    # do not
+    spread = chunks.groupBy("fp").agg(
+        F.min("doc_id").alias("__mn"), F.max("doc_id").alias("__mx")
     )
-    prev_doc = F.lag("doc_id").over(w_fp_ord)
-    first_in_doc = F.when(
-        prev_doc.isNull() | (prev_doc != F.col("doc_id")), 1
-    ).otherwise(0)
-    tagged = chunks.select(
-        "doc_id", "chunk_idx", "chunk_text", "chunk_toks", "fp",
-        first_in_doc.alias("__first"),
-    )
-    n_docs = F.sum("__first").over(Window.partitionBy("fp"))
-    flagged = tagged.select(
+    flagged = chunks.join(spread, "fp").select(
         "doc_id", "chunk_idx", "chunk_text", "chunk_toks",
-        (n_docs >= BOIL_K).alias("is_boiler"),
+        (F.col("__mn") != F.col("__mx")).alias("is_boiler"),
     )
     keep = F.when(~F.col("is_boiler"), F.struct("chunk_idx", "chunk_text"))
     kept_text = F.array_join(
@@ -1839,15 +1847,12 @@ WITH d AS (
   FROM ix
 ), f AS (
   SELECT *, md5(chunk_text) AS fp FROM ch
-), tagged AS (
-  SELECT *, CASE WHEN lag(doc_id) OVER (PARTITION BY fp ORDER BY doc_id ASC,
-                                        chunk_idx ASC) IS DISTINCT FROM doc_id
-                 THEN 1 ELSE 0 END AS first_in_doc
-  FROM f
+), spread AS (
+  SELECT fp, min(doc_id) AS mn, max(doc_id) AS mx FROM f GROUP BY fp
 ), flagged AS (
   SELECT doc_id, chunk_idx, chunk_text, chunk_toks,
-         sum(first_in_doc) OVER (PARTITION BY fp) >= {BOIL_K} AS is_boiler
-  FROM tagged
+         mn != mx AS is_boiler
+  FROM f JOIN spread USING (fp)
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_chunks,

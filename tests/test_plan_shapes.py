@@ -514,10 +514,30 @@ def test_bigram_prob_single_scan(spark, sf_dir):
 
 def test_quality_filter_funnel_single_scan_single_exchange(spark, sf_dir):
     """All per-doc flags are computed in-row on one scan; the only shuffle
-    is the fingerprint window for canonical selection."""
+    is the per-fp hash aggregate whose min(struct) carries the canonical
+    member's flags (r08: the fp min-WINDOW this replaces buffered the
+    largest duplicate group in one task; the agg state is constant)."""
     plan = _plan(spark, sf_dir, "quality_filter_funnel")
     assert plan.count("documents.parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "partial_min" in plan
+
+
+def test_chunk_boilerplate_no_fp_window(spark, sf_dir):
+    """r08: boilerplate detection is a per-fp min/max(doc_id) hash agg
+    (constant state) joined back on fp — a mega-frequent chunk streams
+    through the join (AQE can skew-split it) instead of buffering in one
+    window task. One scan of documents; no Window over fp."""
+    import re
+
+    plan = _plan(spark, sf_dir, "chunk_boilerplate")
+    # two scans are DELIBERATE: the spread branch re-tokenizes (row-local,
+    # perfectly parallel) rather than share an unprunable exchange; what
+    # must NOT appear is any Window over fp (the unbounded buffer)
+    assert plan.count("documents.parquet") == 2
+    assert not re.search(r"Window \[[^\n]*\bfp\b", plan)
+    assert "partial_min" in plan and "partial_max" in plan
 
 
 def test_minhash_accuracy_scan_bound(spark, sf_dir):
