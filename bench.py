@@ -211,8 +211,8 @@ EXEMPT: dict[str, str] = {
     "ivf_assign": "subplan: quantizer inside ann_topk_ivf/kmeans_refine",
     "embedding_centroids": "subplan: centroid agg inside kmeans_refine",
     "mixture_weights": "subplan: weights stage inside mixture_resample",
-    "doc_winnow": "subplan: winnowing fingerprints inside dup_span_stats family; same explode+window shape as ngram_novelty",
-    "dup_span_stats": "sibling: exploded-span window, same shape as ngram_novelty",
+    "doc_winnow": "subplan: winnowing fingerprints inside dup_span_stats family; same explode+agg shape as ngram_novelty",
+    "dup_span_stats": "sibling: exploded-span agg + skew-safe count join, same shape as chunk_boilerplate (benched)",
     "ann_recall_ivf": "subplan: re-runs benched ann_topk + ann_topk_ivf to compare",
     "ann_recall_lsh": "subplan: re-runs benched ann_topk + ann_topk_lsh legs",
     "ann_topk_lsh": "sibling: bucketed cosine top-k, same shape as ann_topk_ivf",

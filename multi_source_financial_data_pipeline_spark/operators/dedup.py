@@ -96,11 +96,17 @@ def dup_span_stats(
     the corpus (other docs OR self-repeats). High ``dup_span_frac`` marks
     boilerplate/templated documents that doc-level fingerprints miss.
 
-    Shape: project the token array ONCE, then one `transform` over an index
-    sequence (the array is a bound row value — no re-tokenize per span),
-    explode → corpus span counts as a window over the span partition (no
-    second scan, no self-join) → per-doc rollup. Linear in corpus tokens,
-    two shuffles. Docs with < n tokens emit zero spans and are dropped —
+    Shape (r08): project the token array ONCE per pass, then one
+    `transform` over an index sequence (the array is a bound row value —
+    no re-tokenize per span), explode → corpus span counts as a MERGEABLE
+    per-span hash aggregate joined back on the span (constant agg state,
+    map-side combine, AQE-skew-splittable join) → per-doc rollup. The
+    previous formulation counted with a window over the span partition —
+    one scan, but a mega-frequent span (exactly the boilerplate this
+    profiler targets) pulled every occurrence into one window task; the
+    count branch re-derives the span stream instead (a second row-local
+    tokenize pass — perfectly parallel, unlike a hot span). Linear in
+    corpus tokens. Docs with < n tokens emit zero spans and are dropped —
     they have no substring of the profiled length."""
     toks = df.select(id_col, tokens(F.col(text_col)).alias("__toks")).filter(
         F.size("__toks") >= n
@@ -115,8 +121,8 @@ def dup_span_stats(
             )
         ).alias("s"),
     )
-    w_span = Window.partitionBy("s")
-    counted = spans.withColumn("c_s", F.count(F.lit(1)).over(w_span))
+    span_counts = spans.groupBy("s").agg(F.count(F.lit(1)).alias("c_s"))
+    counted = spans.join(span_counts, "s")
     return counted.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum((F.col("c_s") > 1).cast("long")).alias("dup_spans"),

@@ -1401,8 +1401,10 @@ WITH base AS (
            i -> array_to_string(toks[i:i + {DUP_SPAN_N - 1}], ' ')
          )) AS s
   FROM base WHERE len(toks) >= {DUP_SPAN_N}
+), sc AS (
+  SELECT s, count(*) AS c_s FROM g GROUP BY s
 ), c AS (
-  SELECT doc_id, count(*) OVER (PARTITION BY s) AS c_s FROM g
+  SELECT doc_id, c_s FROM g JOIN sc USING (s)
 )
 SELECT doc_id,
        count(*) AS n_spans,
