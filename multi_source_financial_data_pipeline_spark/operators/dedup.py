@@ -192,6 +192,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: signature split into bands of `band_size` hashes; docs
     sharing any full band become a candidate pair. Returns distinct
@@ -203,7 +204,16 @@ def lsh_candidate_pairs(
     explode × ordered-suffix explode — so the signature pipeline is computed
     exactly once (a bucket self-join would evaluate it twice, inviting the
     caller to cache corpus-sized band tables). Per-bucket pair count is
-    C(k,2) either way; banding keeps k bounded."""
+    C(k,2) either way; banding keeps k bounded FOR ORGANIC data.
+
+    ``max_bucket_size`` is the production skew guard: a degenerate hot
+    bucket (near-empty docs collapsing to one band signature, template
+    spam) makes C(k,2) explode quadratically in ONE agg task. Buckets
+    above the cap are dropped — a band shared by thousands of docs is
+    uninformative for NEAR-dup detection (those docs are exact-dup-family
+    territory), so the standard practice is to skip it and let the exact
+    pass own them. None (the default, used by the oracle-checked queries
+    on organic testdata) keeps every bucket."""
     n_bands = num_hashes // band_size
     band_keys = F.array(
         *[
@@ -221,6 +231,8 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     return (
         buckets.select(F.posexplode("ids").alias("pos", "id_a"), F.col("ids"))
         .select(

@@ -482,3 +482,24 @@ def test_compaction_preserves_data_and_reduces_files(spark, sf_dir, tmp_path):
     a = spark.read.parquet(frag).orderBy("event_id").collect()
     b = spark.read.parquet(compacted).orderBy("event_id").collect()
     assert a == b
+
+
+def test_lsh_max_bucket_size_guards_hot_buckets(spark):
+    """The production skew guard: a degenerate bucket (many docs sharing
+    one band signature) is dropped when over the cap, so candidate pairs
+    stay bounded by cap²·n_buckets instead of k² — while organic buckets
+    are untouched and the default (None) preserves every pair."""
+    from multi_source_financial_data_pipeline_spark.operators import dedup
+
+    # 40 docs with IDENTICAL signatures (one hot bucket) + 2 organic dups
+    rows = [(i, *[7] * 8) for i in range(40)] + [
+        (100, *[9] * 8), (101, *[9] * 8),
+    ]
+    sig = spark.createDataFrame(
+        rows, ["doc_id"] + [f"mh{j}" for j in range(8)]
+    )
+    uncapped = dedup.lsh_candidate_pairs(sig).count()
+    capped = dedup.lsh_candidate_pairs(sig, max_bucket_size=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert uncapped == 40 * 39 // 2 + 1
+    assert got == {(100, 101)}  # hot bucket dropped, organic pair kept
