@@ -1066,6 +1066,65 @@ FROM b GROUP BY event_type, bin
 """
 
 
+# --- SCD2: type-2 slowly-changing-dimension intervals from the event log ----
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history from the event stream — the warehouse
+    pattern that turns a change log into validity intervals: per user,
+    collapse consecutive identical states (event_type as the tracked
+    attribute), then each surviving change opens an interval
+    [valid_from, valid_to) closed by the NEXT change (NULL = current).
+    Two stacked windows (lag for change detection, lead for interval
+    close) ride ONE user-hash exchange; user_id is high-cardinality, so
+    per-group work is bounded and groups parallelize. `is_current` makes
+    the latest-version filter an ordinary predicate. Timestamps cross the
+    oracle boundary as epoch microseconds (module convention)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev_state = F.lag("event_type").over(w)
+    changes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        prev_state.alias("__prev"),
+    ).filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("event_type")))
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    valid_to = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(valid_to).alias("valid_to_us"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+SQL_SCD2_INTERVALS = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), c AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM o WHERE prev IS NULL OR prev != event_type
+)
+SELECT user_id, event_type AS state,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w) AS valid_to_us,
+       lead(ts) OVER w IS NULL AS is_current
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
 # --- CUSUM drift detection per user ------------------------------------------
 
 def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1224,6 +1283,13 @@ SPECS = {
         "exact row-level ntile twin of equi_depth_bins (small-data oracle; "
         "per-type sort concentrates — do not run at scale)",
         ("events", "window", "agg"),
+    ),
+    "scd2_intervals": QuerySpec(
+        q_scd2_intervals,
+        SQL_SCD2_INTERVALS,
+        "type-2 SCD validity intervals from the change log: collapse + "
+        "lead-close on one user exchange",
+        ("events", "window"),
     ),
     "cusum_drift": QuerySpec(
         q_cusum_drift,

@@ -861,3 +861,10 @@ def test_shard_manifest_mergeable_agg(spark, sf_dir):
     assert "partial_" in plan  # map-side combine present
     assert plan.count("documents.parquet") == 1
     assert "Window" not in plan
+
+
+def test_scd2_single_user_exchange(spark, sf_dir):
+    # lag collapse and lead close stack on ONE user-hash exchange
+    plan = _plan(spark, sf_dir, "scd2_intervals")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("events.parquet") == 1

@@ -199,3 +199,16 @@ def test_wilder_rsi_atr_semantics(spark, sf_dir):
     assert (a > 0.0).all()
     cutler = _run(spark, sf_dir, "atr_14")
     assert a.max() <= cutler.true_range.max() + 1e-9
+
+
+def test_scd2_intervals_partition_timeline(spark, sf_dir):
+    """Per user: intervals are disjoint and contiguous (each valid_to
+    equals the next valid_from), exactly ONE open interval exists, and no
+    two consecutive intervals share a state (the collapse worked)."""
+    iv = _run(spark, sf_dir, "scd2_intervals")
+    for uid, g in iv.groupby("user_id"):
+        g = g.sort_values("valid_from_us").reset_index(drop=True)
+        assert g.is_current.sum() == 1 and g.iloc[-1].is_current
+        for i in range(len(g) - 1):
+            assert g.iloc[i].valid_to_us == g.iloc[i + 1].valid_from_us
+            assert g.iloc[i].state != g.iloc[i + 1].state
