@@ -35,3 +35,22 @@ def test_every_registered_query_benched_or_exempted():
 
 def test_headline_has_no_duplicates():
     assert len(HEADLINE) == len(set(HEADLINE))
+
+
+def test_exemption_representatives_exist_and_are_covered():
+    """An exemption that points at a representative ("same shape as X",
+    "inside X") must point at a real query that itself has a bench
+    decision — so a HEADLINE removal can't silently orphan the exemptions
+    that lean on it."""
+    import re
+
+    for name, reason in EXEMPT.items():
+        refs = [
+            r for r in re.findall(r"[a-z0-9_]{4,}", reason)
+            if r in QUERIES and r != name
+        ]
+        for ref in refs:
+            assert ref in HEADLINE or ref in EXEMPT, (
+                f"{name}'s exemption references {ref}, which has no bench "
+                f"decision"
+            )
