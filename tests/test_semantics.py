@@ -212,3 +212,31 @@ def test_scd2_intervals_partition_timeline(spark, sf_dir):
         for i in range(len(g) - 1):
             assert g.iloc[i].valid_to_us == g.iloc[i + 1].valid_from_us
             assert g.iloc[i].state != g.iloc[i + 1].state
+
+
+def test_equi_depth_bins_agree_with_ntile_twin(spark, sf_dir):
+    """The histogram formulation and the exact row-level ntile twin must
+    tell the same story: identical per-type totals and value ranges,
+    bin value-ranges strictly ordered (ties share a bin, so hi[b] <
+    lo[b+1]), and per-bin depths within the tie mass of n/10 — on ties'
+    absence they are IDENTICAL."""
+    import duckdb
+
+    hist = _run(spark, sf_dir, "equi_depth_bins")
+    ntile = _run(spark, sf_dir, "equi_depth_bins_ntile")
+    for t, g in hist.groupby("event_type"):
+        gn = ntile[ntile.event_type == t]
+        assert g.n.sum() == gn.n.sum()
+        assert g.lo.min() == gn.lo.min() and g.hi.max() == gn.hi.max()
+        g = g.sort_values("bin").reset_index(drop=True)
+        for i in range(len(g) - 1):
+            assert g.iloc[i].hi < g.iloc[i + 1].lo
+        # depth deviation bounded by the largest tie group of the type
+        max_tie = duckdb.sql(
+            f"SELECT max(c) FROM (SELECT count(*) AS c FROM "
+            f"read_parquet('{sf_dir}/events.parquet') "
+            f"WHERE event_type = '{t}' GROUP BY value)"
+        ).fetchone()[0]
+        n_total = g.n.sum()
+        for _, row in g.iterrows():
+            assert abs(row.n - n_total / 10) <= max_tie + 1
