@@ -1046,6 +1046,65 @@ FROM events GROUP BY user_id
 """
 
 
+# --- streaming: live SCD2 maintenance (second custom stateful operator) ------
+
+def q_stream_scd2_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history maintained LIVE: group state holds each
+    user's open interval; every state change closes the previous one,
+    emitted append-mode as it happens (streaming/stateful.py
+    scd2_closed_intervals). Drained availableNow, the sink holds exactly
+    the CLOSED intervals — which is what the batch lead-window oracle
+    reproduces by filtering out the still-open tail rows. The streaming
+    twin of `scd2_intervals`: same collapse semantics, but the interval
+    close is event-driven instead of lead-window lookahead."""
+    from multi_source_financial_data_pipeline_spark.streaming import stateful
+
+    name = f"stream_scd2_{next(_qname)}"
+    with _event_stream(spark, sf_dir) as stream:
+        closed = stateful.scd2_closed_intervals(
+            stream,
+            key_col="user_id",
+            ts_col="ts",
+            tiebreak_col="event_id",
+            state_col="event_type",
+        )
+        query = (
+            closed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).select(
+        F.col("key").alias("user_id"),
+        F.col("state_value").alias("state"),
+        "valid_from_us",
+        "valid_to_us",
+    )
+
+
+SQL_STREAM_SCD2_CLOSED = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), c AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM o WHERE prev IS NULL OR prev != event_type
+), iv AS (
+  SELECT user_id, event_type AS state,
+         epoch_us(ts) AS valid_from_us,
+         epoch_us(lead(ts) OVER w) AS valid_to_us
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id, state, valid_from_us, valid_to_us
+FROM iv WHERE valid_to_us IS NOT NULL
+"""
+
+
 # --- streaming: stream-static enrichment join --------------------------------
 
 def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1212,6 +1271,13 @@ SPECS = {
         q_stream_running_totals,
         SQL_STREAM_TOTALS,
         "custom stateful operator: per-key running totals via applyInPandasWithState",
+        ("streaming",),
+    ),
+    "stream_scd2_closed": QuerySpec(
+        q_stream_scd2_closed,
+        SQL_STREAM_SCD2_CLOSED,
+        "live SCD2 maintenance: open interval in group state, closes "
+        "emitted append-mode as changes arrive (stateful op #2)",
         ("streaming",),
     ),
     "stream_session_windows": QuerySpec(

@@ -91,3 +91,83 @@ def running_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SCD2_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur_state", T.StringType()),
+        T.StructField("cur_from_us", T.LongType()),
+        T.StructField("cur_from_event", T.LongType()),
+    ]
+)
+
+SCD2_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("state_value", T.StringType()),
+        T.StructField("valid_from_us", T.LongType()),
+        T.StructField("valid_to_us", T.LongType()),
+    ]
+)
+
+
+def scd2_closed_intervals(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    state_col: str,
+) -> DataFrame:
+    """Live type-2 SCD maintenance: per key, group state holds the OPEN
+    interval (current attribute value + its start); each arriving change
+    CLOSES the previous interval, which is emitted immediately — the sink
+    accumulates exactly the closed dimension history while memory stays
+    O(keys). The streaming twin of `plans/eventstream.q_scd2_intervals`
+    (whose lead-window close needs the future — here the future arrives
+    one batch at a time, so the close is event-driven instead).
+
+    Ordering contract: rows are sorted (ts, tiebreak) INSIDE each batch;
+    across batches the source must deliver in event-time order (true for
+    replay/availableNow drains and for any exactly-once cursor source) —
+    the same contract every per-key fold in this repo states."""
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cur_state, cur_from_us, cur_from_event = (
+            state.get if state.exists else (None, None, None)
+        )
+        closed: list[tuple] = []
+        for pdf in batches:
+            pdf = pdf.sort_values([ts_col, tiebreak_col])
+            for row in pdf.itertuples(index=False):
+                st = getattr(row, state_col)
+                ts_us = int(getattr(row, ts_col).value // 1000)
+                if cur_state is None:
+                    cur_state, cur_from_us = st, ts_us
+                    cur_from_event = int(getattr(row, tiebreak_col))
+                elif st != cur_state:
+                    closed.append((key[0], cur_state, cur_from_us, ts_us))
+                    cur_state, cur_from_us = st, ts_us
+                    cur_from_event = int(getattr(row, tiebreak_col))
+        state.update((cur_state, cur_from_us, cur_from_event))
+        yield pd.DataFrame(
+            closed,
+            columns=["key", "state_value", "valid_from_us", "valid_to_us"],
+        )
+
+    return (
+        stream.select(key_col, ts_col, tiebreak_col, state_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=SCD2_OUTPUT_SCHEMA,
+            stateStructType=SCD2_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -240,3 +240,21 @@ def test_equi_depth_bins_agree_with_ntile_twin(spark, sf_dir):
         n_total = g.n.sum()
         for _, row in g.iterrows():
             assert abs(row.n - n_total / 10) <= max_tie + 1
+
+
+def test_stream_scd2_matches_batch_closed_intervals(spark, sf_dir):
+    """The live stateful SCD2's emitted closes must be EXACTLY the batch
+    query's non-current intervals — the streaming and batch formulations
+    agree row-for-row on the shared (closed) part of the history."""
+    stream = _run(spark, sf_dir, "stream_scd2_closed")
+    batch = _run(spark, sf_dir, "scd2_intervals")
+    closed = batch[~batch.is_current][
+        ["user_id", "state", "valid_from_us", "valid_to_us"]
+    ]
+    key = ["user_id", "valid_from_us"]
+    a = stream.sort_values(key).reset_index(drop=True)
+    b = closed.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert a[["user_id", "state", "valid_from_us", "valid_to_us"]].equals(
+        b[["user_id", "state", "valid_from_us", "valid_to_us"]].astype(a.dtypes.to_dict())
+    )
