@@ -344,3 +344,62 @@ def test_png_resize_through_spark(spark):
                 * r["width"]
             )
             assert row == want
+
+
+def test_stream_scd2_state_survives_restart(spark, sf_dir, tmp_path):
+    """The open interval lives in the checkpointed state store: a second
+    availableNow drain resumed from the SAME checkpoint must close
+    intervals that OPENED in the first drain (state restored), never
+    re-emit drain-1 closes (exactly-once), and the union of both drains'
+    closes must equal the batch lead-window result over the full log."""
+    from multi_source_financial_data_pipeline_spark.streaming.stateful import scd2_closed_intervals
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = load_table(spark, sf_dir, "events")
+    cutoff = events.selectExpr("percentile(unix_micros(ts), 0.5)").first()[0]
+    first = events.filter(F.unix_micros("ts") < cutoff)
+    second = events.filter(F.unix_micros("ts") >= cutoff)
+    first.write.mode("append").parquet(landing)
+
+    def drain():
+        stream = read_event_stream(spark, landing, TESTDATA["events"])
+        closed = scd2_closed_intervals(
+            stream, key_col="user_id", ts_col="ts",
+            tiebreak_col="event_id", state_col="event_type",
+        )
+        q = (
+            closed.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n_first = spark.read.parquet(out).count()
+    second.write.mode("append").parquet(landing)
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() > n_first  # drain 2 emitted new closes only
+
+    # batch truth over the FULL log: every non-open interval
+    from multi_source_financial_data_pipeline_spark.plans.registry import QUERIES
+
+    batch = QUERIES["scd2_intervals"].fn(spark, sf_dir).filter(
+        ~F.col("is_current")
+    ).select(
+        "user_id", F.col("state").alias("state_value"),
+        "valid_from_us", "valid_to_us",
+    )
+    a = {tuple(r) for r in got.select(
+        "key", "state_value", "valid_from_us", "valid_to_us").collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b
+    # a close SPANNING the restart boundary proves state restoration
+    spanned = [r for r in a if r[2] < cutoff <= r[3]]
+    assert spanned, "no interval crossed the restart boundary"
