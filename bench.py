@@ -159,6 +159,8 @@ HEADLINE = [
     # round-8: the new pure-stdlib PNG codec (zlib inflate + per-row filter
     # reconstruction) — the heaviest per-byte Python path in the repo
     "media_png_channel_stats",
+    # round-8: Morton-key locality audit (pure codegen bit arithmetic)
+    "zorder_locality",
 ]
 
 #: registry ↔ bench completeness contract (r07 VERDICT item 5): every

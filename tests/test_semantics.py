@@ -258,3 +258,16 @@ def test_stream_scd2_matches_batch_closed_intervals(spark, sf_dir):
     assert a[["user_id", "state", "valid_from_us", "valid_to_us"]].equals(
         b[["user_id", "state", "valid_from_us", "valid_to_us"]].astype(a.dtypes.to_dict())
     )
+
+
+def test_zorder_buckets_are_aligned_tiles(spark, sf_dir):
+    """The Morton property, verified on data: within every zkey bucket both
+    dimensions stay inside one aligned 256-wide tile (span ≤ 255 and the
+    high bits constant) — exactly the min/max statistics that let a 2-D
+    box scan skip non-intersecting files."""
+    t = _run(spark, sf_dir, "zorder_locality")
+    for _, r in t.iterrows():
+        assert r.max_user - r.min_user <= 255
+        assert r.max_day - r.min_day <= 255
+        assert (int(r.min_user) >> 8) == (int(r.max_user) >> 8)
+        assert (int(r.min_day) >> 8) == (int(r.max_day) >> 8)
