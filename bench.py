@@ -161,6 +161,8 @@ HEADLINE = [
     "media_png_channel_stats",
     # round-8: Morton-key locality audit (pure codegen bit arithmetic)
     "zorder_locality",
+    # round-8: Count-Min sketch build + probe (second sketch family)
+    "cms_heavy_hitters",
 ]
 
 #: registry ↔ bench completeness contract (r07 VERDICT item 5): every

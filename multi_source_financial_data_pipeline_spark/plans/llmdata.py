@@ -130,6 +130,102 @@ FROM r WHERE rk <= {SAMPLE_K}
 """
 
 
+# --- Count-Min sketch: heavy-hitter counts with measured overestimate -------
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # counters per row
+CMS_TOP = 20
+
+
+def _cms_hash(tok, salt: int):
+    """Row-j bucket: md5-prefix hash of (salt || token) mod W — the same
+    cross-engine 32-bit idiom as every sketch here."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{salt}|"), tok)), 1, 8), 16, 10
+        ).cast("bigint")
+        % CMS_W
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over the token
+    stream, with its error contract MEASURED: build the d×w counter table
+    (one explode → d row-hashes per token → ONE mergeable hash aggregate;
+    counters are sums, so the sketch is partition- and engine-independent),
+    then estimate the exact top-k tokens' counts as min_j cms[j][h_j(t)]
+    and report estimate vs truth. CMS never underestimates (est ≥ exact,
+    pinned in tests) and overestimates by ≤ collisions' mass — the sketch
+    a 100 TB pipeline keeps when the exact vocab count is too wide,
+    alongside KMV for distincts. Everything after the token explode is
+    O(d·w + k) state; the exact branch exists as measured ground truth."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    rows = toks.select(
+        "tok",
+        F.posexplode(
+            F.array(*[_cms_hash(F.col("tok"), j) for j in range(CMS_D)])
+        ).alias("j", "bucket"),
+    )
+    cms = rows.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("tok").asc())
+        .limit(CMS_TOP)
+    )
+    probes = exact.select(
+        "tok",
+        "n_exact",
+        F.posexplode(
+            F.array(*[_cms_hash(F.col("tok"), j) for j in range(CMS_D)])
+        ).alias("j", "bucket"),
+    )
+    est = (
+        probes.join(cms, ["j", "bucket"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("c").alias("n_est"))
+    )
+    return est.select(
+        "tok",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") - F.col("n_exact")).alias("overestimate"),
+    )
+
+
+def _sql_cms_hash(tok: str, salt: int) -> str:
+    return (
+        f"(('0x' || substr(md5('cms{salt}|' || {tok}), 1, 8))::BIGINT"
+        f" % {CMS_W})"
+    )
+
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+), rows_ AS (
+  SELECT tok, j,
+         CASE j {' '.join(f"WHEN {j} THEN {_sql_cms_hash('tok', j)}" for j in range(CMS_D))} END AS bucket
+  FROM toks, unnest(generate_series(0, {CMS_D - 1})) t(j)
+), cms AS (
+  SELECT j, bucket, count(*) AS c FROM rows_ GROUP BY j, bucket
+), exact AS (
+  SELECT tok, count(*) AS n_exact FROM toks GROUP BY tok
+  ORDER BY n_exact DESC, tok ASC LIMIT {CMS_TOP}
+), probes AS (
+  SELECT tok, n_exact, j,
+         CASE j {' '.join(f"WHEN {j} THEN {_sql_cms_hash('tok', j)}" for j in range(CMS_D))} END AS bucket
+  FROM exact, unnest(generate_series(0, {CMS_D - 1})) t(j)
+)
+SELECT p.tok, CAST(p.n_exact AS BIGINT) AS n_exact,
+       CAST(min(c.c) AS BIGINT) AS n_est,
+       CAST(min(c.c) - p.n_exact AS BIGINT) AS overestimate
+FROM probes p JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+GROUP BY p.tok, p.n_exact
+"""
+
+
 # --- BPE-ish subword counting ------------------------------------------------
 
 def q_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2908,6 +3004,13 @@ SPECS = {
         SQL_EMBEDDING_CENTROIDS,
         "per-label embedding centroids (IVF coarse-quantizer construction)",
         ("similarity", "agg"),
+    ),
+    "cms_heavy_hitters": QuerySpec(
+        q_cms_heavy_hitters,
+        SQL_CMS_HEAVY_HITTERS,
+        "Count-Min sketch heavy hitters: d x w mergeable counter table, "
+        "min-of-rows estimates vs exact truth (never underestimates)",
+        ("documents", "agg"),
     ),
     "sample_k_per_group": QuerySpec(
         q_sample_k_per_group,

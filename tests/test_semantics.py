@@ -271,3 +271,16 @@ def test_zorder_buckets_are_aligned_tiles(spark, sf_dir):
         assert r.max_day - r.min_day <= 255
         assert (int(r.min_user) >> 8) == (int(r.max_user) >> 8)
         assert (int(r.min_day) >> 8) == (int(r.max_day) >> 8)
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """The Count-Min contract on real data: every estimate ≥ the true
+    count, and with w≫distinct-per-row collisions the top hitters should
+    estimate exactly (overestimate 0 for most rows on this corpus)."""
+    t = _run(spark, sf_dir, "cms_heavy_hitters")
+    assert len(t) > 0
+    assert (t.n_est >= t.n_exact).all()
+    assert (t.overestimate >= 0).all()
+    # the heaviest token is found and dominated by truth, not collisions
+    top = t.sort_values("n_exact", ascending=False).iloc[0]
+    assert top.n_est <= top.n_exact * 1.5
