@@ -238,6 +238,7 @@ EXEMPT: dict[str, str] = {
     "doc_scrub": "sibling: map-only regex scan, same shape as pii_scrub",
     "stratified_sample": "sibling: map-only hash-threshold filter, same shape as pii_scrub",
     "sample_k_per_group": "sibling: hash-rank WindowGroupLimit, same shape as kmv_distinct's k-min filter",
+    "weighted_sample_k": "sibling: weighted hash-rank WindowGroupLimit, same shape as sample_k_per_group",
     "scd2_intervals": "sibling: stacked per-user lag/lead windows, same exchange shape as gap_fill_ffill (benched)",
     "ngram_jaccard_pairs": "sibling: candidate-bounded pair scoring, same shape as containment_pairs",
     "doc_length_quantiles": "sibling: bounded-histogram quantiles, same shape as perplexity_buckets cutoffs",

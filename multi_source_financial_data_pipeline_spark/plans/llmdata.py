@@ -130,6 +130,61 @@ FROM r WHERE rk <= {SAMPLE_K}
 """
 
 
+# --- weighted sample without replacement (Efraimidis–Spirakis, A-ES) --------
+
+WSAMPLE_K = 10
+
+
+def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement, k per source
+    (Efraimidis & Spirakis 2006, A-ES): each doc draws u = hash_uniform
+    (doc_id) and competes on key = ln(u)/w — the top-k keys per source are
+    a weight-proportional sample without replacement. Weight = n_chars, so
+    longer docs are proportionally likelier — the quality/length-weighted
+    variant of `sample_k_per_group` (whose uniform rank this generalizes).
+    Deterministic: u is the md5-prefix hash, so the sample is a pure
+    function of (doc_id, weights, k) — reproducible across engines,
+    partitionings, and reruns.
+
+    Cross-engine exactness: the key is round(ln(u)/w, 15) with a doc_id
+    tiebreak — ln and the division are the identical IEEE expressions in
+    both engines (1-ulp libm error sits far below the rounding grain, the
+    registry's window-aggregate convention), and the rank filter compiles
+    to WindowGroupLimit like every top-k here."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    u = sampling.hash_uniform(F.col("doc_id"))
+    key = F.round(F.log(u) / F.col("n_chars").cast("double"), 15)
+    w = Window.partitionBy("source").orderBy(
+        F.col("key").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars", key.alias("key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WSAMPLE_K)
+        .select("source", "doc_id", "n_chars", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+SQL_WEIGHTED_SAMPLE_K = f"""
+WITH h AS (
+  SELECT source, doc_id, n_chars,
+         round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0))
+               / CAST(n_chars AS DOUBLE), 15) AS key
+  FROM documents
+), r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY key DESC, doc_id ASC) AS rk
+  FROM h
+)
+SELECT source, doc_id, n_chars, CAST(rk AS INTEGER) AS rk
+FROM r WHERE rk <= {WSAMPLE_K}
+"""
+
+
 # --- Count-Min sketch: heavy-hitter counts with measured overestimate -------
 
 CMS_D = 4  # hash rows
@@ -3004,6 +3059,13 @@ SPECS = {
         SQL_EMBEDDING_CENTROIDS,
         "per-label embedding centroids (IVF coarse-quantizer construction)",
         ("similarity", "agg"),
+    ),
+    "weighted_sample_k": QuerySpec(
+        q_weighted_sample_k,
+        SQL_WEIGHTED_SAMPLE_K,
+        "Efraimidis-Spirakis weighted sample without replacement, k per "
+        "source (hash-deterministic, WindowGroupLimit top-k)",
+        ("documents", "window"),
     ),
     "cms_heavy_hitters": QuerySpec(
         q_cms_heavy_hitters,

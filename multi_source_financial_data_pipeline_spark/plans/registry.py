@@ -42,8 +42,8 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #:      changed to (source, md5-sub-shard) this round.
 #: Round-9 rotation backlog: media_png_channel_stats, sample_k_per_group,
 #: scd2_intervals, stream_scd2_closed, zorder_locality, and
-#: cms_heavy_hitters (landed after this window was sized, never
-#: driver-checked) first, then the 11 r05-green
+#: cms_heavy_hitters, and weighted_sample_k (landed after this window was
+#: sized, never driver-checked) first, then the 11 r05-green
 #: names that did not fit (lowest drift risk — simple aggs/windows):
 #: database_stats, global_summary, range_join_nearby, return_correlation,
 #: series_summary, table_stats, topn_orders_per_customer, trailing_7d_sum,

@@ -284,3 +284,23 @@ def test_cms_never_underestimates(spark, sf_dir):
     # the heaviest token is found and dominated by truth, not collisions
     top = t.sort_values("n_exact", ascending=False).iloc[0]
     assert top.n_est <= top.n_exact * 1.5
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """A-ES must tilt toward weight: the sampled docs' mean n_chars
+    exceeds the corpus mean (with length as the weight), every group
+    holds ≤ k rows, and the sample is reproducible (pure hash function —
+    two runs agree exactly)."""
+    import duckdb
+
+    a = _run(spark, sf_dir, "weighted_sample_k")
+    b = _run(spark, sf_dir, "weighted_sample_k")
+    key = ["source", "rk"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+    assert a.groupby("source").size().max() <= 10
+    corpus_mean = duckdb.sql(
+        f"SELECT avg(n_chars) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert a.n_chars.mean() > corpus_mean
