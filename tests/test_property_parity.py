@@ -305,3 +305,121 @@ def test_gap_fill_matches_pandas_ffill(spark, obs):
     np.testing.assert_array_equal(
         got["is_observed"].to_numpy(), s.notna().astype(int).to_numpy()
     )
+
+
+# --- round-8 additions: Wilder folds, Morton keys, CMS ----------------------
+
+wilder_series = st.lists(
+    st.floats(min_value=0.01, max_value=500.0, allow_nan=False).map(
+        lambda v: round(v, 2)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(vals=wilder_series)
+@settings(**SETTINGS)
+def test_wilder_fold_matches_reference(spark, vals):
+    """The grouped-map Wilder RSI fold equals a direct python replay on
+    randomized 2-decimal series — including <n-diff warmups (nulls), flat
+    stretches (0/0 → null RSI), and tie-heavy inputs."""
+    from multi_source_financial_data_pipeline_spark.operators.grouped import rsi_wilder_last
+
+    rows = [(1, i, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, value double")
+    got = rsi_wilder_last(
+        df, key="user_id", ts_col="ts", tiebreak="event_id", value_col="value"
+    ).collect()[0]
+    diffs = [vals[i] - vals[i - 1] for i in range(1, len(vals))]
+    if len(diffs) < 14:
+        assert got.rsi is None and got.avg_gain is None
+        return
+    gains = [max(d, 0.0) for d in diffs]
+    losses = [max(0.0 - d, 0.0) for d in diffs]
+
+    def wilder(xs):
+        acc = 0.0
+        for x in xs[:14]:
+            acc = acc + x
+        acc = acc / 14.0
+        for x in xs[14:]:
+            acc = (acc * 13.0 + x) / 14.0
+        return acc
+
+    ag, al = wilder(gains), wilder(losses)
+    assert got.avg_gain == ag and got.avg_loss == al
+    want = None if ag + al == 0.0 else 100.0 * ag / (ag + al)
+    assert got.rsi == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 12) - 1),
+            st.integers(min_value=0, max_value=(1 << 12) - 1),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_morton_key_bijective_and_monotone_per_tile(spark, pts):
+    """zorder_key must be a bijection of the (a, b) grid (deinterleaving
+    the bits recovers both inputs) and agree with a python reference."""
+    from multi_source_financial_data_pipeline_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(pts, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", zorder_key(F.col("a"), F.col("b"), 12).alias("z")).collect()
+    }
+    for (a, b), z in got.items():
+        want = 0
+        for i in range(12):
+            want |= ((a >> i) & 1) << (2 * i)
+            want |= ((b >> i) & 1) << (2 * i + 1)
+        assert z == want
+        # deinterleave round-trip
+        ra = sum(((z >> (2 * i)) & 1) << i for i in range(12))
+        rb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(12))
+        assert (ra, rb) == (a, b)
+
+
+@given(
+    toks=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(**SETTINGS)
+def test_cms_contract_on_random_multisets(spark, toks):
+    """CMS never underestimates any queried count, on arbitrary random
+    multisets driven through the REAL registered pipeline arithmetic."""
+    from collections import Counter
+
+    from multi_source_financial_data_pipeline_spark.plans.llmdata import (
+        CMS_D, CMS_W, _cms_hash,
+    )
+
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    rows = df.select(
+        "tok",
+        F.posexplode(
+            F.array(*[_cms_hash(F.col("tok"), j) for j in range(CMS_D)])
+        ).alias("j", "bucket"),
+    )
+    cms = {
+        (r.j, r.bucket): r.c
+        for r in rows.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    import hashlib
+
+    truth = Counter(toks)
+    for t, n in truth.items():
+        est = min(
+            cms[(j, int(hashlib.md5(f"cms{j}|{t}".encode()).hexdigest()[:8], 16) % CMS_W)]
+            for j in range(CMS_D)
+        )
+        assert est >= n
