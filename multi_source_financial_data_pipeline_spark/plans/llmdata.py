@@ -150,11 +150,17 @@ def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak — ln and the division are the identical IEEE expressions in
     both engines (1-ulp libm error sits far below the rounding grain, the
     registry's window-aggregate convention), and the rank filter compiles
-    to WindowGroupLimit like every top-k here."""
+    to WindowGroupLimit like every top-k here. u is the SHIFTED uniform
+    (h+1)/2³² ∈ (0, 1]: a zero md5 prefix (probability 2⁻³², i.e. a
+    certainty at corpus scale) would otherwise hit ln(0) — which Spark
+    NULLs but DuckDB raises on, a silent cross-engine divergence."""
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    u = sampling.hash_uniform(F.col("doc_id"))
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h32 + F.lit(1)) / F.lit(4294967296.0)
     key = F.round(F.log(u) / F.col("n_chars").cast("double"), 15)
     w = Window.partitionBy("source").orderBy(
         F.col("key").desc(), F.col("doc_id").asc()
@@ -170,8 +176,8 @@ def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_WEIGHTED_SAMPLE_K = f"""
 WITH h AS (
   SELECT source, doc_id, n_chars,
-         round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                   / 4294967296.0))
+         round(ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    + 1) / 4294967296.0))
                / CAST(n_chars AS DOUBLE), 15) AS key
   FROM documents
 ), r AS (

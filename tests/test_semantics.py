@@ -304,3 +304,19 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
         f"SELECT avg(n_chars) FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchone()[0]
     assert a.n_chars.mean() > corpus_mean
+
+
+def test_weighted_sample_key_defined_at_zero_hash():
+    """The A-ES key must be finite for the h=0 md5 prefix (a certainty at
+    corpus scale): the shifted uniform (h+1)/2^32 keeps ln() in-domain —
+    DuckDB RAISES on ln(0) while Spark nulls it, so the unshifted form
+    was a silent cross-engine divergence waiting for one unlucky doc_id."""
+    import duckdb
+
+    lo = duckdb.sql(
+        "SELECT round(ln((0 + 1) / 4294967296.0) / 100.0, 15)"
+    ).fetchone()[0]
+    hi = duckdb.sql(
+        "SELECT round(ln((4294967295 + 1) / 4294967296.0) / 100.0, 15)"
+    ).fetchone()[0]
+    assert lo < 0 and hi == 0.0
