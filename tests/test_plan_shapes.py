@@ -834,7 +834,7 @@ def test_window_partition_key_audit(spark, sf_dir):
             else:
                 ok = False
             if not ok:
-                flagged.append((name, keys, "agg" if has_agg else "raw"))
+                flagged.append((name, keys, "agg" if bounded_below else "raw"))
     assert flagged == [], f"unclassified window partition keys: {flagged}"
     stale = set(_LOW_CARD_RAW_OK) - used
     assert stale == set(), f"stale _LOW_CARD_RAW_OK entries: {stale}"

@@ -74,9 +74,19 @@ def test_kmv_within_textbook_error(spark, sf_dir):
 
 
 def test_equi_depth_bins_are_equal_depth_and_ordered(spark, sf_dir):
+    """The exact row-level ntile twin owes the strict depth contract
+    (max−min ≤ 1); the histogram formulation shares bins between value
+    ties BY DESIGN, so its depth deviates by the tie mass — its depth
+    bound (tie-mass-relative) lives in
+    test_equi_depth_bins_agree_with_ntile_twin, and here it owes only
+    ordered, non-overlapping value ranges. Both contracts hold at every
+    SF (the old fixed ≤1 depth assertion on the histogram plan broke at
+    sf0.01, where tie mass grows with data volume)."""
+    nt = _run(spark, sf_dir, "equi_depth_bins_ntile")
+    for t, g in nt.groupby("event_type"):
+        assert g.n.max() - g.n.min() <= 1, t  # ntile depth contract
     b = _run(spark, sf_dir, "equi_depth_bins")
     for t, g in b.groupby("event_type"):
-        assert g.n.max() - g.n.min() <= 1, t  # ntile depth contract
         g = g.sort_values("bin")
         # bins partition the value axis in order
         assert (g.lo.values[1:] >= g.hi.values[:-1]).all(), t
