@@ -142,8 +142,18 @@ def scd2_closed_intervals(
             state.get if state.exists else (None, None, None)
         )
         closed: list[tuple] = []
-        for pdf in batches:
-            pdf = pdf.sort_values([ts_col, tiebreak_col])
+        # Drain ALL Arrow chunks and sort the group ONCE: Spark splits a
+        # group's micro-batch rows into ~arrow.maxRecordsPerBatch-sized
+        # chunks whose relative order after the hash shuffle is arbitrary,
+        # so sorting each chunk independently folds events out of time
+        # order for any key with more rows than one chunk. Materializing
+        # the group's batch is the same per-(key, micro-batch) memory
+        # bound the batch applyInPandas folds already carry.
+        chunks = [c for c in batches if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                [ts_col, tiebreak_col]
+            )
             for row in pdf.itertuples(index=False):
                 st = getattr(row, state_col)
                 ts_us = int(getattr(row, ts_col).value // 1000)

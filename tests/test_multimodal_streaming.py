@@ -403,3 +403,80 @@ def test_stream_scd2_state_survives_restart(spark, sf_dir, tmp_path):
     # a close SPANNING the restart boundary proves state restoration
     spanned = [r for r in a if r[2] < cutoff <= r[3]]
     assert spanned, "no interval crossed the restart boundary"
+
+
+def test_stream_scd2_hot_key_spanning_arrow_chunks(spark, tmp_path):
+    """A key whose micro-batch rows exceed arrow.maxRecordsPerBatch reaches
+    the stateful fold as MULTIPLE pandas chunks whose relative order after
+    the hash shuffle is arbitrary — the fold must globally sort the group,
+    not each chunk. Regression: rows land in DESCENDING event time with a
+    16-row chunk size, so a per-chunk sort folds time backwards and emits
+    wrong intervals; the global sort must reproduce the exact alternating
+    history."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from multi_source_financial_data_pipeline_spark.streaming.ingest import read_event_stream
+    from multi_source_financial_data_pipeline_spark.streaming.stateful import scd2_closed_intervals
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = datetime.datetime(2024, 1, 1)
+    n = 200
+    rows = [
+        (
+            7,
+            base + datetime.timedelta(microseconds=i),
+            i,
+            "A" if i % 2 == 0 else "B",
+        )
+        for i in range(n)
+    ]
+    rows.reverse()  # land in descending event time
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(landing)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        closed = scd2_closed_intervals(
+            read_event_stream(spark, landing, schema),
+            key_col="user_id", ts_col="ts",
+            tiebreak_col="event_id", state_col="event_type",
+        )
+        q = (
+            closed.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    base_us = int(base.timestamp() * 1_000_000)
+    want = {
+        (7, "A" if i % 2 == 0 else "B", base_us + i, base_us + i + 1)
+        for i in range(n - 1)
+    }
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("key", "state_value", "valid_from_us", "valid_to_us")
+        .collect()
+    }
+    assert got == want
