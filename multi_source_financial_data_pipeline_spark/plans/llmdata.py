@@ -503,9 +503,18 @@ def q_semdedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     `similarity.semdedup_screen`: ONE shuffle by cell, each cell scored as
     a dim-ordered Arrow matmul — the assign subtree (quantizer argmax, the
     dominant cost at bench scale) is referenced exactly ONCE (the r06
-    cell-equi anti-join referenced it twice; VERDICT item 6)."""
+    cell-equi anti-join referenced it twice; VERDICT item 6).
+
+    The quantizer is CORPUS-ADAPTIVE (r08 VERDICT item 5): nlist =
+    max(IVF_NLIST, ceil(n / SEMDEDUP_CELL_TARGET)), so the expected cell
+    size stays ~SEMDEDUP_CELL_TARGET and the screening cost stays
+    ~n * SEMDEDUP_CELL_TARGET (linear) as the corpus grows — the 30x probe
+    proved a FIXED nlist degenerates quadratically (PERF.md). The count
+    that sizes it is parquet-metadata-only (no data scan), the price any
+    index build pays."""
     emb = _t(spark, sf_dir, "embeddings")
-    assign = similarity.ivf_assign(emb, nlist=IVF_NLIST)
+    nlist = _adaptive_nlist(emb.count())
+    assign = similarity.ivf_assign(emb, nlist=nlist)
     return similarity.semdedup_screen(assign, COS_THRESHOLD)
 
 
@@ -516,10 +525,14 @@ def q_semdedup_kept_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     by cell, so the screening reads the inverted lists ONCE (the on-disk
     layout already co-locates each cell) and the corpus is never
     re-assigned — the quantizer argmax that dominates the in-plan variant's
-    cost disappears entirely. Same results, shared oracle."""
+    cost disappears entirely. Same results, shared oracle. Sized by the
+    same corpus-adaptive `_adaptive_nlist` rule as the in-plan variant
+    (the nlist is part of the index cache identity, so the ANN path's
+    fixed-nlist index and this one coexist)."""
     import os
 
-    index_dir = _ensure_ivf_index(spark, sf_dir)
+    nlist = _adaptive_nlist(_t(spark, sf_dir, "embeddings").count())
+    index_dir = _ensure_ivf_index(spark, sf_dir, nlist=nlist)
     cells = spark.read.parquet(os.path.join(index_dir, "cells"))
     a = cells.select(
         F.col("cand_id").alias("vec_id"), F.col("cv").alias("v"), "cell"
@@ -529,7 +542,7 @@ def q_semdedup_kept_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_semdedup() -> str:
     return f"""
-{_sql_ivf_common()}
+{_sql_ivf_common(adaptive_seed_bound=True)}
 SELECT a.vec_id, a.cell FROM assign a
 WHERE NOT EXISTS (
   SELECT 1 FROM assign b
@@ -1060,6 +1073,17 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
 IVF_NLIST = 16
 IVF_NPROBE = 2
 
+#: SemDeDup sizing rule (r08 VERDICT item 5): hold the EXPECTED cell size
+#: constant so the cell-local pair search stays linear in the corpus.
+SEMDEDUP_CELL_TARGET = 64
+
+
+def _adaptive_nlist(n_vectors: int) -> int:
+    """nlist = max(IVF_NLIST, ceil(n / SEMDEDUP_CELL_TARGET)) — the
+    corpus-proportional quantizer size. Mirrored verbatim by the DuckDB
+    scalar subquery in `_sql_ivf_common(adaptive_seed_bound=True)`."""
+    return max(IVF_NLIST, -(-n_vectors // SEMDEDUP_CELL_TARGET))
+
 
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_assign(
@@ -1120,14 +1144,16 @@ def _ivf_cache_root() -> str:
 _FALLBACK_CACHE_ROOT: str | None = None
 
 
-def _ivf_index_dir(sf_dir: str) -> str:
+def _ivf_index_dir(sf_dir: str, nlist: int) -> str:
     import os
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(_ivf_cache_root(), f"{tag}_nlist{IVF_NLIST}")
+    return os.path.join(_ivf_cache_root(), f"{tag}_nlist{nlist}")
 
 
-def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+def _ensure_ivf_index(
+    spark: SparkSession, sf_dir: str, nlist: int = IVF_NLIST
+) -> str:
     """Build the materialized IVF index for this sf_dir if absent or stale
     (source parquet changed). The marker records the source identity so a
     regenerated testdata tree invalidates the cached index.
@@ -1141,11 +1167,11 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     import tempfile
 
-    index_dir = _ivf_index_dir(sf_dir)
+    index_dir = _ivf_index_dir(sf_dir, nlist)
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     ident = {"src": src, "mtime_ns": st.st_mtime_ns, "size": st.st_size,
-             "nlist": IVF_NLIST}
+             "nlist": nlist}
 
     def _marker_matches(d: str) -> bool:
         try:
@@ -1162,7 +1188,7 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     )
     try:
         similarity.build_ivf_index(
-            spark, _t(spark, sf_dir, "embeddings"), build_dir, nlist=IVF_NLIST
+            spark, _t(spark, sf_dir, "embeddings"), build_dir, nlist=nlist
         )
         with open(os.path.join(build_dir, "_built.json"), "w") as fh:
             json.dump(ident, fh)
@@ -1209,7 +1235,7 @@ _SQL_IVF_RANK = (
 
 _SQL_IVF_COMMON = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {IVF_NLIST}),
+seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {{seed_bound}}),
 assign AS (
   SELECT vec_id, v, cell, cell_sim FROM (
     SELECT e.vec_id, e.v, s.seed_id AS cell,
@@ -1221,8 +1247,19 @@ assign AS (
 """
 
 
-def _sql_ivf_common() -> str:
-    return _SQL_IVF_COMMON.format(cos_es=_sql_cos("e.v", "s.sv"))
+def _sql_ivf_common(adaptive_seed_bound: bool = False) -> str:
+    """The shared (e, seeds, assign) CTE. With `adaptive_seed_bound` the
+    quantizer size is the corpus-adaptive rule `_adaptive_nlist` computes
+    on the Spark side, expressed as a scalar subquery so both engines
+    derive the SAME nlist from the data (greatest = max; ceil(n/T) of two
+    positive integers is exact in both engines on this grid)."""
+    bound = (
+        f"(SELECT greatest({IVF_NLIST}, "
+        f"ceil(count(*) / {SEMDEDUP_CELL_TARGET}.0)) FROM e)"
+        if adaptive_seed_bound
+        else str(IVF_NLIST)
+    )
+    return _SQL_IVF_COMMON.format(cos_es=_sql_cos("e.v", "s.sv"), seed_bound=bound)
 
 
 SQL_IVF_ASSIGN = f"""

@@ -29,14 +29,15 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #: checked window across rounds to get every query a fresh green row on
 #: record. Round-9 window (executes VERDICT r08 item 1), in order:
 #:   1. the 7 round-8 additions never driver-checked;
-#:   2. semdedup_kept — r07-green but reformulated THIS round onto a
-#:      corpus-adaptive nlist (VERDICT item 5): its fresh row checks the
+#:   2. semdedup_kept (and, in the backfill slot lsh_bucket vacated,
+#:      semdedup_kept_probe) — r07-green but reformulated THIS round onto
+#:      a corpus-adaptive nlist (VERDICT item 5): fresh rows check the
 #:      new quantizer sizing;
 #:   3. the 11 r05-green names whose rows are now four rounds old
 #:      (lowest drift risk — simple aggs/windows);
 #:   4. backfill with the oldest r06 rows in their original gate order
 #:      (31 slots).
-#: Round-10 rotation backlog: lsh_neardup_pairs plus the 18 remaining
+#: Round-10 rotation backlog: lsh_bucket and lsh_neardup_pairs plus the 18 remaining
 #: r06 names (asof_join, sessionize, skewed_event_rollup, ewma_last,
 #: funnel_conversion, token_stats, q1_pricing_summary, q3_top_revenue,
 #: q4_order_priority, q5_region_revenue, q6_forecast_revenue,
@@ -97,7 +98,8 @@ _GATE_PRIORITY = (
     "minhash_lsh_pairs",
     "ann_topk",
     "embedding_neardup",
-    "lsh_bucket",
+    # -- 5. reformulated in round 9 (shares the adaptive-nlist oracle) -----
+    "semdedup_kept_probe",
 )
 
 

@@ -113,6 +113,16 @@ PROBE_QUERIES = [
     # family (r07 measured the old equi_depth_bins at 4.6 s here)
     "winsorized_stats",
     "sample_k_per_group",
+    # round-9 (r08 VERDICT items 7-8): the r08 primitives not yet probed —
+    # CMS (fixed (depth, width) counter grid, mergeable), weighted A-ES
+    # sampling (WindowGroupLimit caps shuffle at k/group/partition), the
+    # Z-order write path (Morton-code range partition — the WRITE is the
+    # operator), and the batch SCD2 interval collapse (stacked per-user
+    # lag/lead windows; the hot-user skew leg runs separately below)
+    "cms_heavy_hitters",
+    "weighted_sample_k",
+    "zorder_locality",
+    "scd2_intervals",
 ]
 
 

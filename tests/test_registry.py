@@ -76,9 +76,10 @@ def test_gate_window_fronts_never_checked_then_oldest():
     }
     # a query whose FORMULATION changed since its latest row may re-enter
     # the window even though that row is recent — the old green row proves
-    # the old plan, not the new one (r08: winsorized_stats was rewritten
-    # from the percentile-window shape onto histogram cutoffs)
-    reformulated_ok = {"winsorized_stats"}
+    # the old plan, not the new one (r08: winsorized_stats rewritten onto
+    # histogram cutoffs; r09: both semdedup variants moved to the
+    # corpus-adaptive nlist quantizer)
+    reformulated_ok = {"winsorized_stats", "semdedup_kept", "semdedup_kept_probe"}
     assert r06_new <= set(window[:17]) | (ever_recorded - set(window)) | reformulated_ok
     # no slot is wasted on a query checked in the latest round, except the
     # justified reformulations above
