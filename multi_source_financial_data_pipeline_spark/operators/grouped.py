@@ -10,8 +10,19 @@ receive the same pre-computed (α, 1-α) double literals because ``1 - α``
 re-derived independently can differ in the last bit.
 
 Scale: groups are processed in parallel across executors; the per-group
-sequential loop is inherent to the recursion itself. Keys must fit a task
-(bounded per-key history), which holds for per-ticker/per-user series.
+sequential loop is inherent to the recursion itself. A key's ENTIRE history
+materializes in one task's pandas frame (applyInPandas does not chunk), so
+per-key history must be bounded — true by construction for bar series
+(50 years of daily bars ≈ 1.2e4 rows; a decade of 1-minute bars ≈ 2.5e6).
+The bound is ENFORCED, not assumed: each fold raises a clear ValueError
+above ``max_rows`` (default ``GROUPED_FOLD_MAX_ROWS``) instead of letting
+an unbounded key surface as an opaque executor OOM; callers with genuinely
+longer series must pre-aggregate to bars first (resample), which is the
+correct financial-series treatment anyway. These recursions cannot be
+segment-composed without changing float-op order (EWMA segments compose
+affinely, CUSUM in (max,+) — but both reorder arithmetic), which would
+break the bit-exact oracle replay contract, so the bound IS the scale
+design, measured by the hot-key probe in scale_probe.py (PERF.md).
 """
 
 from __future__ import annotations
@@ -23,6 +34,21 @@ from pyspark.sql import types as T
 
 if TYPE_CHECKING:
     import pandas as pd
+
+#: Hard per-key history bound for every grouped-map fold below: ~8M rows
+#: × 4 cols × 8 B ≈ 256 MB of Arrow/pandas per task at the limit —
+#: comfortably inside an executor task's memory, far above any bar series.
+GROUPED_FOLD_MAX_ROWS = 8_000_000
+
+
+def _check_group_rows(n: int, key_value: object, max_rows: int) -> None:
+    if n > max_rows:
+        raise ValueError(
+            f"grouped-map fold: key {key_value!r} has {n} rows, above the "
+            f"per-key history bound {max_rows}; this family materializes "
+            "one key's full history per task — pre-aggregate the series "
+            "to bars (resample) before folding"
+        )
 
 EWMA_SCHEMA = T.StructType(
     [
@@ -40,6 +66,7 @@ def ewma_last(
     tiebreak: str,
     value_col: str,
     alpha: float = 0.3,
+    max_rows: int = GROUPED_FOLD_MAX_ROWS,
 ) -> DataFrame:
     """Final EWMA value per key over the (ts, tiebreak)-ordered series."""
     a = float(alpha)
@@ -48,6 +75,7 @@ def ewma_last(
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
+        _check_group_rows(len(pdf), pdf[key].iloc[0], max_rows)
         s = pdf.sort_values([ts_col, tiebreak])[value_col].to_numpy()
         y = float(s[0])
         for x in s[1:]:
@@ -78,6 +106,7 @@ def cusum_last(
     ts_col: str,
     tiebreak: str,
     value_col: str,
+    max_rows: int = GROUPED_FOLD_MAX_ROWS,
 ) -> DataFrame:
     """Final one-sided CUSUM statistics per key against the key's own mean:
     c⁺ = max(0, c⁺ + (x − μ)) and c⁻ = max(0, c⁻ − (x − μ)) folded over
@@ -91,6 +120,7 @@ def cusum_last(
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
+        _check_group_rows(len(pdf), pdf[key].iloc[0], max_rows)
         s = pdf.sort_values([ts_col, tiebreak])[value_col].to_numpy()
         total = 0.0
         for x in s:
@@ -136,6 +166,7 @@ def macd_last(
     fast: int = 12,
     slow: int = 26,
     signal: int = 9,
+    max_rows: int = GROUPED_FOLD_MAX_ROWS,
 ) -> DataFrame:
     """Final MACD state per key: three coupled EWMA recursions (fast EMA,
     slow EMA, and the signal EMA *of their difference*) in one ordered
@@ -158,6 +189,7 @@ def macd_last(
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
+        _check_group_rows(len(pdf), pdf[key].iloc[0], max_rows)
         s = pdf.sort_values([ts_col, tiebreak])[value_col].to_numpy()
         e_f = float(s[0])
         e_s = float(s[0])
@@ -201,6 +233,7 @@ def rsi_wilder_last(
     tiebreak: str,
     value_col: str,
     n: int = 14,
+    max_rows: int = GROUPED_FOLD_MAX_ROWS,
 ) -> DataFrame:
     """Final Wilder-smoothed RSI state per key (the industry-standard RSI;
     `plans/financial.q_rsi` is the window-expressible Cutler variant): the
@@ -219,6 +252,7 @@ def rsi_wilder_last(
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
+        _check_group_rows(len(pdf), pdf[key].iloc[0], max_rows)
         s = pdf.sort_values([ts_col, tiebreak])[value_col].to_numpy()
         diffs = [float(s[i]) - float(s[i - 1]) for i in range(1, len(s))]
         out = {"key": [pdf[key].iloc[0]], "n_rows": [len(s)]}
@@ -262,6 +296,7 @@ def wilder_last(
     order_col: str,
     value_col: str,
     n: int = 14,
+    max_rows: int = GROUPED_FOLD_MAX_ROWS,
 ) -> DataFrame:
     """Final Wilder-smoothed value per key: mean of the first n values,
     then acc ← (acc·(n−1) + x)/n per later value — the ATR/ADX smoothing
@@ -273,6 +308,7 @@ def wilder_last(
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
+        _check_group_rows(len(pdf), pdf[key].iloc[0], max_rows)
         s = pdf.sort_values(order_col)[value_col].to_numpy()
         out = {"key": [pdf[key].iloc[0]], "n_rows": [len(s)]}
         if len(s) < n:

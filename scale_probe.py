@@ -250,6 +250,55 @@ def media_real_scaled(spark, k: int) -> dict:
     return {"n_media": n, "sec": round(time.perf_counter() - t0, 3)}
 
 
+def fold_skew_probe(spark, k: int) -> dict:
+    """r08 VERDICT items 4+7: one SINGLE hot key with 60k*k change-heavy
+    rows (every row flips event_type, the SCD2 worst case) alongside 200
+    cold 1k-row keys. Measures (a) how the grouped-map fold family degrades
+    when one key concentrates k*60k rows in one task — the per-key history
+    bound GROUPED_FOLD_MAX_ROWS is the documented ceiling, this is the
+    approach curve — and (b) the batch SCD2 stacked lag/lead windows under
+    the same hot user (its whole history rides one window task)."""
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC
+    d = tempfile.mkdtemp(prefix="msfdp_hotkey_")
+    out: dict[str, object] = {"hot_rows": 60_000 * k}
+    try:
+        hot = spark.range(60_000 * k).select(
+            F.lit(10_000_000).alias("user_id"),
+            F.timestamp_micros(F.lit(base_us) + F.col("id")).alias("ts"),
+            F.col("id").alias("event_id"),
+            F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias(
+                "event_type"
+            ),
+            ((F.col("id") % 97) / F.lit(10.0)).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        cold = spark.range(200 * 1_000).select(
+            (F.col("id") % 200).alias("user_id"),
+            F.timestamp_micros(F.lit(base_us) + F.col("id")).alias("ts"),
+            (F.col("id") + 100_000_000).alias("event_id"),
+            F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias(
+                "event_type"
+            ),
+            ((F.col("id") % 97) / F.lit(10.0)).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        hot.unionByName(cold).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        for name in ("macd_last", "cusum_drift", "scd2_intervals"):
+            QUERIES[name].fn(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[name] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def connector_ingest_latency(spark) -> dict:
     """Ingest wall-clock at many tickers under a per-request politeness
     delay (r07 VERDICT item 9): T one-request-per-ticker partitions, each
@@ -371,6 +420,7 @@ def main() -> None:
         frontier = ann_frontier(spark, dst)
         media = media_real_scaled(spark, k)
         ingest = connector_ingest_latency(spark)
+        fold_skew = fold_skew_probe(spark, k)
         print(
             json.dumps(
                 {
@@ -382,6 +432,7 @@ def main() -> None:
                     "ann_frontier": frontier,
                     "media_real_decode_scaled": media,
                     "connector_ingest": ingest,
+                    "fold_skew": fold_skew,
                     "unit": "sec",
                 }
             )

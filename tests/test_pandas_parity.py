@@ -356,3 +356,35 @@ def test_kmv_estimate_properties(spark):
     big = out["big"]
     assert big["n_exact"] == 2000
     assert abs(big["kmv_estimate"] - 2000) / 2000 < 3.0 / (KMV_K - 1) ** 0.5
+
+
+def test_grouped_fold_enforces_per_key_history_bound(spark):
+    """The grouped-map folds materialize one key's FULL history per task
+    (applyInPandas does not chunk), so per-key history is a hard bound —
+    enforced with a clear error, not an opaque executor OOM. A key above
+    `max_rows` must fail with the pre-aggregate guidance; the same data
+    under the default bound folds fine."""
+    from multi_source_financial_data_pipeline_spark.operators import grouped
+
+    rows = [(7, float(i), i, 100.0 + i % 3) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "user_id long, day double, event_id long, value double"
+    )
+    out = grouped.ewma_last(df, "user_id", "day", "event_id", "value")
+    assert out.count() == 1  # default bound: folds normally
+
+    capped = grouped.ewma_last(
+        df, "user_id", "day", "event_id", "value", max_rows=10
+    )
+    with pytest.raises(Exception) as ei:
+        capped.collect()
+    assert "per-key history bound" in str(ei.value)
+    assert "pre-aggregate" in str(ei.value)
+
+    # same contract on the most expensive member of the family
+    capped_macd = grouped.macd_last(
+        df, "user_id", "day", "event_id", "value", max_rows=10
+    )
+    with pytest.raises(Exception) as ei:
+        capped_macd.collect()
+    assert "per-key history bound" in str(ei.value)
