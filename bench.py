@@ -159,6 +159,9 @@ HEADLINE = [
     # round-8: the new pure-stdlib PNG codec (zlib inflate + per-row filter
     # reconstruction) — the heaviest per-byte Python path in the repo
     "media_png_channel_stats",
+    # round-9: the baseline JPEG codec (T.81 Huffman entropy decode + 8x8
+    # IDCT) — the only entropy-coded format, a new per-byte cost class
+    "media_jpeg_channel_stats",
     # round-8: Morton-key locality audit (pure codegen bit arithmetic)
     "zorder_locality",
     # round-8: Count-Min sketch build + probe (second sketch family)

@@ -6,12 +6,14 @@ Arrow-batched pandas DataFrames, per-partition batching, deterministic
 output shapes — and so are the codecs for every format the stdlib can
 carry: 24-bit BMP decode + nearest-neighbor resize + re-encode, 8-bit PNG
 decode/encode/resize (zlib inflate + all five RFC 2083 scanline filters,
-CRC-validated), PCM-16 WAV decode (headers AND pixel/sample content), and
-YUV4MPEG2 frame demux, all pure `struct`/`zlib` parsing with strict
-magic+length detection. Formats that genuinely need external
-entropy-coding libraries (JPEG/MP4…) fall back to a deterministic md5
-stub; ``require_codecs=True`` raises NotImplementedError at exactly that
-boundary, where PIL/ffmpeg would plug in.
+CRC-validated), PCM-16 WAV decode (headers AND pixel/sample content),
+YUV4MPEG2 frame demux, and baseline JPEG encode/decode (the full T.81
+entropy pipeline — Huffman, byte stuffing, differential DC, zigzag,
+quantization, 8×8 DCT — in `operators/jpegcodec`), all pure
+stdlib+numpy with strict magic+length detection. Container formats that
+still need external demux/codec libraries (MP4/OGG…) fall back to a
+deterministic md5 stub; ``require_codecs=True`` raises
+NotImplementedError at exactly that boundary, where ffmpeg would plug in.
 
 Scale notes: binary payloads ride in parquet as byte arrays; keep
 ``spark.sql.files.maxPartitionBytes`` low enough that a partition of blobs
@@ -29,6 +31,8 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
+
+from multi_source_financial_data_pipeline_spark.operators.jpegcodec import jpeg_encode, parse_jpeg
 
 if TYPE_CHECKING:
     import pandas as pd
@@ -100,8 +104,8 @@ def _fake_decode(data: bytes | None) -> tuple[int | None, int | None, list[float
 # (RIFF/WAVE, PCM 16-bit) are fully specified header-plus-samples formats
 # parseable with `struct` alone — so the decode step is REAL byte-level
 # decoding for these kinds, with the md5 stub kept only for formats that
-# genuinely need an external codec (JPEG/MP4...; PNG is real too — see
-# the zlib section below). Detection is strict
+# genuinely need an external codec (MP4/OGG containers...; PNG — zlib
+# section below — and baseline JPEG — operators/jpegcodec — are real too). Detection is strict
 # (magic AND the header's own size field must equal the actual payload
 # length), so an arbitrary blob can't false-positive into a parser.
 
@@ -197,11 +201,24 @@ def _decode_wav(data: bytes) -> dict | None:
     }
 
 
+def _decode_jpeg(data: bytes) -> dict | None:
+    """JPEG → dimensions + mean color intensity (mirrors `_decode_png`:
+    mean over the decoded RGB bytes; gray JPEGs over the single plane)."""
+    parsed = parse_jpeg(data)
+    if parsed is None:
+        return None
+    w, h, ch = parsed["width"], parsed["height"], parsed["channels"]
+    total = 0
+    for row in parsed["rows"]:
+        total += sum(row)
+    return {"width": w, "height": h, "feature": [total / (w * h * ch * 255.0)]}
+
+
 def _decode_any(data: bytes | None) -> dict:
     """Dispatch: real parser when the payload IS a real format, md5 stub
     otherwise. Every key of FEATURE_SCHEMA (minus id/kind/n_bytes) present;
     ``codec`` records which path handled the payload
-    (bmp | png | wav | stub)."""
+    (bmp | png | jpeg | wav | stub)."""
     out = {
         "width": None, "height": None,
         "sample_rate": None, "duration_ms": None, "feature": [], "codec": None,
@@ -213,7 +230,12 @@ def _decode_any(data: bytes | None) -> dict:
     # the parsers validate defensively but struct offsets on adversarial
     # bytes are still belt-and-braces-guarded here
     parsed = None
-    for codec, fn in (("bmp", _decode_bmp), ("png", _decode_png), ("wav", _decode_wav)):
+    for codec, fn in (
+        ("bmp", _decode_bmp),
+        ("png", _decode_png),
+        ("jpeg", _decode_jpeg),
+        ("wav", _decode_wav),
+    ):
         try:
             parsed = fn(data)
         except (struct.error, ValueError, ZeroDivisionError):
@@ -656,6 +678,46 @@ def synthetic_png_media(spark: SparkSession, n: int = 100, seed: int = 7) -> Dat
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synthetic_jpeg_media(spark: SparkSession, n: int = 100, seed: int = 7) -> DataFrame:
+    """Real baseline JPEG blobs, generated distributed. Each image is
+    CONSTANT PER 8x8 BLOCK with the block color a closed-form function of
+    (media_id, bx, by), which makes the whole lossy encode->decode
+    pipeline a deterministic integer map (constant blocks put all energy
+    in the DC coefficient; see operators/jpegcodec module docstring) — so
+    a SQL oracle can replay quantization exactly while the decode still
+    exercises Huffman, byte stuffing, differential DC across blocks, and
+    the IDCT."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w, h = 8 * (2 + mid % 2), 8 * (1 + mid % 3 % 2)
+                logical = []
+                for y in range(h):
+                    row = bytearray()
+                    by = y // 8
+                    for x in range(w):
+                        bx = x // 8
+                        row += bytes([
+                            (mid * 7 + 31 * bx + 17 * by + seed) % 256,
+                            (mid * 11 + 13 * bx + 29 * by + seed) % 256,
+                            (mid * 3 + 23 * bx + 19 * by + seed) % 256,
+                        ])
+                    logical.append(bytes(row))
+                rows.append(
+                    {"media_id": mid, "kind": "image",
+                     "data": jpeg_encode(w, h, logical),
+                     "meta": {"codec": "jpeg/baseline"}}
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 #: per-channel image means + audio energy, one row per media payload
 CHANNEL_STATS_SCHEMA = T.StructType(
     [
@@ -708,6 +770,27 @@ def _png_channel_means(data: bytes) -> tuple[float, float, float] | None:
     return (sums[0] / denom, sums[1] / denom, sums[2] / denom)
 
 
+def _jpeg_channel_means(data: bytes) -> tuple[float, float, float] | None:
+    """Per-channel (R, G, B) means over the baseline-JPEG-decoded pixel
+    grid; gray JPEGs return the same mean on all three channels. The sums
+    run over the DECODED bytes, so the value is engine-exact against an
+    oracle that replays the documented quantization round-trip."""
+    parsed = parse_jpeg(data)
+    if parsed is None:
+        return None
+    w, h, ch = parsed["width"], parsed["height"], parsed["channels"]
+    if ch == 1:
+        total = sum(sum(row) for row in parsed["rows"])
+        mean = total / (w * h * 255.0)
+        return (mean, mean, mean)
+    sums = [0, 0, 0]
+    for row in parsed["rows"]:
+        for c in range(3):
+            sums[c] += sum(row[c::ch])
+    denom = w * h * 255.0
+    return (sums[0] / denom, sums[1] / denom, sums[2] / denom)
+
+
 def _wav_rms(data: bytes) -> float | None:
     """RMS energy of the PCM-16 samples, normalized to [0, 1]: integer
     sum of squares, one division, one IEEE sqrt (correctly rounded, so
@@ -732,7 +815,7 @@ def media_channel_stats(media: DataFrame) -> DataFrame:
     `mapInPandas` pass — the feature-extraction stage a multimodal curation
     pipeline runs before filtering (e.g. drop near-black images, drop
     near-silent audio). Real byte-level decoding, no stub path: payloads
-    that parse as none of BMP/PNG/WAV yield all-null stats. Channel columns
+    that parse as none of BMP/PNG/JPEG/WAV yield all-null stats. Channel columns
     are named by color (mean_b/g/r), filled from BMP's B-G-R byte order or
     PNG's R-G-B order as appropriate."""
 
@@ -759,7 +842,15 @@ def media_channel_stats(media: DataFrame) -> DataFrame:
                             if png is not None:
                                 rec["mean_r"], rec["mean_g"], rec["mean_b"] = png
                             else:
-                                rec["rms"] = _wav_rms(data)
+                                jpg = _jpeg_channel_means(data)
+                                if jpg is not None:
+                                    (
+                                        rec["mean_r"],
+                                        rec["mean_g"],
+                                        rec["mean_b"],
+                                    ) = jpg
+                                else:
+                                    rec["rms"] = _wav_rms(data)
                     except (struct.error, ValueError, ZeroDivisionError):
                         pass
                 out.append(rec)
@@ -801,11 +892,12 @@ def decode_media_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over the binary column. The pandas
     iterator shape (schema in == MEDIA_SCHEMA, schema out == FEATURE_SCHEMA,
-    multiple batches per partition) is the production plumbing. BMP and WAV
-    payloads are decoded for real, byte-level (`_decode_bmp`/`_decode_png`/
-    `_decode_wav` — pure stdlib); other formats fall back to the deterministic md5 stub,
+    multiple batches per partition) is the production plumbing. BMP, PNG,
+    baseline JPEG and WAV payloads are decoded for real, byte-level
+    (`_decode_bmp`/`_decode_png`/`_decode_jpeg`/`_decode_wav` — pure
+    stdlib+numpy); other formats fall back to the deterministic md5 stub,
     or raise NotImplementedError when ``require_codecs=True`` (the exact
-    boundary where PIL/ffmpeg would plug in)."""
+    boundary where ffmpeg would plug in for container demux)."""
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -818,8 +910,9 @@ def decode_media_features(
                     out = _decode_any(d)
                     if require_codecs and out["codec"] == "stub":
                         raise NotImplementedError(
-                            "payload is not a BMP/PNG/WAV and real codecs "
-                            "(PIL/ffmpeg) are not available in this environment"
+                            "payload is not a BMP/PNG/JPEG/WAV and real "
+                            "container codecs (ffmpeg) are not available "
+                            "in this environment"
                         )
                     decoded.append(out)
                 yield pd.DataFrame(

@@ -480,3 +480,126 @@ def test_stream_scd2_hot_key_spanning_arrow_chunks(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_jpeg_round_trip_and_strict_detection():
+    """Baseline JPEG codec (operators/jpegcodec): gradient images must
+    round-trip within lossy-codec error bounds (PSNR — the Annex K
+    tables' expected fidelity), block-constant images must round-trip
+    within the +/-1 DC-quantization step, a restart-interval stream must
+    decode identically to the plain stream, and corrupt payloads must
+    reject rather than mis-decode."""
+    import os
+
+    import numpy as np
+
+    from multi_source_financial_data_pipeline_spark.operators import jpegcodec as J
+    from multi_source_financial_data_pipeline_spark.operators import multimodal as mm
+
+    for w, h in [(8, 8), (24, 16), (17, 9)]:  # incl. non-multiple-of-8 pad
+        # smooth gradients (no wrap discontinuities): sharp sawtooth edges
+        # legitimately ring at Annex-K quantization strength, which would
+        # test the tables' aggressiveness, not the codec's correctness
+        rows = [
+            bytes(
+                b
+                for x in range(w)
+                for b in (
+                    min(255, 30 + x * 4 + y * 3),
+                    min(255, 60 + x * 3 + y * 5),
+                    min(255, 90 + x * 2 + y * 4),
+                )
+            )
+            for y in range(h)
+        ]
+        data = J.jpeg_encode(w, h, rows)
+        dec = J.parse_jpeg(data)
+        assert dec is not None
+        assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 3)
+        orig = np.frombuffer(b"".join(rows), dtype=np.uint8).astype(float)
+        got = np.frombuffer(b"".join(dec["rows"]), dtype=np.uint8).astype(float)
+        psnr = 10 * np.log10(255.0**2 / max(np.mean((orig - got) ** 2), 1e-12))
+        assert psnr > 30.0, (w, h, psnr)
+
+    # block-constant: within one DC quantization step everywhere
+    w, h = 16, 16
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            bx, by = x // 8, y // 8
+            row += bytes([40 + 90 * bx + 30 * by, 70 + 50 * bx, 120 + 20 * by])
+        rows.append(bytes(row))
+    data = J.jpeg_encode(w, h, rows)
+    dec = J.parse_jpeg(data)
+    orig = np.frombuffer(b"".join(rows), dtype=np.uint8).astype(float)
+    got = np.frombuffer(b"".join(dec["rows"]), dtype=np.uint8).astype(float)
+    assert np.abs(orig - got).max() <= 3.0
+
+    # restart markers: DRI/RSTn stream decodes bit-identically
+    plain = J.parse_jpeg(J.jpeg_encode(w, h, rows))
+    rst = J.parse_jpeg(J.jpeg_encode(w, h, rows, restart_interval=2))
+    assert plain["rows"] == rst["rows"]
+
+    # strict detection / rejection
+    assert J.parse_jpeg(os.urandom(400)) is None
+    assert J.parse_jpeg(b"\xff\xd8\xff\xd9") is None
+    good = J.jpeg_encode(8, 8, [bytes([100, 100, 100] * 8)] * 8)
+    assert J.parse_jpeg(good[: len(good) // 2]) is None  # truncated scan
+    sof2 = bytearray(good)
+    sof2[good.index(b"\xff\xc0") + 1] = 0xC2  # progressive → out of scope
+    assert J.parse_jpeg(bytes(sof2)) is None
+    # a random BMP/PNG/WAV cannot fall into the JPEG parser and vice versa
+    png = mm._png_encode(4, 4, [bytes(12)] * 4)
+    assert J.parse_jpeg(png) is None
+    out = mm._decode_any(good)
+    assert out["codec"] == "jpeg"
+    assert abs(out["feature"][0] - 100 / 255.0) < 2.0 / 255.0
+
+
+def test_jpeg_channel_stats_through_spark(spark):
+    """media_channel_stats takes the real JPEG path: per-channel means of
+    the distributed block-constant corpus equal the closed-form
+    quantization-round-trip replay (the same arithmetic the DuckDB oracle
+    runs)."""
+    import math
+
+    from multi_source_financial_data_pipeline_spark.operators import multimodal as mm
+
+    seed, n = 7, 24
+    media = mm.synthetic_jpeg_media(spark, n=n, seed=seed)
+    got = {r["media_id"]: r for r in mm.media_channel_stats(media).collect()}
+    assert len(got) == n
+
+    fl = math.floor
+
+    def clip(v):
+        return min(255.0, max(0.0, v))
+
+    def rt(v, q):
+        s = 1.0 if v >= 128.0 else -1.0
+        return s * fl(8.0 * abs(v - 128.0) / q + 0.5) * q / 8.0 + 128.0
+
+    for mid in range(n):
+        bw, bh = 2 + mid % 2, 1 + (mid % 3) % 2
+        sums = [0.0, 0.0, 0.0]
+        for by in range(bh):
+            for bx in range(bw):
+                r = (mid * 7 + 31 * bx + 17 * by + seed) % 256
+                g = (mid * 11 + 13 * bx + 29 * by + seed) % 256
+                b = (mid * 3 + 23 * bx + 19 * by + seed) % 256
+                y = clip(fl(0.299 * r + 0.587 * g + 0.114 * b + 0.5))
+                cb = clip(fl(128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b + 0.5))
+                cr = clip(fl(128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b + 0.5))
+                yv, cbv, crv = rt(y, 16.0), rt(cb, 17.0), rt(cr, 17.0)
+                sums[0] += clip(fl(yv + 1.402 * (crv - 128.0) + 0.5))
+                sums[1] += clip(
+                    fl(yv - 0.344136286 * (cbv - 128.0) - 0.714136286 * (crv - 128.0) + 0.5)
+                )
+                sums[2] += clip(fl(yv + 1.772 * (cbv - 128.0) + 0.5))
+        d = bw * bh * 255.0
+        row = got[mid]
+        assert row["mean_r"] == sums[0] / d, mid
+        assert row["mean_g"] == sums[1] / d, mid
+        assert row["mean_b"] == sums[2] / d, mid
+        assert row["rms"] is None
