@@ -1,0 +1,262 @@
+"""Pure-stdlib media CONTAINER demux: ISO-BMFF (MP4) box walk and OGG
+page walk.
+
+Shrinks the md5-stub boundary to exactly the codec PAYLOADS: after the
+r09 baseline JPEG codec, the remaining stubbed formats were "MP4/OGG" —
+but those are containers, and their structure (boxes/pages, metadata,
+stream layout) is fully specified public format, parseable with
+`struct` alone. Demux here is REAL: strict box-size/page-CRC validation
+(a random blob cannot false-positive), duration/dimensions/track layout
+extracted from the actual bytes. What stays stubbed is decoding the
+codec bitstream INSIDE a track (H.264/AAC/Vorbis need entropy decoders
+far beyond stdlib) — `require_codecs=True` still raises at exactly that
+boundary.
+
+Builders (`mp4_build`, `ogg_build`) exist so tests and synthetic
+corpora round-trip the same bytes the parsers walk — the same
+encoder/decoder symmetry as the repo's BMP/PNG/WAV/JPEG codecs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# --- ISO base media file format (MP4) ----------------------------------------
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def mp4_build(
+    duration_ms: int,
+    tracks: list[tuple[str, int, int]],
+    payload: bytes = b"",
+) -> bytes:
+    """Minimal valid ISO-BMFF file: ftyp + moov(mvhd + trak*) + mdat.
+    `tracks` is a list of (handler, width, height) — handler "vide" or
+    "soun" (audio tracks carry 0×0 dims, per spec). Movie timescale is
+    1000, so mvhd duration == duration_ms."""
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">BxxxIIIIi", 0, 0, 0, 1000, duration_ms, 0x00010000)
+        + struct.pack(">h", 0x0100)
+        + b"\x00" * 2
+        + b"\x00" * 8
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", len(tracks) + 1),
+    )
+    traks = b""
+    for tid, (handler, w, h) in enumerate(tracks, start=1):
+        tkhd = _box(
+            b"tkhd",
+            struct.pack(">BBHHIIII", 0, 0, 0, 7, 0, 0, tid, 0)
+            + struct.pack(">I", duration_ms)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0x0100 if handler == "soun" else 0, 0)
+            + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = _box(
+            b"mdhd",
+            struct.pack(">BxxxIIII", 0, 0, 0, 1000, duration_ms)
+            + struct.pack(">HH", 0x55C4, 0),  # 'und' language
+        )
+        hdlr = _box(
+            b"hdlr",
+            struct.pack(">Bxxx", 0) + b"\x00" * 4 + handler.encode("ascii")
+            + b"\x00" * 12 + b"\x00",
+        )
+        mdia = _box(b"mdia", mdhd + hdlr)
+        traks += _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + traks)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _box(b"mdat", payload)
+    return ftyp + moov + mdat
+
+
+def parse_mp4(data: bytes) -> dict | None:
+    """Strict ISO-BMFF walk: the payload must start with a well-formed
+    `ftyp` box and every top-level box size must land exactly inside the
+    buffer; `moov` must hold an `mvhd`. Returns {"brand", "duration_ms",
+    "tracks": [(handler, width, height), ...]} or None."""
+    if len(data) < 16:
+        return None
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", buf, pos)
+            btype = buf[pos + 4 : pos + 8]
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    return
+                (size,) = struct.unpack_from(">Q", buf, pos + 8)
+                body_off = pos + 16
+            else:
+                body_off = pos + 8
+            if size < body_off - pos or pos + size > end:
+                return
+            yield btype, body_off, pos + size
+            pos += size
+        if pos != end:
+            yield None, pos, end  # trailing garbage marker
+
+    top = list(walk(data, 0, len(data)))
+    if not top or any(t[0] is None for t in top):
+        return None
+    if top[0][0] != b"ftyp" or top[0][2] - top[0][1] < 8:
+        return None
+    brand = data[top[0][1] : top[0][1] + 4].decode("ascii", "replace")
+    duration_ms = None
+    tracks: list[tuple[str, int, int]] = []
+    for btype, boff, bend in top:
+        if btype != b"moov":
+            continue
+        inner = list(walk(data, boff, bend))
+        if any(t[0] is None for t in inner):
+            return None
+        for ityp, ioff, iend in inner:
+            if ityp == b"mvhd":
+                if iend - ioff < 20:
+                    return None
+                version = data[ioff]
+                if version == 0:
+                    _, _, timescale, dur = struct.unpack_from(
+                        ">IIII", data, ioff + 4
+                    )
+                else:
+                    if iend - ioff < 32:
+                        return None
+                    _, _, timescale, dur = struct.unpack_from(
+                        ">QQIQ", data, ioff + 4
+                    )
+                if timescale == 0:
+                    return None
+                duration_ms = dur * 1000.0 / timescale
+            elif ityp == b"trak":
+                t = list(walk(data, ioff, iend))
+                if any(x[0] is None for x in t):
+                    return None
+                width = height = 0
+                handler = None
+                for tt, toff, tend in t:
+                    if tt == b"tkhd" and tend - toff >= 84:
+                        w16, h16 = struct.unpack_from(">II", data, tend - 8)
+                        width, height = w16 >> 16, h16 >> 16
+                    elif tt == b"mdia":
+                        for mt, moff, mend in walk(data, toff, tend):
+                            if mt is None:
+                                return None
+                            if mt == b"hdlr" and mend - moff >= 12:
+                                handler = data[moff + 8 : moff + 12].decode(
+                                    "ascii", "replace"
+                                )
+                if handler is None:
+                    return None
+                tracks.append((handler, width, height))
+    if duration_ms is None:
+        return None
+    return {"brand": brand, "duration_ms": duration_ms, "tracks": tracks}
+
+
+# --- OGG (RFC 3533) ----------------------------------------------------------
+
+
+def _ogg_crc_table():
+    table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+            r &= 0xFFFFFFFF
+        table.append(r)
+    return table
+
+
+_OGG_CRC = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    """OGG page CRC: unreflected CRC-32 with poly 0x04C11DB7, init 0."""
+    global _OGG_CRC
+    if _OGG_CRC is None:
+        _OGG_CRC = _ogg_crc_table()
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) ^ _OGG_CRC[((crc >> 24) & 0xFF) ^ b]) & 0xFFFFFFFF
+    return crc
+
+
+def ogg_build(serial: int, packets: list[bytes], granules: list[int]) -> bytes:
+    """One logical stream: packet k on its own page with granule position
+    granules[k]; first page flagged beginning-of-stream, last end-of-stream.
+    Packets longer than 255·255 bytes are out of scope (single-page lacing
+    only)."""
+    out = bytearray()
+    for k, (pkt, gran) in enumerate(zip(packets, granules)):
+        lacing = []
+        rest = len(pkt)
+        while rest >= 255:
+            lacing.append(255)
+            rest -= 255
+        lacing.append(rest)
+        htype = (0x02 if k == 0 else 0) | (
+            0x04 if k == len(packets) - 1 else 0
+        )
+        header = (
+            b"OggS"
+            + bytes([0, htype])
+            + struct.pack("<qIII", gran, serial, k, 0)
+            + bytes([len(lacing)])
+            + bytes(lacing)
+        )
+        crc = _ogg_crc(header + pkt)
+        page = bytearray(header + pkt)
+        struct.pack_into("<I", page, 22, crc)
+        out += page
+    return bytes(out)
+
+
+def parse_ogg(data: bytes) -> dict | None:
+    """Strict OGG page walk with per-page CRC validation. Returns
+    {"n_pages", "serials", "last_granule"} or None. `last_granule` is the
+    maximum granule position over final pages per stream — the
+    codec-units duration counter (converting it to seconds needs the
+    codec's rate, which is exactly the stubbed boundary)."""
+    if len(data) < 27 or data[:4] != b"OggS":
+        return None
+    pos = 0
+    n_pages = 0
+    serials: set[int] = set()
+    last_granule: dict[int, int] = {}
+    while pos < len(data):
+        if pos + 27 > len(data) or data[pos : pos + 4] != b"OggS":
+            return None
+        version, htype = data[pos + 4], data[pos + 5]
+        if version != 0:
+            return None
+        gran, serial, seq, crc = struct.unpack_from("<qIII", data, pos + 6)
+        nseg = data[pos + 26]
+        if pos + 27 + nseg > len(data):
+            return None
+        lacing = data[pos + 27 : pos + 27 + nseg]
+        body_len = sum(lacing)
+        body_off = pos + 27 + nseg
+        if body_off + body_len > len(data):
+            return None
+        page = bytearray(data[pos : body_off + body_len])
+        struct.pack_into("<I", page, 22, 0)
+        if _ogg_crc(bytes(page)) != crc:
+            return None
+        n_pages += 1
+        serials.add(serial)
+        if gran >= 0:
+            last_granule[serial] = max(last_granule.get(serial, 0), gran)
+        pos = body_off + body_len
+    return {
+        "n_pages": n_pages,
+        "serials": sorted(serials),
+        "last_granule": max(last_granule.values()) if last_granule else None,
+    }

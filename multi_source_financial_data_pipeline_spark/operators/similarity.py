@@ -585,6 +585,100 @@ def ivf_assign(
     )
 
 
+def semdedup_assign(
+    embeddings: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level (hierarchical) coarse assignment for CORPUS-ADAPTIVE
+    quantizer sizes — the assign path SemDeDup needs when nlist grows
+    with the corpus (nlist = n / target_cell_size). A flat argmax is
+    n x nlist dot products, which turns quadratic once nlist is itself
+    proportional to n (the r09 30x probe measured exactly that:
+    semdedup_kept went assign-bound at 600k vectors / 9.4k cells). The
+    standard public fix is a hierarchical coarse quantizer (IMI / two-
+    level IVF): k1 = ceil(sqrt(nlist)) SUPER-cells over the seeds, each
+    vector pays k1 dots to pick its super plus ~nlist/k1 dots to pick a
+    seed INSIDE it — n * 2 * sqrt(nlist) * d work, and at
+    nlist = n/64 that is O(n^1.5 / 8) coefficient-tiny instead of
+    O(n^2 / 64) flat.
+
+    Determinism (oracle-replayable, same discipline as `ivf_assign`):
+    supers are the first k1 seeds; a seed with seed_id < k1 belongs to
+    ITSELF (so no super is ever empty); other seeds and all vectors pick
+    by max round(cos, 6) with lowest-id tiebreak. Output schema matches
+    `ivf_assign` (id, v, vn, cell, cell_sim)."""
+    import math
+
+    k1 = math.isqrt(max(nlist - 1, 0)) + 1
+    supers_row = ivf_seed_row(embeddings, k1, id_col, vec_col)
+    seeds = embeddings.filter(F.col(id_col) < nlist).select(
+        F.col(id_col).alias("seed_id"), _as_double(vec_col).alias("sv")
+    ).withColumn("sn", sq_norm(F.col("sv")))
+    seed_best = _best_cells(F.col("sv"), F.col("sn"))[0]
+    seed_super = (
+        seeds.join(F.broadcast(supers_row))
+        .select(
+            "seed_id", "sv", "sn",
+            F.when(F.col("seed_id") < k1, F.col("seed_id"))
+            .otherwise(seed_best["cell"])
+            .alias("grp"),
+        )
+    )
+    # one broadcastable row: seeds grouped per super, indexable O(1) at
+    # assign time (the per-super filter runs ONCE here, not per vector)
+    groups_row = seed_super.agg(
+        F.sort_array(
+            F.collect_list(F.struct("grp", "seed_id", "sv", "sn"))
+        ).alias("all_seeds")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k1 - 1)),
+            lambda g: F.filter(
+                F.col("all_seeds"), lambda x: x["grp"] == g
+            ),
+        ).alias("super_groups")
+    )
+    e = embeddings.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
+        "vn", sq_norm(F.col("v"))
+    )
+    vec_super = _best_cells(F.col("v"), F.col("vn"))[0]["cell"]
+    my_seeds = F.element_at(
+        F.col("super_groups"), (vec_super + F.lit(1)).cast("int")
+    )
+    scored = F.array_sort(
+        F.transform(
+            my_seeds,
+            lambda x: F.struct(
+                F.coalesce(
+                    -F.round(
+                        dot(F.col("v"), x["sv"])
+                        / F.nullif(
+                            F.sqrt(F.col("vn") * x["sn"]), F.lit(0.0)
+                        ),
+                        6,
+                    ),
+                    F.lit(2.0),
+                ).alias("neg_sim"),
+                x["seed_id"].alias("cell"),
+            ),
+        )
+    )
+    best = scored[0]
+    return (
+        e.join(F.broadcast(supers_row))
+        .join(F.broadcast(groups_row))
+        .select(
+            F.col(id_col),
+            F.col("v"),
+            F.col("vn"),
+            best["cell"].alias("cell"),
+            (-best["neg_sim"] + F.lit(0.0)).alias("cell_sim"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -656,6 +750,7 @@ def build_ivf_index(
     nlist: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    two_level: bool = False,
 ) -> None:
     """Materialize the IVF index under ``index_dir``:
 
@@ -666,7 +761,8 @@ def build_ivf_index(
     """
     import os
 
-    assigned = ivf_assign(embeddings, nlist, id_col, vec_col)
+    assign_fn = semdedup_assign if two_level else ivf_assign
+    assigned = assign_fn(embeddings, nlist, id_col, vec_col)
     (
         assigned.select(
             F.col(id_col).alias("cand_id"),

@@ -511,10 +511,15 @@ def q_semdedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~n * SEMDEDUP_CELL_TARGET (linear) as the corpus grows — the 30x probe
     proved a FIXED nlist degenerates quadratically (PERF.md). The count
     that sizes it is parquet-metadata-only (no data scan), the price any
-    index build pays."""
+    index build pays. The assignment itself is the TWO-LEVEL
+    `similarity.semdedup_assign` (k1 = ceil(sqrt(nlist)) super-cells):
+    the same r09 probe showed a FLAT argmax goes assign-bound once nlist
+    is corpus-proportional (n x nlist dots); the hierarchical assign pays
+    n * 2 * sqrt(nlist) dots instead. The oracle replays both levels with
+    the shared round(cos, 6) / lowest-id tiebreak rule."""
     emb = _t(spark, sf_dir, "embeddings")
     nlist = _adaptive_nlist(emb.count())
-    assign = similarity.ivf_assign(emb, nlist=nlist)
+    assign = similarity.semdedup_assign(emb, nlist=nlist)
     return similarity.semdedup_screen(assign, COS_THRESHOLD)
 
 
@@ -532,7 +537,7 @@ def q_semdedup_kept_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     nlist = _adaptive_nlist(_t(spark, sf_dir, "embeddings").count())
-    index_dir = _ensure_ivf_index(spark, sf_dir, nlist=nlist)
+    index_dir = _ensure_ivf_index(spark, sf_dir, nlist=nlist, two_level=True)
     cells = spark.read.parquet(os.path.join(index_dir, "cells"))
     a = cells.select(
         F.col("cand_id").alias("vec_id"), F.col("cv").alias("v"), "cell"
@@ -541,8 +546,56 @@ def q_semdedup_kept_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_semdedup() -> str:
+    """Two-level adaptive-quantizer SemDeDup oracle: replays
+    `similarity.semdedup_assign` exactly — nlist and k1 derived from the
+    corpus by the same formulas, supers = first k1 seeds, seeds < k1
+    forced to their own super, every argmax as the shared
+    round(cos, 6) DESC / lowest-id tiebreak rank."""
+    rank = (
+        "row_number() OVER (PARTITION BY {part} ORDER BY"
+        " coalesce(round({cos}, 6), -2.0) DESC, {cand} ASC)"
+    )
     return f"""
-{_sql_ivf_common(adaptive_seed_bound=True)}
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT CAST(greatest({IVF_NLIST},
+               ceil(count(*) / {SEMDEDUP_CELL_TARGET}.0)) AS BIGINT) AS nlist,
+         CAST(ceil(sqrt(greatest({IVF_NLIST},
+               ceil(count(*) / {SEMDEDUP_CELL_TARGET}.0)))) AS BIGINT) AS k1
+  FROM e
+),
+seeds AS (
+  SELECT vec_id AS seed_id, v AS sv FROM e
+  WHERE vec_id < (SELECT nlist FROM p)
+),
+supers AS (
+  SELECT seed_id AS super_id, sv AS pv FROM seeds
+  WHERE seed_id < (SELECT k1 FROM p)
+),
+seed_super AS (
+  SELECT seed_id, sv,
+         CASE WHEN seed_id < (SELECT k1 FROM p) THEN seed_id
+              ELSE super_id END AS grp
+  FROM (
+    SELECT s.seed_id, s.sv, u.super_id,
+           {rank.format(part="s.seed_id", cos=_sql_cos("s.sv", "u.pv"), cand="u.super_id")} AS rn
+    FROM seeds s CROSS JOIN supers u
+  ) WHERE rn = 1
+),
+vec_super AS (
+  SELECT vec_id, v, super_id AS grp FROM (
+    SELECT e.vec_id, e.v, u.super_id,
+           {rank.format(part="e.vec_id", cos=_sql_cos("e.v", "u.pv"), cand="u.super_id")} AS rn
+    FROM e CROSS JOIN supers u
+  ) WHERE rn = 1
+),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT q.vec_id, q.v, s.seed_id AS cell,
+           {rank.format(part="q.vec_id", cos=_sql_cos("q.v", "s.sv"), cand="s.seed_id")} AS rn
+    FROM vec_super q JOIN seed_super s ON s.grp = q.grp
+  ) WHERE rn = 1
+)
 SELECT a.vec_id, a.cell FROM assign a
 WHERE NOT EXISTS (
   SELECT 1 FROM assign b
@@ -1144,15 +1197,19 @@ def _ivf_cache_root() -> str:
 _FALLBACK_CACHE_ROOT: str | None = None
 
 
-def _ivf_index_dir(sf_dir: str, nlist: int) -> str:
+def _ivf_index_dir(sf_dir: str, nlist: int, two_level: bool = False) -> str:
     import os
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(_ivf_cache_root(), f"{tag}_nlist{nlist}")
+    suffix = "_2l" if two_level else ""
+    return os.path.join(_ivf_cache_root(), f"{tag}_nlist{nlist}{suffix}")
 
 
 def _ensure_ivf_index(
-    spark: SparkSession, sf_dir: str, nlist: int = IVF_NLIST
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int = IVF_NLIST,
+    two_level: bool = False,
 ) -> str:
     """Build the materialized IVF index for this sf_dir if absent or stale
     (source parquet changed). The marker records the source identity so a
@@ -1167,11 +1224,11 @@ def _ensure_ivf_index(
     import shutil
     import tempfile
 
-    index_dir = _ivf_index_dir(sf_dir, nlist)
+    index_dir = _ivf_index_dir(sf_dir, nlist, two_level)
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     ident = {"src": src, "mtime_ns": st.st_mtime_ns, "size": st.st_size,
-             "nlist": nlist}
+             "nlist": nlist, "two_level": two_level}
 
     def _marker_matches(d: str) -> bool:
         try:
@@ -1188,7 +1245,8 @@ def _ensure_ivf_index(
     )
     try:
         similarity.build_ivf_index(
-            spark, _t(spark, sf_dir, "embeddings"), build_dir, nlist=nlist
+            spark, _t(spark, sf_dir, "embeddings"), build_dir, nlist=nlist,
+            two_level=two_level,
         )
         with open(os.path.join(build_dir, "_built.json"), "w") as fh:
             json.dump(ident, fh)

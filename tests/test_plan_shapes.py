@@ -556,18 +556,24 @@ def test_minhash_accuracy_scan_bound(spark, sf_dir):
 
 
 def test_semdedup_single_assign_cell_local_screen(spark, sf_dir):
-    """The SemDeDup screening is ONE pass: the quantizer argmax (assign
-    subtree) appears exactly once — embeddings feed one scan pair (corpus +
-    1-row quantizer seed agg), the per-cell pair scoring is a single
-    FlatMapGroupsInPandas after one hash shuffle on cell, and nothing goes
-    all-pairs (r06 VERDICT item 6: the old cell-equi anti-join evaluated
-    the assign subtree twice)."""
+    """The SemDeDup screening is ONE pass: the CORPUS is scanned exactly
+    once (r06 VERDICT item 6: the old cell-equi anti-join evaluated the
+    assign subtree twice), the per-cell pair scoring is a single
+    FlatMapGroupsInPandas after one hash shuffle on cell, and nothing
+    goes all-pairs. The r09 two-level quantizer adds THREE quantizer-side
+    scans (supers ×2 + seeds), every one carrying a pushed
+    `vec_id < nlist` filter — tiny index-build reads, never a second
+    corpus pass — and each rides a 1-row broadcast (supers row twice,
+    the per-super seed-groups row once)."""
     plan = _plan(spark, sf_dir, "semdedup_kept")
     assert "CartesianProduct" not in plan
     assert plan.count("FlatMapGroupsInPandas") == 1
-    # one corpus scan + one quantizer seed scan — not two of each
-    assert plan.count("embeddings.parquet") == 2
-    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row quantizer
+    # exactly ONE scan without a vec_id pushdown — the corpus pass
+    assert (
+        plan.count("embeddings.parquet") - plan.count("LessThan(vec_id") == 1
+    )
+    assert plan.count("LessThan(vec_id") == 3  # filter-pushed seed scans
+    assert plan.count("BroadcastNestedLoopJoin") == 3  # three 1-row joins
     assert plan.count("Exchange hashpartitioning") == 1  # the cell shuffle
 
 

@@ -358,8 +358,8 @@ def test_ivf_index_keeps_concurrent_winners_fresh_build(spark, tmp_path,
 
     real_build = similarity.build_ivf_index
 
-    def winner_races_us(spark_, df, build_dir, nlist):
-        real_build(spark_, df, build_dir, nlist=nlist)
+    def winner_races_us(spark_, df, build_dir, nlist, two_level=False):
+        real_build(spark_, df, build_dir, nlist=nlist, two_level=two_level)
         # simulate the concurrent winner: an identical-identity index lands
         # at index_dir before our swap, with a sentinel proving it survives
         shutil.rmtree(idx)
@@ -367,7 +367,7 @@ def test_ivf_index_keeps_concurrent_winners_fresh_build(spark, tmp_path,
         src = os.path.join(sf_dir, "embeddings.parquet")
         st = os.stat(src)
         ident = {"src": src, "mtime_ns": st.st_mtime_ns, "size": st.st_size,
-                 "nlist": llmdata.IVF_NLIST}
+                 "nlist": llmdata.IVF_NLIST, "two_level": False}
         with open(os.path.join(idx, "_built.json"), "w") as fh:
             json.dump(ident, fh)
         open(os.path.join(idx, "_winner_sentinel"), "w").close()
