@@ -162,6 +162,8 @@ HEADLINE = [
     # round-9: the baseline JPEG codec (T.81 Huffman entropy decode + 8x8
     # IDCT) — the only entropy-coded format, a new per-byte cost class
     "media_jpeg_channel_stats",
+    # round-9: ISO-BMFF box-walk demux (container metadata, no pixel cost)
+    "media_mp4_metadata",
     # round-8: Morton-key locality audit (pure codegen bit arithmetic)
     "zorder_locality",
     # round-8: Count-Min sketch build + probe (second sketch family)

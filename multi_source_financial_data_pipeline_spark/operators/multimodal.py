@@ -10,10 +10,13 @@ CRC-validated), PCM-16 WAV decode (headers AND pixel/sample content),
 YUV4MPEG2 frame demux, and baseline JPEG encode/decode (the full T.81
 entropy pipeline — Huffman, byte stuffing, differential DC, zigzag,
 quantization, 8×8 DCT — in `operators/jpegcodec`), all pure
-stdlib+numpy with strict magic+length detection. Container formats that
-still need external demux/codec libraries (MP4/OGG…) fall back to a
-deterministic md5 stub; ``require_codecs=True`` raises
-NotImplementedError at exactly that boundary, where ffmpeg would plug in.
+stdlib+numpy with strict magic+length detection. MP4 (ISO-BMFF box
+walk) and OGG (page walk + per-page CRC) DEMUX is real too
+(`operators/containers`); what stays stubbed is decoding the codec
+bitstream INSIDE a container track (H.264/AAC/Vorbis) — payloads that
+are none of these formats fall back to a deterministic md5 stub, and
+``require_codecs=True`` raises NotImplementedError at exactly that
+boundary, where ffmpeg would plug in.
 
 Scale notes: binary payloads ride in parquet as byte arrays; keep
 ``spark.sql.files.maxPartitionBytes`` low enough that a partition of blobs
@@ -32,6 +35,12 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
+from multi_source_financial_data_pipeline_spark.operators.containers import (
+    mp4_build,
+    ogg_build,
+    parse_mp4,
+    parse_ogg,
+)
 from multi_source_financial_data_pipeline_spark.operators.jpegcodec import jpeg_encode, parse_jpeg
 
 if TYPE_CHECKING:
@@ -214,11 +223,47 @@ def _decode_jpeg(data: bytes) -> dict | None:
     return {"width": w, "height": h, "feature": [total / (w * h * ch * 255.0)]}
 
 
+def _decode_mp4(data: bytes) -> dict | None:
+    """ISO-BMFF demux (REAL box walk, `operators/containers.parse_mp4`):
+    movie duration from mvhd, dimensions from the first video track's
+    tkhd. The codec bitstream inside the tracks stays stubbed — this is
+    exactly the metadata a curation pipeline filters on before paying for
+    a decode."""
+    parsed = parse_mp4(data)
+    if parsed is None:
+        return None
+    vids = [t for t in parsed["tracks"] if t[0] == "vide"]
+    w, h = (vids[0][1], vids[0][2]) if vids else (None, None)
+    return {
+        "width": w,
+        "height": h,
+        "duration_ms": parsed["duration_ms"],
+        "feature": [float(len(parsed["tracks"]))],
+    }
+
+
+def _decode_ogg(data: bytes) -> dict | None:
+    """OGG page demux (REAL page walk + per-page CRC,
+    `operators/containers.parse_ogg`): page/stream layout and the final
+    granule position. Converting granules to seconds needs the codec's
+    rate — exactly the stubbed boundary — so duration stays None."""
+    parsed = parse_ogg(data)
+    if parsed is None:
+        return None
+    return {
+        "feature": [
+            float(parsed["n_pages"]),
+            float(len(parsed["serials"])),
+            float(parsed["last_granule"] or 0),
+        ],
+    }
+
+
 def _decode_any(data: bytes | None) -> dict:
     """Dispatch: real parser when the payload IS a real format, md5 stub
     otherwise. Every key of FEATURE_SCHEMA (minus id/kind/n_bytes) present;
     ``codec`` records which path handled the payload
-    (bmp | png | jpeg | wav | stub)."""
+    (bmp | png | jpeg | wav | mp4 | ogg | stub)."""
     out = {
         "width": None, "height": None,
         "sample_rate": None, "duration_ms": None, "feature": [], "codec": None,
@@ -235,6 +280,8 @@ def _decode_any(data: bytes | None) -> dict:
         ("png", _decode_png),
         ("jpeg", _decode_jpeg),
         ("wav", _decode_wav),
+        ("mp4", _decode_mp4),
+        ("ogg", _decode_ogg),
     ):
         try:
             parsed = fn(data)
@@ -712,6 +759,35 @@ def synthetic_jpeg_media(spark: SparkSession, n: int = 100, seed: int = 7) -> Da
                     {"media_id": mid, "kind": "image",
                      "data": jpeg_encode(w, h, logical),
                      "meta": {"codec": "jpeg/baseline"}}
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synthetic_mp4_media(spark: SparkSession, n: int = 100, seed: int = 7) -> DataFrame:
+    """Real ISO-BMFF containers, generated distributed: one video track
+    (closed-form dims), an audio track on odd ids, duration a closed-form
+    function of media_id — so a SQL oracle can recompute exactly what the
+    box walk must extract. The mdat payload is an opaque md5-derived blob
+    (the honestly-stubbed codec bitstream)."""
+    import hashlib as _hl
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                tracks = [("vide", 64 + 8 * (mid % 5), 48 + 8 * (mid % 3))]
+                if mid % 2:
+                    tracks.append(("soun", 0, 0))
+                payload = _hl.md5(f"{seed}:{mid}".encode()).digest() * 4
+                rows.append(
+                    {"media_id": mid, "kind": "video",
+                     "data": mp4_build(1000 + 137 * mid + seed, tracks, payload),
+                     "meta": {"codec": "mp4/isom"}}
                 )
             yield pd.DataFrame(rows)
 

@@ -298,6 +298,43 @@ FROM img
 """
 
 
+# --- REAL MP4 container demux (ISO-BMFF box walk; operators/containers) ------
+
+
+def q_media_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container metadata extraction over REAL ISO-BMFF files: movie
+    duration from mvhd (timescale-normalized), dimensions from the video
+    track's tkhd 16.16 fixed-point fields, track count — the filter
+    columns a video-curation pipeline needs BEFORE paying for any frame
+    decode (drop sub-second clips, drop non-HD, drop audio-only). The box
+    walk is strict (`operators/containers.parse_mp4`): every size field
+    must land inside the buffer, so the oracle can only match if the
+    demux reads the actual bytes. The codec bitstream inside mdat stays
+    honestly stubbed (the ffmpeg boundary)."""
+    media = multimodal.synthetic_mp4_media(
+        spark, n=N_REAL_MEDIA, seed=REAL_MEDIA_SEED
+    )
+    feats = multimodal.decode_media_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "duration_ms",
+        F.element_at("feature", 1).cast("double").alias("n_tracks"),
+    )
+
+
+SQL_MEDIA_MP4_METADATA = f"""
+SELECT i AS media_id, 'video' AS kind,
+       64 + 8 * (i % 5) AS width,
+       48 + 8 * (i % 3) AS height,
+       CAST(1000 + 137 * i + {REAL_MEDIA_SEED} AS DOUBLE) AS duration_ms,
+       CAST(1 + i % 2 AS DOUBLE) AS n_tracks
+FROM generate_series(0, {N_REAL_MEDIA - 1}) t(i)
+"""
+
+
 # --- REAL baseline JPEG decode (entropy-coded; operators/jpegcodec) ----------
 
 
@@ -1295,6 +1332,13 @@ SPECS = {
         SQL_MEDIA_REAL_CHANNEL_STATS,
         "per-channel B/G/R pixel means (distinct channel patterns) + PCM "
         "RMS energy, real bytes, one Arrow pass",
+        ("multimodal",),
+    ),
+    "media_mp4_metadata": QuerySpec(
+        q_media_mp4_metadata,
+        SQL_MEDIA_MP4_METADATA,
+        "real ISO-BMFF demux: duration/dims/track-count from the box walk "
+        "(codec bitstream honestly stubbed)",
         ("multimodal",),
     ),
     "media_jpeg_channel_stats": QuerySpec(

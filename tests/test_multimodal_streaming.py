@@ -603,3 +603,64 @@ def test_jpeg_channel_stats_through_spark(spark):
         assert row["mean_g"] == sums[1] / d, mid
         assert row["mean_b"] == sums[2] / d, mid
         assert row["rms"] is None
+
+
+def test_mp4_ogg_container_demux_strict():
+    """Container demux (operators/containers): ISO-BMFF box walk extracts
+    brand/duration/track layout from the real bytes and rejects size-field
+    corruption, truncation and random blobs; OGG page walk validates every
+    page CRC. The codec bitstream inside a track stays stubbed — the
+    parsers never pretend to decode it."""
+    import os
+
+    from multi_source_financial_data_pipeline_spark.operators import containers as C
+    from multi_source_financial_data_pipeline_spark.operators import multimodal as mm
+
+    mp4 = C.mp4_build(4321, [("vide", 64, 48), ("soun", 0, 0)], payload=b"x" * 64)
+    p = C.parse_mp4(mp4)
+    assert p["brand"] == "isom"
+    assert p["duration_ms"] == 4321.0
+    assert p["tracks"] == [("vide", 64, 48), ("soun", 0, 0)]
+    assert C.parse_mp4(os.urandom(300)) is None
+    assert C.parse_mp4(mp4[:40]) is None  # truncated moov
+    bad = bytearray(mp4)
+    bad[3] ^= 0x40  # ftyp size no longer lands on a box boundary
+    assert C.parse_mp4(bytes(bad)) is None
+
+    ogg = C.ogg_build(9, [b"head", b"a" * 300, b"tail"], [0, 960, 1920])
+    o = C.parse_ogg(ogg)
+    assert o == {"n_pages": 3, "serials": [9], "last_granule": 1920}
+    crc_bad = bytearray(ogg)
+    crc_bad[40] ^= 1  # flip a body bit → page CRC mismatch
+    assert C.parse_ogg(bytes(crc_bad)) is None
+    assert C.parse_ogg(ogg[:-3]) is None
+    assert C.parse_ogg(os.urandom(200)) is None
+
+    # dispatch: containers are recognized, cross-format confusion is not
+    out = mm._decode_any(mp4)
+    assert out["codec"] == "mp4"
+    assert (out["width"], out["height"], out["duration_ms"]) == (64, 48, 4321.0)
+    assert out["feature"] == [2.0]
+    out = mm._decode_any(ogg)
+    assert out["codec"] == "ogg"
+    assert out["feature"] == [3.0, 1.0, 1920.0]
+    assert mm._decode_any(mp4 + b"junk")["codec"] == "stub"
+
+
+def test_mp4_metadata_through_spark(spark):
+    """decode_media_features takes the real demux path for the synthetic
+    MP4 corpus: duration/dims/track-count match the generation formulas
+    (the same arithmetic the DuckDB oracle replays)."""
+    from multi_source_financial_data_pipeline_spark.operators import multimodal as mm
+
+    seed, n = 7, 30
+    media = mm.synthetic_mp4_media(spark, n=n, seed=seed)
+    rows = {r["media_id"]: r for r in mm.decode_media_features(media).collect()}
+    assert len(rows) == n
+    for mid in range(n):
+        r = rows[mid]
+        assert r["kind"] == "video"
+        assert r["width"] == 64 + 8 * (mid % 5)
+        assert r["height"] == 48 + 8 * (mid % 3)
+        assert r["duration_ms"] == 1000.0 + 137 * mid + seed
+        assert r["feature"] == [float(1 + mid % 2)]
