@@ -164,6 +164,8 @@ HEADLINE = [
     "media_jpeg_channel_stats",
     # round-9: ISO-BMFF box-walk demux (container metadata, no pixel cost)
     "media_mp4_metadata",
+    # round-9: OGG page-walk demux (CRC per page, no codec cost)
+    "media_ogg_stats",
     # round-8: Morton-key locality audit (pure codegen bit arithmetic)
     "zorder_locality",
     # round-8: Count-Min sketch build + probe (second sketch family)

@@ -794,6 +794,38 @@ def synthetic_mp4_media(spark: SparkSession, n: int = 100, seed: int = 7) -> Dat
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synthetic_ogg_media(spark: SparkSession, n: int = 100, seed: int = 7) -> DataFrame:
+    """Real OGG streams, generated distributed: 1 + mid % 4 packets per
+    stream, granule advancing 960 codec units per packet, serial
+    1000 + mid — all closed-form so a SQL oracle can recompute what the
+    page walk (and its CRC validation) must extract. Packet bodies are
+    md5-derived opaque blobs (the honestly-stubbed Vorbis/Opus payload)."""
+    import hashlib as _hl
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                n_pkts = 1 + mid % 4
+                pkts = [
+                    _hl.md5(f"{seed}:{mid}:{k}".encode()).digest()
+                    * (1 + (mid + k) % 3)
+                    for k in range(n_pkts)
+                ]
+                grans = [960 * (k + 1) for k in range(n_pkts)]
+                rows.append(
+                    {"media_id": mid, "kind": "audio",
+                     "data": ogg_build(1000 + mid, pkts, grans),
+                     "meta": {"codec": "ogg/opaque"}}
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 #: per-channel image means + audio energy, one row per media payload
 CHANNEL_STATS_SCHEMA = T.StructType(
     [

@@ -335,6 +335,38 @@ FROM generate_series(0, {N_REAL_MEDIA - 1}) t(i)
 """
 
 
+# --- REAL OGG page-walk demux (operators/containers) -------------------------
+
+
+def q_media_ogg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-layout stats over REAL OGG payloads: page count, logical
+    stream count and the final granule position, extracted by the strict
+    page walk (`operators/containers.parse_ogg`) that validates EVERY
+    page's CRC-32 — the oracle can only match if lacing, headers and
+    checksums all parse correctly. Converting granules to seconds needs
+    the codec's rate: exactly the stubbed ffmpeg boundary."""
+    media = multimodal.synthetic_ogg_media(
+        spark, n=N_REAL_MEDIA, seed=REAL_MEDIA_SEED
+    )
+    feats = multimodal.decode_media_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.element_at("feature", 1).cast("double").alias("n_pages"),
+        F.element_at("feature", 2).cast("double").alias("n_streams"),
+        F.element_at("feature", 3).cast("double").alias("last_granule"),
+    )
+
+
+SQL_MEDIA_OGG_STATS = f"""
+SELECT i AS media_id, 'audio' AS kind,
+       CAST(1 + i % 4 AS DOUBLE) AS n_pages,
+       CAST(1 AS DOUBLE) AS n_streams,
+       CAST(960 * (1 + i % 4) AS DOUBLE) AS last_granule
+FROM generate_series(0, {N_REAL_MEDIA - 1}) t(i)
+"""
+
+
 # --- REAL baseline JPEG decode (entropy-coded; operators/jpegcodec) ----------
 
 
@@ -1332,6 +1364,13 @@ SPECS = {
         SQL_MEDIA_REAL_CHANNEL_STATS,
         "per-channel B/G/R pixel means (distinct channel patterns) + PCM "
         "RMS energy, real bytes, one Arrow pass",
+        ("multimodal",),
+    ),
+    "media_ogg_stats": QuerySpec(
+        q_media_ogg_stats,
+        SQL_MEDIA_OGG_STATS,
+        "real OGG demux: page/stream layout + final granule via the "
+        "CRC-validated page walk (codec bitstream honestly stubbed)",
         ("multimodal",),
     ),
     "media_mp4_metadata": QuerySpec(

@@ -37,8 +37,8 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #:      (lowest drift risk — simple aggs/windows);
 #:   4. backfill with the oldest r06 rows in their original gate order
 #:      (31 slots).
-#: Round-10 rotation backlog: media_jpeg_channel_stats and
-#: media_mp4_metadata (added after this window was sized, never
+#: Round-10 rotation backlog: media_jpeg_channel_stats,
+#: media_mp4_metadata and media_ogg_stats (added after this window was sized, never
 #: driver-checked) first, then lsh_bucket and
 #: lsh_neardup_pairs plus the 18 remaining
 #: r06 names (asof_join, sessionize, skewed_event_rollup, ewma_last,
