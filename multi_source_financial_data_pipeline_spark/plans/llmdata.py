@@ -1134,7 +1134,7 @@ SEMDEDUP_CELL_TARGET = 64
 def _adaptive_nlist(n_vectors: int) -> int:
     """nlist = max(IVF_NLIST, ceil(n / SEMDEDUP_CELL_TARGET)) — the
     corpus-proportional quantizer size. Mirrored verbatim by the DuckDB
-    scalar subquery in `_sql_ivf_common(adaptive_seed_bound=True)`."""
+    scalar subquery in `_sql_semdedup`'s params CTE."""
     return max(IVF_NLIST, -(-n_vectors // SEMDEDUP_CELL_TARGET))
 
 
@@ -1305,19 +1305,13 @@ assign AS (
 """
 
 
-def _sql_ivf_common(adaptive_seed_bound: bool = False) -> str:
-    """The shared (e, seeds, assign) CTE. With `adaptive_seed_bound` the
-    quantizer size is the corpus-adaptive rule `_adaptive_nlist` computes
-    on the Spark side, expressed as a scalar subquery so both engines
-    derive the SAME nlist from the data (greatest = max; ceil(n/T) of two
-    positive integers is exact in both engines on this grid)."""
-    bound = (
-        f"(SELECT greatest({IVF_NLIST}, "
-        f"ceil(count(*) / {SEMDEDUP_CELL_TARGET}.0)) FROM e)"
-        if adaptive_seed_bound
-        else str(IVF_NLIST)
+def _sql_ivf_common() -> str:
+    """The shared fixed-nlist (e, seeds, assign) CTE for the ANN family.
+    The SemDeDup oracles do NOT use it — their corpus-adaptive two-level
+    quantizer has its own self-contained CTE chain (`_sql_semdedup`)."""
+    return _SQL_IVF_COMMON.format(
+        cos_es=_sql_cos("e.v", "s.sv"), seed_bound=str(IVF_NLIST)
     )
-    return _SQL_IVF_COMMON.format(cos_es=_sql_cos("e.v", "s.sv"), seed_bound=bound)
 
 
 SQL_IVF_ASSIGN = f"""
