@@ -549,6 +549,36 @@ def _resize_png(data: bytes, max_side: int) -> bytes | None:
     return _png_encode(nw, nh, out_rows)
 
 
+def _resize_jpeg(data: bytes, max_side: int) -> bytes | None:
+    """Nearest-neighbor downscale + re-encode for baseline JPEG payloads —
+    the JPEG sibling of `_resize_bmp`/`_resize_png` (same source-pixel
+    rule). Lossy on both legs by nature; gray inputs re-encode as RGB
+    (the encoder is 3-component baseline)."""
+    parsed = parse_jpeg(data)
+    if parsed is None:
+        return None
+    w, h, ch, rows = (
+        parsed["width"], parsed["height"], parsed["channels"], parsed["rows"],
+    )
+    scale = min(1.0, max_side / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    out_rows = []
+    for y in range(nh):
+        src = rows[y * h // nh]
+        if ch == 1:
+            out_rows.append(
+                b"".join(bytes([src[x * w // nw]] * 3) for x in range(nw))
+            )
+        else:
+            out_rows.append(
+                b"".join(
+                    src[3 * (x * w // nw) : 3 * (x * w // nw) + 3]
+                    for x in range(nw)
+                )
+            )
+    return jpeg_encode(nw, nh, out_rows)
+
+
 def _y4m_bytes(width: int, height: int, frame_y_vals: list[int]) -> bytes:
     """A valid YUV4MPEG2 (C420) stream: textual stream header, then per
     frame a FRAME marker + planar YUV bytes. Frame j's luma plane is the
@@ -1056,11 +1086,11 @@ def resize_media(
     df: DataFrame, max_side: int = 128, require_codecs: bool = False
 ) -> DataFrame:
     """Aspect-preserving downscale of the longer side to ``max_side``.
-    24-bit BMP payloads are resized FOR REAL (`_resize_bmp`: pixel-grid
-    nearest-neighbor resample + re-encode, pure stdlib); other formats fall
-    back to the md5-stub dimensions with byte-proportional truncation, or
-    raise NotImplementedError when ``require_codecs=True`` (where
-    PIL.Image.thumbnail would plug in)."""
+    24-bit BMP, 8-bit PNG and baseline JPEG payloads are resized FOR REAL
+    (pixel-grid nearest-neighbor resample + re-encode, pure
+    stdlib+numpy); other formats fall back to the md5-stub dimensions
+    with byte-proportional truncation, or raise NotImplementedError when
+    ``require_codecs=True`` (where PIL.Image.thumbnail would plug in)."""
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -1076,15 +1106,18 @@ def resize_media(
                 if real is None:
                     real = _resize_png(bytes(d), max_side)
                     out = _decode_png(real) if real is not None else None
+                if real is None:
+                    real = _resize_jpeg(bytes(d), max_side)
+                    out = _decode_jpeg(real) if real is not None else None
                 if real is not None:
                     widths.append(out["width"]), heights.append(out["height"])
                     blobs.append(real)
                     continue
                 if require_codecs:
                     raise NotImplementedError(
-                        "payload is not a 24-bit BMP or 8-bit PNG and real "
-                        "image codecs (PIL) are not available in this "
-                        "environment"
+                        "payload is not a 24-bit BMP, 8-bit PNG or baseline "
+                        "JPEG, and further image codecs are not available "
+                        "in this environment"
                     )
                 w, h, _ = _fake_decode(d)
                 scale = min(1.0, max_side / max(w, h))

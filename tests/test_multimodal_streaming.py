@@ -664,3 +664,41 @@ def test_mp4_metadata_through_spark(spark):
         assert r["height"] == 48 + 8 * (mid % 3)
         assert r["duration_ms"] == 1000.0 + 137 * mid + seed
         assert r["feature"] == [float(1 + mid % 2)]
+
+
+def test_jpeg_resize_through_spark(spark):
+    """resize_media takes the REAL path for baseline JPEG payloads
+    (require_codecs never trips): aspect-preserving nearest-neighbor
+    downscale + re-encode to a valid JPEG with the expected dimensions,
+    pixel content within lossy-roundtrip bounds of the source sampling
+    rule."""
+    import numpy as np
+
+    from multi_source_financial_data_pipeline_spark.operators import jpegcodec as J
+    from multi_source_financial_data_pipeline_spark.operators import multimodal as mm
+
+    media = mm.synthetic_jpeg_media(spark, n=12, seed=7)
+    originals = {r["media_id"]: bytes(r["data"]) for r in media.collect()}
+    resized = mm.resize_media(media, max_side=8, require_codecs=True)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    assert len(rows) == 12
+    for mid, r in rows.items():
+        w, h = 8 * (2 + mid % 2), 8 * (1 + mid % 3 % 2)
+        scale = min(1.0, 8 / max(w, h))
+        nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+        assert (r["width"], r["height"]) == (nw, nh)
+        dec = J.parse_jpeg(bytes(r["data"]))
+        assert dec is not None and (dec["width"], dec["height"]) == (nw, nh)
+        # second-leg loss bound vs sampling the first decode
+        src = J.parse_jpeg(originals[mid])
+        mid_px = np.frombuffer(b"".join(src["rows"]), dtype=np.uint8).reshape(
+            h, w, 3
+        ).astype(float)
+        got = np.frombuffer(b"".join(dec["rows"]), dtype=np.uint8).reshape(
+            nh, nw, 3
+        ).astype(float)
+        want = np.stack(
+            [[mid_px[y * h // nh, x * w // nw] for x in range(nw)]
+             for y in range(nh)]
+        )
+        assert np.abs(got - want).max() <= 40, mid
