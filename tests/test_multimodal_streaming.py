@@ -702,3 +702,30 @@ def test_jpeg_resize_through_spark(spark):
              for y in range(nh)]
         )
         assert np.abs(got - want).max() <= 40, mid
+
+
+def test_jpeg_nyquist_checkerboard_no_eob_path():
+    """A pure 8x8 checkerboard puts all AC energy at the (7,7) Nyquist
+    coefficient — the one block shape whose zigzag run reaches index 63
+    with a nonzero value, so the encoder emits NO EOB and the decoder's
+    k==64 loop exit (not the EOB branch) is load-bearing. Phase must
+    survive the round-trip: bright cells decode far brighter than dark."""
+    import numpy as np
+
+    from multi_source_financial_data_pipeline_spark.operators import jpegcodec as J
+
+    w = h = 8
+    rows = [
+        bytes(
+            ([255, 255, 255] if (x + y) % 2 == 0 else [0, 0, 0])[c]
+            for x in range(w)
+            for c in range(3)
+        )
+        for y in range(h)
+    ]
+    dec = J.parse_jpeg(J.jpeg_encode(w, h, rows))
+    assert dec is not None
+    got = np.frombuffer(b"".join(dec["rows"]), dtype=np.uint8).reshape(h, w, 3)
+    bright = got[::2, ::2, 0].astype(float).mean()
+    dark = got[1::2, ::2, 0].astype(float).mean()
+    assert bright > dark + 100, (bright, dark)
