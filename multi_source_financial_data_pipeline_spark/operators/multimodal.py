@@ -112,11 +112,13 @@ def _fake_decode(data: bytes | None) -> tuple[int | None, int | None, list[float
 # BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, 24-bit uncompressed) and WAV
 # (RIFF/WAVE, PCM 16-bit) are fully specified header-plus-samples formats
 # parseable with `struct` alone — so the decode step is REAL byte-level
-# decoding for these kinds, with the md5 stub kept only for formats that
-# genuinely need an external codec (MP4/OGG containers...; PNG — zlib
-# section below — and baseline JPEG — operators/jpegcodec — are real too). Detection is strict
-# (magic AND the header's own size field must equal the actual payload
-# length), so an arbitrary blob can't false-positive into a parser.
+# decoding for these kinds. PNG (zlib section below), baseline JPEG
+# (operators/jpegcodec) and the MP4/OGG container DEMUX
+# (operators/containers) are real too; the md5 stub is kept only for the
+# codec bitstream inside container tracks, which genuinely needs an
+# external codec. Detection is strict (magic AND the header's own size
+# field must equal the actual payload length), so an arbitrary blob
+# can't false-positive into a parser.
 
 
 def _parse_bmp_header(data: bytes) -> tuple[int, int, int, int, int] | None:
