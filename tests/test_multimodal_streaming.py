@@ -729,3 +729,36 @@ def test_jpeg_nyquist_checkerboard_no_eob_path():
     bright = got[::2, ::2, 0].astype(float).mean()
     dark = got[1::2, ::2, 0].astype(float).mean()
     assert bright > dark + 100, (bright, dark)
+
+
+def test_new_parsers_never_raise_on_mutated_bytes():
+    """The _decode_any degrade contract for the r09 parsers: arbitrary
+    corruption of a valid JPEG/MP4/OGG (byte flips, truncation, garbage
+    tails) must yield None or a valid parse — NEVER an exception inside a
+    Spark task. Seeded mutation fuzz, 600 payloads x 3 parsers."""
+    import random
+
+    from multi_source_financial_data_pipeline_spark.operators import containers as C
+    from multi_source_financial_data_pipeline_spark.operators import jpegcodec as J
+
+    rng = random.Random(11)
+    w = h = 16
+    rows = [bytes(rng.randrange(256) for _ in range(3 * w)) for _ in range(h)]
+    seeds = [
+        J.jpeg_encode(w, h, rows),
+        C.mp4_build(1234, [("vide", 32, 24)], b"p" * 40),
+        C.ogg_build(5, [b"abc", b"d" * 600], [0, 960]),
+    ]
+    for _ in range(600):
+        b = bytearray(rng.choice(seeds))
+        for _ in range(rng.randrange(1, 6)):
+            op = rng.randrange(3)
+            if op == 0 and b:
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            elif op == 1 and len(b) > 4:
+                del b[rng.randrange(len(b)):]
+            else:
+                b += bytes(rng.randrange(256) for _ in range(rng.randrange(8)))
+        for fn in (J.parse_jpeg, C.parse_mp4, C.parse_ogg):
+            out = fn(bytes(b))  # must not raise
+            assert out is None or isinstance(out, dict)
