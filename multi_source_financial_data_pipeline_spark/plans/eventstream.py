@@ -1202,40 +1202,86 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 # --- CUSUM drift detection per user ------------------------------------------
 
 def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = grouped.cusum_last(
-        _events(spark, sf_dir),
-        key="user_id",
-        ts_col="ts",
-        tiebreak="event_id",
-        value_col="value",
+    """Final one-sided CUSUM statistics per user (Page 1954) — r09
+    reformulated from the grouped-map Python fold onto PURE JVM WINDOWS
+    via the prefix-sum (drawdown) identity:
+
+        c+_t = max(0, c+_{t-1} + d_t)  =  S_t - min_{0<=j<=t} S_j
+        c-_t = max(0, c-_{t-1} - d_t)  =  max_{0<=j<=t} S_j - S_t
+
+    with S_t = sum_{i<=t} (x_i - mu) = P_t - t*mu, where P_t is the
+    DECIMAL-exact ordered prefix sum of the 2-decimal-grid values. Every
+    float op is a single exact-input op (decimal->double cast, t*mu
+    product, one subtraction, min/max), so the DuckDB oracle replays it
+    bit-for-bit — unlike the sequential clamp fold, whose float op ORDER
+    was the contract (grouped.cusum_last keeps that operator for API
+    parity; its docstring explains why EMAs cannot be rewritten this
+    way). Scale win: no Python boundary, no per-key history bound — the
+    30x probe read the fold at 13.5 s; windows spill gracefully and stay
+    JVM-side."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
     )
-    return out.select(
-        F.col("key").alias("user_id"),
-        "n_rows",
-        "mean_value",
-        "cusum_pos",
-        "cusum_neg",
+    dec = F.col("value").cast("decimal(38,2)")
+    pre = ev.select(
+        "user_id",
+        F.row_number().over(w).alias("j"),
+        F.sum(dec)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("pfx"),
+        F.sum(dec)
+        .over(Window.partitionBy("user_id"))
+        .alias("tot"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .alias("n"),
+    )
+    mu = F.col("tot").cast("double") / F.col("n")
+    srow = pre.select(
+        "user_id",
+        F.col("n"),
+        F.col("j"),
+        mu.alias("mu"),
+        (F.col("pfx").cast("double") - F.col("j") * mu).alias("s"),
+    )
+    return srow.groupBy("user_id").agg(
+        F.max("n").alias("n_rows"),
+        F.max("mu").alias("mean_value"),
+        (
+            F.max(F.struct("j", "s"))["s"]
+            - F.least(F.min("s"), F.lit(0.0))
+        ).alias("cusum_pos"),
+        (
+            F.greatest(F.max("s"), F.lit(0.0))
+            - F.max(F.struct("j", "s"))["s"]
+        ).alias("cusum_neg"),
     )
 
 
-#: the clamp folds seed at 0.0 by PREPENDING it (seedless list_reduce takes
-#: its first element as the accumulator); the mean replays the UDF's ordered
-#: sum — python's 0.0 + x0 is bitwise x0, so the seedless fold matches
+#: replays the prefix-sum identity exactly: DECIMAL-exact ordered prefix
+#: P_j, S_j = P_j - j*mu with mu = exact-total/n, then pure min/max — every
+#: float op a single exact-input op, identical in both engines
 SQL_CUSUM_DRIFT = """
-WITH g AS (
-  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
-  FROM events GROUP BY user_id
-), m AS (
-  SELECT user_id, CAST(len(vs) AS BIGINT) AS n_rows, vs,
-         list_reduce(vs, (acc, x) -> acc + x) / len(vs) AS mu
-  FROM g
+WITH p AS (
+  SELECT user_id,
+         row_number() OVER w AS j,
+         CAST(sum(CAST(value AS DECIMAL(38,2))) OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS pfx,
+         CAST(sum(CAST(value AS DECIMAL(38,2))) OVER (PARTITION BY user_id) AS DOUBLE) AS tot,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, n, j, tot / n AS mu, pfx - j * (tot / n) AS s
+  FROM p
 )
-SELECT user_id, n_rows, mu AS mean_value,
-       list_reduce(list_prepend(0.0, vs),
-                   (acc, x) -> greatest(0.0, acc + (x - mu))) AS cusum_pos,
-       list_reduce(list_prepend(0.0, vs),
-                   (acc, x) -> greatest(0.0, acc - (x - mu))) AS cusum_neg
-FROM m
+SELECT user_id, CAST(max(n) AS BIGINT) AS n_rows, max(mu) AS mean_value,
+       max_by(s, j) - least(0.0, min(s)) AS cusum_pos,
+       greatest(0.0, max(s)) - max_by(s, j) AS cusum_neg
+FROM s
+GROUP BY user_id
 """
 
 
