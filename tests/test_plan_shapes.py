@@ -680,9 +680,11 @@ def test_ngram_novelty_single_scan_linear(spark, sf_dir):
 def test_round7_late_additions_shapes(spark, sf_dir):
     """Compact pins for the wave-5 queries: readability is a pure map
     (no exchange at all); seasonal_mase rides the single _daily_bars user
-    exchange; containment_pairs never goes cartesian; cusum_drift is one
-    grouped-map over one key exchange; equi_depth_bins_ntile reuses the
-    ntile window's type partitioning for its groupBy (one exchange)."""
+    exchange; containment_pairs never goes cartesian; cusum_drift (rewritten
+    r09 onto the JVM prefix-sum identity) has NO grouped-map node — both
+    windows and the final per-user aggregate ride ONE user_id exchange;
+    equi_depth_bins_ntile reuses the ntile window's type partitioning for
+    its groupBy (one exchange)."""
     plan = _plan(spark, sf_dir, "readability")
     assert "Exchange" not in plan and "Join" not in plan
 
@@ -695,8 +697,10 @@ def test_round7_late_additions_shapes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
     plan = _plan(spark, sf_dir, "cusum_drift")
-    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "FlatMapGroupsInPandas" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window ") == 2
+    assert plan.count("events.parquet") == 1
 
     plan = _plan(spark, sf_dir, "equi_depth_bins_ntile")
     assert plan.count("Exchange hashpartitioning") == 1
