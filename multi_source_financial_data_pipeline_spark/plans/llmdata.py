@@ -545,62 +545,115 @@ def q_semdedup_kept_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup_screen(a, COS_THRESHOLD, cell_type="int")
 
 
+def _sql_scalar_dot(a: str, b: str) -> str:
+    """`_sql_dot` over 64 flat DOUBLE columns (``{a}1``…``{a}64``) instead
+    of list extracts — IDENTICAL term order ("0.0 + t1 + t2 + …"), so the
+    IEEE result is bit-identical to the list form."""
+    terms = " + ".join(f"{a}{i} * {b}{i}" for i in range(1, EMB_DIM + 1))
+    return f"(0.0 + {terms})"
+
+
+def _sql_scalar_cos(a: str, b: str, anrm: str, bnrm: str) -> str:
+    """Cosine with the self-dots HOISTED to per-vector ``nrm`` columns
+    (computed once per vector with the same term order, so
+    ``sqrt(anrm * bnrm)`` is the exact same IEEE value as the inline
+    ``sqrt(dot(a,a) * dot(b,b))``). This shrinks every pairwise expression
+    from 3 unrolled dots (~390 operator nodes) to 1 (~130): DuckDB
+    allocates a ~16 KB intermediate vector per operator node PER THREAD,
+    and at the checker's 32 threads the wide form's allocation burst
+    fragmented jemalloc into tens of thousands of VMAs (see PERF.md)."""
+    return (
+        f"({_sql_scalar_dot(a, b)}"
+        f" / nullif(sqrt({anrm} * {bnrm}), 0))"
+    )
+
+
 def _sql_semdedup() -> str:
     """Two-level adaptive-quantizer SemDeDup oracle: replays
     `similarity.semdedup_assign` exactly — nlist and k1 derived from the
     corpus by the same formulas, supers = first k1 seeds, seeds < k1
     forced to their own super, every argmax as the shared
-    round(cos, 6) DESC / lowest-id tiebreak rank."""
+    round(cos, 6) DESC / lowest-id tiebreak rank.
+
+    EXECUTION SHAPE (r10, checker-OOM hardening): the r09 form carried the
+    DOUBLE[] list column through every window sort and the final in-cell
+    self-join; DuckDB puts variable-size row payloads in per-row heap
+    blocks, and the resulting allocation churn fragmented jemalloc into
+    ~64k VMAs — hitting vm.max_map_count and poisoning the checker process
+    for every LATER oracle (the real mechanism behind the 28 r09 "OOM"
+    rows; DIAGNOSIS in PERF.md). This form unnests the embedding ONCE into
+    64 flat DOUBLE columns (fixed-width rows, no heap blocks), ranks
+    windows over (id, cand, sim) scalars only, and re-joins coordinates by
+    id where a later level needs them. Same expressions, same term order →
+    bit-identical values; map count stays ~O(100)."""
     rank = (
         "row_number() OVER (PARTITION BY {part} ORDER BY"
         " coalesce(round({cos}, 6), -2.0) DESC, {cand} ASC)"
     )
+    xs = ", ".join(f"v[{i}] AS x{i}" for i in range(1, EMB_DIM + 1))
+    ex = ", ".join(f"e.x{i}" for i in range(1, EMB_DIM + 1))
+    ps = ", ".join(f"x{i} AS p{i}" for i in range(1, EMB_DIM + 1))
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-p AS (
+WITH p AS (
   SELECT CAST(greatest({IVF_NLIST},
                ceil(count(*) / {SEMDEDUP_CELL_TARGET}.0)) AS BIGINT) AS nlist,
          CAST(ceil(sqrt(greatest({IVF_NLIST},
                ceil(count(*) / {SEMDEDUP_CELL_TARGET}.0)))) AS BIGINT) AS k1
-  FROM e
+  FROM embeddings
 ),
-seeds AS (
-  SELECT vec_id AS seed_id, v AS sv FROM e
-  WHERE vec_id < (SELECT nlist FROM p)
+ew AS (
+  SELECT vec_id, {_sql_scalar_dot("x", "x")} AS nrm,
+         {", ".join(f"x{i}" for i in range(1, EMB_DIM + 1))}
+  FROM (
+    SELECT vec_id, {xs}
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+  )
 ),
 supers AS (
-  SELECT seed_id AS super_id, sv AS pv FROM seeds
-  WHERE seed_id < (SELECT k1 FROM p)
+  SELECT vec_id AS super_id, nrm AS pnrm, {ps} FROM ew
+  WHERE vec_id < (SELECT k1 FROM p)
 ),
-seed_super AS (
-  SELECT seed_id, sv,
-         CASE WHEN seed_id < (SELECT k1 FROM p) THEN seed_id
-              ELSE super_id END AS grp
-  FROM (
-    SELECT s.seed_id, s.sv, u.super_id,
-           {rank.format(part="s.seed_id", cos=_sql_cos("s.sv", "u.pv"), cand="u.super_id")} AS rn
-    FROM seeds s CROSS JOIN supers u
+seed_grp AS (
+  SELECT seed_id, grp FROM (
+    SELECT s.vec_id AS seed_id, u.super_id AS grp,
+           {rank.format(part="s.vec_id", cos=_sql_scalar_cos("s.x", "u.p", "s.nrm", "u.pnrm"), cand="u.super_id")} AS rn
+    FROM ew s CROSS JOIN supers u
+    WHERE s.vec_id < (SELECT nlist FROM p)
   ) WHERE rn = 1
 ),
+seed_super AS (
+  SELECT seed_id,
+         CASE WHEN seed_id < (SELECT k1 FROM p) THEN seed_id
+              ELSE grp END AS grp
+  FROM seed_grp
+),
 vec_super AS (
-  SELECT vec_id, v, super_id AS grp FROM (
-    SELECT e.vec_id, e.v, u.super_id,
-           {rank.format(part="e.vec_id", cos=_sql_cos("e.v", "u.pv"), cand="u.super_id")} AS rn
-    FROM e CROSS JOIN supers u
+  SELECT vec_id, grp FROM (
+    SELECT e.vec_id, u.super_id AS grp,
+           {rank.format(part="e.vec_id", cos=_sql_scalar_cos("e.x", "u.p", "e.nrm", "u.pnrm"), cand="u.super_id")} AS rn
+    FROM ew e CROSS JOIN supers u
   ) WHERE rn = 1
 ),
 assign AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT q.vec_id, q.v, s.seed_id AS cell,
-           {rank.format(part="q.vec_id", cos=_sql_cos("q.v", "s.sv"), cand="s.seed_id")} AS rn
-    FROM vec_super q JOIN seed_super s ON s.grp = q.grp
+  SELECT vec_id, cell FROM (
+    SELECT q.vec_id, s.seed_id AS cell,
+           {rank.format(part="q.vec_id", cos=_sql_scalar_cos("q.x", "s.x", "q.nrm", "s.nrm"), cand="s.seed_id")} AS rn
+    FROM (SELECT w.vec_id, w.grp, e.nrm, {ex}
+          FROM vec_super w JOIN ew e ON e.vec_id = w.vec_id) q
+    JOIN (SELECT t.seed_id, t.grp, e.nrm, {ex}
+          FROM seed_super t JOIN ew e ON e.vec_id = t.seed_id) s
+      ON s.grp = q.grp
   ) WHERE rn = 1
+),
+av AS (
+  SELECT a.vec_id, a.cell, e.nrm, {ex}
+  FROM assign a JOIN ew e ON e.vec_id = a.vec_id
 )
-SELECT a.vec_id, a.cell FROM assign a
+SELECT a.vec_id, a.cell FROM av a
 WHERE NOT EXISTS (
-  SELECT 1 FROM assign b
+  SELECT 1 FROM av b
   WHERE b.cell = a.cell AND b.vec_id < a.vec_id
-    AND round({_sql_cos("a.v", "b.v")}, 6) >= {COS_THRESHOLD}
+    AND round({_sql_scalar_cos("a.x", "b.x", "a.nrm", "b.nrm")}, 6) >= {COS_THRESHOLD}
 )
 """
 
@@ -1105,13 +1158,35 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries, k=TOPK)
 
 
+def _sql_ew_cte() -> str:
+    """The shared scalar-embedding CTE (``ew``): the embedding unnested
+    ONCE into 64 flat DOUBLE columns plus the hoisted self-dot ``nrm``.
+    Every ANN-family oracle builds on this instead of carrying DOUBLE[]
+    lists through joins/windows — fixed-width rows avoid DuckDB's per-row
+    heap blocks, whose 32-thread allocation churn fragmented jemalloc into
+    ~64k VMAs and starved the r09 checker (PERF.md: max_map_count)."""
+    xs = ", ".join(f"v[{i}] AS x{i}" for i in range(1, EMB_DIM + 1))
+    cols = ", ".join(f"x{i}" for i in range(1, EMB_DIM + 1))
+    return (
+        f"ew AS (\n  SELECT vec_id, {_sql_scalar_dot('x', 'x')} AS nrm, {cols}\n"
+        f"  FROM (SELECT vec_id, {xs}\n"
+        f"        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))\n)"
+    )
+
+
+#: renames x1..x64 → q1..q64 (etc.) when a CTE needs a second vector role
+def _sql_x_as(prefix: str) -> str:
+    return ", ".join(f"x{i} AS {prefix}{i}" for i in range(1, EMB_DIM + 1))
+
+
 SQL_ANN_TOPK = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+WITH {_sql_ew_cte()},
+q AS (SELECT vec_id AS query_id, nrm AS qnrm, {_sql_x_as("q")}
+      FROM ew WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.query_id, c.vec_id AS cand_id,
-         round({_sql_cos("qv", "c.v")}, 6) AS cos_sim
-  FROM e c JOIN q ON c.vec_id != q.query_id
+         round({_sql_scalar_cos("q.q", "c.x", "q.qnrm", "c.nrm")}, 6) AS cos_sim
+  FROM ew c JOIN q ON c.vec_id != q.query_id
 )
 SELECT query_id, cand_id, cos_sim, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
@@ -1291,46 +1366,55 @@ _SQL_IVF_RANK = (
     " coalesce(round({cos}, 6), -2.0) DESC, s.seed_id ASC)"
 )
 
-_SQL_IVF_COMMON = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {{seed_bound}}),
-assign AS (
-  SELECT vec_id, v, cell, cell_sim FROM (
-    SELECT e.vec_id, e.v, s.seed_id AS cell,
-           coalesce(round({{cos_es}}, 6) + 0.0, -2.0) AS cell_sim,
-           {_SQL_IVF_RANK.format(part="e.vec_id", cos="{cos_es}")} AS rn
-    FROM e CROSS JOIN seeds s
+def _sql_ivf_common() -> str:
+    """The shared fixed-nlist (ew, seeds, assign) CTE chain for the ANN
+    family, in the scalar-column/hoisted-norm execution shape (see
+    `_sql_ew_cte`): the assignment rank windows over (vec_id, cell,
+    cell_sim) scalars only, and `assign` re-joins the coordinates by id
+    for consumers that score candidates. The SemDeDup oracles do NOT use
+    it — their corpus-adaptive two-level quantizer has its own
+    self-contained CTE chain (`_sql_semdedup`)."""
+    cos_es = _sql_scalar_cos("e.x", "s.s", "e.nrm", "s.snrm")
+    xcols = ", ".join(f"e.x{i}" for i in range(1, EMB_DIM + 1))
+    return f"""
+WITH {_sql_ew_cte()},
+seeds AS (SELECT vec_id AS seed_id, nrm AS snrm, {_sql_x_as("s")}
+          FROM ew WHERE vec_id < {IVF_NLIST}),
+assign0 AS (
+  SELECT vec_id, cell, cell_sim FROM (
+    SELECT e.vec_id, s.seed_id AS cell,
+           coalesce(round({cos_es}, 6) + 0.0, -2.0) AS cell_sim,
+           {_SQL_IVF_RANK.format(part="e.vec_id", cos=cos_es)} AS rn
+    FROM ew e CROSS JOIN seeds s
   ) WHERE rn = 1
+),
+assign AS (
+  SELECT a.vec_id, e.nrm, {xcols}, a.cell, a.cell_sim
+  FROM assign0 a JOIN ew e ON e.vec_id = a.vec_id
 )
 """
 
 
-def _sql_ivf_common() -> str:
-    """The shared fixed-nlist (e, seeds, assign) CTE for the ANN family.
-    The SemDeDup oracles do NOT use it — their corpus-adaptive two-level
-    quantizer has its own self-contained CTE chain (`_sql_semdedup`)."""
-    return _SQL_IVF_COMMON.format(
-        cos_es=_sql_cos("e.v", "s.sv"), seed_bound=str(IVF_NLIST)
-    )
-
-
 SQL_IVF_ASSIGN = f"""
 {_sql_ivf_common()}
-SELECT vec_id, cell, cell_sim FROM assign
+SELECT vec_id, cell, cell_sim FROM assign0
 """
 
 SQL_ANN_TOPK_IVF = f"""
 {_sql_ivf_common()},
 probes AS (
-  SELECT query_id, qv, cell FROM (
-    SELECT q.vec_id AS query_id, q.v AS qv, s.seed_id AS cell,
-           {_SQL_IVF_RANK.format(part="q.vec_id", cos=_sql_cos("q.v", "s.sv"))} AS rn
-    FROM e q CROSS JOIN seeds s WHERE q.vec_id < {N_QUERIES}
-  ) WHERE rn <= {IVF_NPROBE}
+  SELECT p.query_id, e.nrm AS qnrm, {_sql_x_as("q")}, p.cell
+  FROM (
+    SELECT query_id, cell FROM (
+      SELECT q.vec_id AS query_id, s.seed_id AS cell,
+             {_SQL_IVF_RANK.format(part="q.vec_id", cos=_sql_scalar_cos("q.x", "s.s", "q.nrm", "s.snrm"))} AS rn
+      FROM ew q CROSS JOIN seeds s WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rn <= {IVF_NPROBE}
+  ) p JOIN ew e ON e.vec_id = p.query_id
 ),
 scored AS (
   SELECT p.query_id, a.vec_id AS cand_id,
-         round({_sql_cos("qv", "a.v")}, 6) AS cos_sim
+         round({_sql_scalar_cos("p.q", "a.x", "p.qnrm", "a.nrm")}, 6) AS cos_sim
   FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
 )
 SELECT query_id, cand_id, cos_sim, rank FROM (
@@ -1412,11 +1496,11 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EMBEDDING_NEARDUP = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH {_sql_ew_cte()}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round({_sql_cos("a.v", "b.v")}, 6) AS cos_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round({_sql_cos("a.v", "b.v")}, 6) >= {COS_THRESHOLD}
+       round({_sql_scalar_cos("a.x", "b.x", "a.nrm", "b.nrm")}, 6) AS cos_sim
+FROM ew a JOIN ew b ON a.vec_id < b.vec_id
+WHERE round({_sql_scalar_cos("a.x", "b.x", "a.nrm", "b.nrm")}, 6) >= {COS_THRESHOLD}
 """
 
 
@@ -1427,20 +1511,25 @@ LSH_BUCKET_PLANES = 16
 LSH_NEARDUP_PLANES = 8
 
 
-def _sql_plane_proj(plane: list[float]) -> str:
+def _sql_plane_proj(plane: list[float], ref: str = "v") -> str:
     """Signed projection as an explicit 64-term expression instead of a
     list_reduce lambda: SQL's left-associative `0.0 + t1 + t2 + …` is the
     SAME float-op sequence as the fold (bit-identical), and DuckDB evaluates
     the plain expression ~an order of magnitude faster than the lambda —
-    this is pure oracle-side cost, the Spark plan is unchanged."""
-    terms = " + ".join(f"v[{i + 1}] * {c:.1f}" for i, c in enumerate(plane))
+    this is pure oracle-side cost, the Spark plan is unchanged. ``ref="v"``
+    indexes a DOUBLE[] column; any other ref names flat scalar columns
+    (``x1``…``x64``, the `_sql_ew_cte` shape)."""
+    if ref == "v":
+        terms = " + ".join(f"v[{i + 1}] * {c:.1f}" for i, c in enumerate(plane))
+    else:
+        terms = " + ".join(f"{ref}{i + 1} * {c:.1f}" for i, c in enumerate(plane))
     return f"(0.0 + {terms})"
 
 
-def _sql_bucket(num_planes: int) -> str:
+def _sql_bucket(num_planes: int, ref: str = "v") -> str:
     planes = similarity.signed_planes(num_planes, LSH_DIM)
     return " + ".join(
-        f"(CASE WHEN {_sql_plane_proj(p)} > 0 THEN (CAST(1 AS BIGINT) << {i})"
+        f"(CASE WHEN {_sql_plane_proj(p, ref)} > 0 THEN (CAST(1 AS BIGINT) << {i})"
         f" ELSE CAST(0 AS BIGINT) END)"
         for i, p in enumerate(planes)
     )
@@ -1469,12 +1558,12 @@ def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_LSH_NEARDUP = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-b AS (SELECT vec_id, v, {_sql_bucket(LSH_NEARDUP_PLANES)} AS bucket FROM e)
+WITH {_sql_ew_cte()},
+b AS (SELECT *, {_sql_bucket(LSH_NEARDUP_PLANES, ref="x")} AS bucket FROM ew)
 SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-       round({_sql_cos("a.v", "c.v")}, 6) AS cos_sim
+       round({_sql_scalar_cos("a.x", "c.x", "a.nrm", "c.nrm")}, 6) AS cos_sim
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE round({_sql_cos("a.v", "c.v")}, 6) >= {COS_THRESHOLD}
+WHERE round({_sql_scalar_cos("a.x", "c.x", "a.nrm", "c.nrm")}, 6) >= {COS_THRESHOLD}
 """
 
 

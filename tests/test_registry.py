@@ -54,10 +54,21 @@ def test_gate_window_fronts_never_checked_then_oldest():
         # newest record is this very window's own driver run → pre-rotation
         # state is everything strictly older
         records = records[:-1]
-    latest = set(json.loads(records[-1].read_text()))
+    # a recorded row only counts as "checked" when the harness reached a
+    # verdict — r09 lost 28 rows to a checker-side OOM (err != null, all
+    # three match fields null), and those names legitimately re-enter the
+    # next window
+    def _valid(rec: dict) -> set:
+        return {
+            k
+            for k, v in rec.items()
+            if not (isinstance(v, dict) and v.get("err"))
+        }
+
+    latest = _valid(json.loads(records[-1].read_text()))
     ever_recorded: set[str] = set()
     for p in records:
-        ever_recorded |= set(json.loads(p.read_text()))
+        ever_recorded |= _valid(json.loads(p.read_text()))
     never = set(registry.QUERIES) - ever_recorded
     # every never-checked query that is IN the window leads it (queries
     # added after the rotation was sized legitimately wait for the next one,
@@ -78,8 +89,14 @@ def test_gate_window_fronts_never_checked_then_oldest():
     # the window even though that row is recent — the old green row proves
     # the old plan, not the new one (r08: winsorized_stats rewritten onto
     # histogram cutoffs; r09: both semdedup variants moved to the
-    # corpus-adaptive nlist quantizer)
-    reformulated_ok = {"winsorized_stats", "semdedup_kept", "semdedup_kept_probe"}
+    # corpus-adaptive two-level quantizer, and cusum_drift moved onto the
+    # JVM prefix-sum identity with a rewritten oracle)
+    reformulated_ok = {
+        "winsorized_stats",
+        "semdedup_kept",
+        "semdedup_kept_probe",
+        "cusum_drift",
+    }
     assert r06_new <= set(window[:17]) | (ever_recorded - set(window)) | reformulated_ok
     # no slot is wasted on a query checked in the latest round, except the
     # justified reformulations above
