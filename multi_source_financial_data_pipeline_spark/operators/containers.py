@@ -51,7 +51,11 @@ def mp4_build(
     for tid, (handler, w, h) in enumerate(tracks, start=1):
         tkhd = _box(
             b"tkhd",
-            struct.pack(">BBHHIIII", 0, 0, 0, 7, 0, 0, tid, 0)
+            # version(1) + 24-bit flags(3) + creation/modification/
+            # track_ID/reserved as four 4-byte fields — 20 bytes, the
+            # spec's v0 offsets (an earlier ">BBHH" prefix emitted 6
+            # bytes of version+flags, shifting everything by 2)
+            struct.pack(">BBBBIIII", 0, 0, 0, 7, 0, 0, tid, 0)
             + struct.pack(">I", duration_ms)
             + b"\x00" * 8
             + struct.pack(">hhhh", 0, 0, 0x0100 if handler == "soun" else 0, 0)

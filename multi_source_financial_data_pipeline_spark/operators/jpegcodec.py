@@ -29,6 +29,14 @@ from __future__ import annotations
 
 import struct
 
+#: Hard cap on decoded frame size (width*height from the SOF header).
+#: 64 Mpx = an 8K x 8K frame; the decoder's padded float64 planes cost
+#: ~8 B/px/component, so this bounds the worst-case allocation at
+#: ~0.5 GB/plane instead of the 34 GB a crafted 65535x65535 SOF could
+#: demand.  Frames above the cap return None (degrade-to-stub), never
+#: raise.
+MAX_PIXELS = 64_000_000
+
 #: Annex K.1 example quantization tables (natural row-major order).
 QUANT_LUMA = (
     16, 11, 10, 16, 24, 40, 51, 61,
@@ -538,6 +546,12 @@ def parse_jpeg(data: bytes) -> dict | None:
         return None
     width, height, comps = sof
     if width <= 0 or height <= 0:
+        return None
+    # SOF dimensions are attacker-controlled; a 65535x65535 header would
+    # otherwise allocate ~34 GB per plane below BEFORE any entropy data is
+    # validated.  Reject oversized frames up front so a crafted blob
+    # degrades (None -> stub) instead of taking down the executor.
+    if width * height > MAX_PIXELS:
         return None
     comp_q = dict(comps)
     ncomp = len(comps)

@@ -287,7 +287,7 @@ def _decode_any(data: bytes | None) -> dict:
     ):
         try:
             parsed = fn(data)
-        except (struct.error, ValueError, ZeroDivisionError):
+        except (struct.error, ValueError, ZeroDivisionError, MemoryError):
             parsed = None
         if parsed is not None:
             out["codec"] = codec
@@ -991,7 +991,8 @@ def media_channel_stats(media: DataFrame) -> DataFrame:
                                     ) = jpg
                                 else:
                                     rec["rms"] = _wav_rms(data)
-                    except (struct.error, ValueError, ZeroDivisionError):
+                    except (struct.error, ValueError, ZeroDivisionError,
+                            MemoryError):
                         pass
                 out.append(rec)
             yield pd.DataFrame(out)

@@ -762,3 +762,82 @@ def test_new_parsers_never_raise_on_mutated_bytes():
         for fn in (J.parse_jpeg, C.parse_mp4, C.parse_ogg):
             out = fn(bytes(b))  # must not raise
             assert out is None or isinstance(out, dict)
+
+
+def test_jpeg_sof_dimension_bomb_degrades_with_bounded_memory():
+    """A crafted SOF0 header claiming 65535x65535 must be rejected BEFORE
+    plane allocation (3 planes x 34 GB would kill the executor), and any
+    MemoryError that does escape a parser must be swallowed by
+    _decode_any's degrade contract. Builds a real JPEG, rewrites the SOF
+    dims in place, and asserts parse_jpeg -> None with bounded RSS."""
+    import resource
+    import struct
+
+    from multi_source_financial_data_pipeline_spark.operators import jpegcodec as J
+    from multi_source_financial_data_pipeline_spark.operators import multimodal as mm
+
+    w = h = 16
+    rows = [bytes((x * 7 + y * 13 + c) % 256 for x in range(w) for c in range(3))
+            for y in range(h)]
+    good = J.jpeg_encode(w, h, rows)
+    # locate the SOF0 segment (FF C0 <len:2> <prec:1> <H:2> <W:2> ...)
+    i = good.index(b"\xff\xc0")
+    bombs = []
+    for bw, bh in ((65535, 65535), (65535, 2), (2, 65535), (9000, 9000)):
+        b = bytearray(good)
+        struct.pack_into(">HH", b, i + 5, bh, bw)
+        bombs.append(bytes(b))
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB
+    for bomb in bombs:
+        assert J.parse_jpeg(bomb) is None
+        out = mm._decode_any(bomb)  # must not raise
+        assert out["codec"] == "stub"
+    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # rejection happens pre-allocation: peak RSS must not have grown by
+    # anything near even ONE 9000x9000 float64 plane (~618 MiB)
+    assert rss_after - rss_before < 200 * 1024, (rss_before, rss_after)
+    # the in-cap path still decodes: restore true dims -> full round-trip
+    assert J.parse_jpeg(good) is not None
+    # and a just-over-cap frame is rejected by the cap itself
+    over = bytearray(good)
+    side = int(J.MAX_PIXELS**0.5) + 1
+    struct.pack_into(">HH", over, i + 5, side, side)
+    assert J.parse_jpeg(bytes(over)) is None
+
+
+def test_mp4_tkhd_body_is_84_bytes_on_spec_offsets():
+    """ISO-BMFF 8.3.2 tkhd v0: version(1) + 24-bit flags(3) + four
+    4-byte fields (creation, modification, track_ID, reserved) + duration
+    at byte 20, width/height 16.16 fixed-point in the LAST 8 of an
+    84-byte body. An earlier builder emitted version+flags as 6 bytes
+    (86-byte body), shifting every field off-spec — it round-tripped
+    through our own parser but an external demuxer would read garbage."""
+    import struct
+
+    from multi_source_financial_data_pipeline_spark.operators import containers as C
+
+    b = C.mp4_build(1234, [("vide", 32, 24), ("soun", 0, 0)], b"p" * 40)
+    pos = 0
+    bodies = []
+    while True:
+        i = b.find(b"tkhd", pos)
+        if i < 0:
+            break
+        (size,) = struct.unpack_from(">I", b, i - 4)
+        bodies.append(b[i + 4 : i - 4 + size])
+        pos = i + 4
+    assert len(bodies) == 2
+    for tid, body in enumerate(bodies, start=1):
+        assert len(body) == 84
+        assert body[0] == 0                                  # version
+        assert int.from_bytes(body[1:4], "big") == 0x000007  # flags
+        creation, modification, track_id, reserved = struct.unpack_from(
+            ">IIII", body, 4
+        )
+        assert (creation, modification, reserved) == (0, 0, 0)
+        assert track_id == tid
+        (duration,) = struct.unpack_from(">I", body, 20)
+        assert duration == 1234
+    w16, h16 = struct.unpack_from(">II", bodies[0], 84 - 8)
+    assert (w16 >> 16, h16 >> 16) == (32, 24)
+    assert C.parse_mp4(b)["tracks"] == [("vide", 32, 24), ("soun", 0, 0)]
