@@ -81,6 +81,7 @@ HEADLINE = [
     # round-5 additions
     "unigram_prob",
     "weekly_bars",
+    "bars_4h",
     "max_drawdown",
     # round-6 additions: the Python-heaviest operators in the repo (real
     # stdlib codecs through the Arrow batch boundary) + the weights->apply

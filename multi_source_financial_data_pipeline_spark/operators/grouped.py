@@ -47,7 +47,9 @@ def _check_group_rows(n: int, key_value: object, max_rows: int) -> None:
             f"grouped-map fold: key {key_value!r} has {n} rows, above the "
             f"per-key history bound {max_rows}; this family materializes "
             "one key's full history per task — pre-aggregate the series "
-            "to bars (resample) before folding"
+            "to bars first (operators.timeseries.resample_bars, any "
+            "calendar unit or N-second width; its (key, bar) partitioning "
+            "is skew-immune), then fold the bar close_value series"
         )
 
 EWMA_SCHEMA = T.StructType(

@@ -224,3 +224,93 @@ def timeseries_features(
         f"vol{vol_window}", rolling_std(F.col(ret_col), vol_frame, vol_window)
     )
     return out
+
+
+def resample_bars(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    value_col: str,
+    interval: str | int,
+    tiebreak_cols: Sequence[str] = (),
+    bar_col: str = "bar_ts",
+    exact_sum: bool = True,
+) -> DataFrame:
+    """Downsample an irregular per-key series to OHLC bars of arbitrary
+    granularity — pandas ``resample(rule).ohlc()`` / the hypertable
+    continuous-aggregate shape, generalized from the weekly machinery in
+    `plans/financial.q_weekly_bars`.
+
+    ``interval`` is either a calendar unit accepted by ``date_trunc``
+    (``"week"``, ``"day"``, ``"month"``, ``"hour"``, ...) or an integer
+    bucket width in SECONDS (e.g. ``14400`` for 4-hour bars; must divide
+    evenly into whole seconds — sub-second widths are out of scope since
+    ``unix_timestamp`` truncates to seconds).
+
+    This is the documented PRE-STEP for the grouped-map fold family
+    (`operators/grouped.ewma_last` / `macd_last` / `rsi_wilder` /
+    `atr_wilder`): those materialize one key's FULL history per task and
+    refuse above ``GROUPED_FOLD_MAX_ROWS``; resampling first bounds the
+    per-key series to ``#bars`` rows (fold the ``close_value`` column,
+    ordered by ``bar_col``). Crucially the pre-step itself is SKEW-IMMUNE
+    where the fold is not: both the tagging window and the aggregate
+    partition by ``(key, bar)``, so a single 10-billion-row key spreads
+    across its bars instead of landing on one task.
+
+    Plan shape (one exchange): the bar key is projected FIRST so the
+    window partitioning and the final groupBy share the exact same
+    attribute; a row_number pair tags each bar's first/last observation
+    (ties broken on ``tiebreak_cols``, the explicit ingest order), then a
+    groupBy on the SAME keys folds open/high/low/close/count/sum —
+    Catalyst reuses the window's hash partitioning.
+
+    ``exact_sum=True`` sums through DECIMAL(12,2) (bit-exact across
+    engines for 2-dp inputs, the registry's oracle discipline); False
+    keeps a plain double sum (cheaper, order-dependent rounding).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if isinstance(interval, int):
+        if interval <= 0:
+            raise ValueError(f"interval seconds must be positive: {interval}")
+        bar = F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(interval)).cast(
+                "long"
+            )
+            * F.lit(interval)
+        )
+    else:
+        bar = F.date_trunc(interval, F.col(ts_col))
+    base = df.select(
+        *keys,
+        bar.alias(bar_col),
+        ts_col,
+        *tiebreak_cols,
+        value_col,
+    )
+    order_asc = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    order_desc = [F.col(ts_col).desc()] + [
+        F.col(c).desc() for c in tiebreak_cols
+    ]
+    w_asc = Window.partitionBy(*keys, bar_col).orderBy(*order_asc)
+    w_desc = Window.partitionBy(*keys, bar_col).orderBy(*order_desc)
+    tagged = base.select(
+        *keys,
+        bar_col,
+        value_col,
+        F.row_number().over(w_asc).alias("__rn_a"),
+        F.row_number().over(w_desc).alias("__rn_d"),
+    )
+    v = F.col(value_col)
+    sum_expr = (
+        F.sum(v.cast("decimal(12,2)")).cast("double")
+        if exact_sum
+        else F.sum(v)
+    )
+    return tagged.groupBy(*keys, bar_col).agg(
+        F.max(F.when(F.col("__rn_a") == 1, v)).alias("open_value"),
+        F.max(v).alias("high_value"),
+        F.min(v).alias("low_value"),
+        F.max(F.when(F.col("__rn_d") == 1, v)).alias("close_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        sum_expr.alias("sum_value"),
+    )

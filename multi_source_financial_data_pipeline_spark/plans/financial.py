@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from multi_source_financial_data_pipeline_spark.operators import crossval, grouped, series_stats, validation
 from multi_source_financial_data_pipeline_spark.operators.timeseries import (
     gap_fill_daily,
+    resample_bars,
     timeseries_features,
     trailing_range_frame,
 )
@@ -963,6 +964,65 @@ FROM w GROUP BY user_id, week
 """
 
 
+# --- arbitrary-width bars: the generic resample_bars operator ---------------
+
+BAR_4H_SECONDS = 14_400
+
+
+def q_bars_4h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-hour OHLC bars per user via the GENERIC `operators/timeseries.
+    resample_bars` — the integer-seconds interval flavor (weekly_bars
+    exercises the calendar flavor) and the documented pre-step that
+    unblocks the grouped-map fold family above its per-key history bound
+    (`grouped.GROUPED_FOLD_MAX_ROWS`): both the tagging window and the
+    aggregate partition by (user, bar), so a hot key spreads across its
+    bars. Bar identity crosses engines as epoch SECONDS (bar starts are
+    whole multiples of 14400) — no timestamp/timezone surface."""
+    bars = resample_bars(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "value",
+        BAR_4H_SECONDS,
+        ("event_id",),
+    )
+    return bars.select(
+        "user_id",
+        F.col("bar_ts").cast("long").alias("bar_epoch"),
+        "open_value",
+        "high_value",
+        "low_value",
+        "close_value",
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_BARS_4H = f"""
+WITH w AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / {BAR_4H_SECONDS}) AS BIGINT)
+           * {BAR_4H_SECONDS} AS bar_epoch,
+         value,
+         row_number() OVER (
+           PARTITION BY user_id, floor(epoch(ts) / {BAR_4H_SECONDS})
+           ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (
+           PARTITION BY user_id, floor(epoch(ts) / {BAR_4H_SECONDS})
+           ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT user_id, bar_epoch,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+       max(value) AS high_value,
+       min(value) AS low_value,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM w GROUP BY user_id, bar_epoch
+"""
+
+
 # --- Bollinger bands (W2/W4 extension: band + breakout classification) ------
 
 BOLL_N = 20
@@ -1710,6 +1770,14 @@ SPECS = {
         SQL_WEEKLY_BARS,
         "weekly OHLC downsample (resample('W').ohlc()): one window pass + "
         "one reused-partitioning aggregate",
+        ("window", "agg"),
+    ),
+    "bars_4h": QuerySpec(
+        q_bars_4h,
+        SQL_BARS_4H,
+        "4-hour OHLC bars via the generic resample_bars operator "
+        "(N-second interval flavor; the fold family's skew-immune "
+        "pre-step)",
         ("window", "agg"),
     ),
     "max_drawdown": QuerySpec(

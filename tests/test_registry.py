@@ -97,7 +97,12 @@ def test_gate_window_fronts_never_checked_then_oldest():
         "semdedup_kept_probe",
         "cusum_drift",
     }
-    assert r06_new <= set(window[:17]) | (ever_recorded - set(window)) | reformulated_ok
+    # a name satisfies the front-load contract if it was EVER recorded —
+    # once checked, it may legitimately re-enter any later window because
+    # its row AGED (r11 rotates all 47 r07-latest rows back in), so window
+    # membership must not disqualify the record (pre-r11 this subtracted
+    # set(window) from ever_recorded and misfired on aged re-entries)
+    assert r06_new <= set(window[:17]) | ever_recorded | reformulated_ok
     # no slot is wasted on a query checked in the latest round, except the
     # justified reformulations above
     assert not ((set(window) - reformulated_ok) & latest)
