@@ -285,18 +285,93 @@ def fold_skew_probe(spark, k: int) -> dict:
         hot.unionByName(cold).write.mode("overwrite").parquet(
             os.path.join(d, "events.parquet")
         )
-        for name in ("macd_last", "cusum_drift", "scd2_intervals"):
-            QUERIES[name].fn(spark, d).write.format("noop").mode(
-                "overwrite"
-            ).save()
+        # grouped-map FOLD members (the approach curve this probe is for):
+        # macd_last is registered; cusum moved to a pure JVM window plan in
+        # r09, so the fold-family CUSUM leg now probes `grouped.cusum_last`
+        # directly (r10 VERDICT "what's wrong" item 3 — the old loop kept
+        # timing the registered cusum_drift here and measured the wrong
+        # thing)
+        from multi_source_financial_data_pipeline_spark.operators import grouped
+
+        def _cusum_fold():
+            return grouped.cusum_last(
+                load_table(spark, d, "events"), "user_id", "ts", "event_id",
+                "value",
+            )
+
+        legs = [
+            ("macd_last", lambda: QUERIES["macd_last"].fn(spark, d)),
+            ("cusum_last_fold", _cusum_fold),
+            ("scd2_intervals", lambda: QUERIES["scd2_intervals"].fn(spark, d)),
+            # NOT a fold: the registered cusum_drift is the JVM prefix-sum
+            # window plan since r09 — kept as a separate row so the 30×
+            # number retires the stale 13.5 s fold-era figure
+            ("cusum_drift_window", lambda: QUERIES["cusum_drift"].fn(spark, d)),
+        ]
+        for name, fn in legs:
+            fn().write.format("noop").mode("overwrite").save()
             t0 = time.perf_counter()
-            QUERIES[name].fn(spark, d).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            fn().write.format("noop").mode("overwrite").save()
             out[name] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+def jpeg_fullac_probe(n_images: int = 200, size: int = 64) -> dict:
+    """r10 VERDICT item 5: the codec's oracle path uses block-constant
+    fixtures (all energy in DC), so nothing measured the full-AC entropy
+    pipeline on realistic content. This probe encodes→decodes
+    NON-block-constant RGB images (smooth sinusoidal gradients + a hard
+    vertical edge per image — every 8×8 block carries AC energy through
+    the zigzag/Huffman path) and reports (a) the minimum PSNR across the
+    batch, the accuracy bound for the Annex-K-table pipeline on
+    compressible content, and (b) pure-Python images/sec for encode and
+    decode separately — the per-image cost that
+    `media_real_decode_scaled` pays inside each Arrow batch."""
+    import math
+
+    import numpy as np
+
+    from multi_source_financial_data_pipeline_spark.operators import jpegcodec as J
+
+    w = h = size
+    yy, xx = np.mgrid[0:h, 0:w]
+    psnrs = []
+    enc_s = 0.0
+    dec_s = 0.0
+    for i in range(n_images):
+        # smooth 2-D sinusoid (period varies per image) + a hard edge:
+        # every block gets nonzero AC coefficients, none saturates
+        img = (
+            128.0
+            + 70.0 * np.sin(2 * math.pi * xx / (11 + i % 13))
+            * np.cos(2 * math.pi * yy / (7 + i % 17))
+        )
+        img = np.clip(img + np.where(xx >= w // 2, 25.0, -25.0), 0, 255)
+        rgb = np.stack(
+            [img, np.roll(img, 3, axis=1), 255.0 - img], axis=-1
+        ).astype(np.uint8)
+        rows = [rgb[y].tobytes() for y in range(h)]
+        t0 = time.perf_counter()
+        blob = J.jpeg_encode(w, h, rows)
+        enc_s += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        dec = J.parse_jpeg(blob)
+        dec_s += time.perf_counter() - t0
+        got = np.frombuffer(b"".join(dec["rows"]), dtype=np.uint8).reshape(
+            h, w, 3
+        )
+        mse = float(np.mean((got.astype(float) - rgb.astype(float)) ** 2))
+        psnrs.append(10.0 * math.log10(255.0**2 / mse))
+    return {
+        "n_images": n_images,
+        "size_px": f"{w}x{h}",
+        "psnr_min_db": round(min(psnrs), 2),
+        "psnr_mean_db": round(sum(psnrs) / len(psnrs), 2),
+        "encode_imgs_per_sec": round(n_images / enc_s, 1),
+        "decode_imgs_per_sec": round(n_images / dec_s, 1),
+    }
 
 
 def connector_ingest_latency(spark) -> dict:
@@ -421,6 +496,7 @@ def main() -> None:
         media = media_real_scaled(spark, k)
         ingest = connector_ingest_latency(spark)
         fold_skew = fold_skew_probe(spark, k)
+        jpeg_fullac = jpeg_fullac_probe()
         print(
             json.dumps(
                 {
@@ -433,6 +509,7 @@ def main() -> None:
                     "media_real_decode_scaled": media,
                     "connector_ingest": ingest,
                     "fold_skew": fold_skew,
+                    "jpeg_fullac": jpeg_fullac,
                     "unit": "sec",
                 }
             )

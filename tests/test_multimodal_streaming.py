@@ -841,3 +841,20 @@ def test_mp4_tkhd_body_is_84_bytes_on_spec_offsets():
     w16, h16 = struct.unpack_from(">II", bodies[0], 84 - 8)
     assert (w16 >> 16, h16 >> 16) == (32, 24)
     assert C.parse_mp4(b)["tracks"] == [("vide", 32, 24), ("soun", 0, 0)]
+
+
+def test_jpeg_fullac_roundtrip_psnr_bound():
+    """Full-AC accuracy regression guard (the probe's contract in fast
+    form): non-block-constant content — every 8×8 block carrying AC
+    energy through the zigzag/Huffman path — must round-trip at ≥ 25 dB
+    PSNR with the Annex K tables. Block-constant fixtures (the oracle
+    path) exercise only the DC coefficient; this is the other half."""
+    import math
+
+    import numpy as np
+
+    from scale_probe import jpeg_fullac_probe
+
+    out = jpeg_fullac_probe(n_images=8, size=64)
+    assert out["psnr_min_db"] >= 25.0, out
+    assert math.isfinite(out["encode_imgs_per_sec"])
