@@ -45,6 +45,70 @@ def _sql_minhash(j: int) -> str:
     )
 
 
+#: embeddings are 64-dim (TESTDATA schema); the explicit unrolled sum below
+#: is the same left-associative float-op sequence as the JVM `aggregate`
+#: fold and the previous list_reduce oracle (bit-identical), but DuckDB
+#: evaluates the plain expression ~10× faster than the lambda — oracle-side
+#: cost only, the Spark plans are untouched.
+EMB_DIM = 64
+
+
+def _sql_dot(a: str, b: str) -> str:
+    terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, EMB_DIM + 1))
+    return f"(0.0 + {terms})"
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"({_sql_dot(a, b)}"
+        f" / nullif(sqrt({_sql_dot(a, a)} * {_sql_dot(b, b)}), 0))"
+    )
+
+
+def _sql_scalar_dot(a: str, b: str) -> str:
+    """`_sql_dot` over 64 flat DOUBLE columns (``{a}1``…``{a}64``) instead
+    of list extracts — IDENTICAL term order ("0.0 + t1 + t2 + …"), so the
+    IEEE result is bit-identical to the list form."""
+    terms = " + ".join(f"{a}{i} * {b}{i}" for i in range(1, EMB_DIM + 1))
+    return f"(0.0 + {terms})"
+
+
+def _sql_scalar_cos(a: str, b: str, anrm: str, bnrm: str) -> str:
+    """Cosine with the self-dots HOISTED to per-vector ``nrm`` columns
+    (computed once per vector with the same term order, so
+    ``sqrt(anrm * bnrm)`` is the exact same IEEE value as the inline
+    ``sqrt(dot(a,a) * dot(b,b))``). This shrinks every pairwise expression
+    from 3 unrolled dots (~390 operator nodes) to 1 (~130): DuckDB
+    allocates a ~16 KB intermediate vector per operator node PER THREAD,
+    and at the checker's 32 threads the wide form's allocation burst
+    fragmented jemalloc into tens of thousands of VMAs (see PERF.md)."""
+    return (
+        f"({_sql_scalar_dot(a, b)}"
+        f" / nullif(sqrt({anrm} * {bnrm}), 0))"
+    )
+
+
+def _sql_ew_cte() -> str:
+    """The shared scalar-embedding CTE (``ew``): the embedding unnested
+    ONCE into 64 flat DOUBLE columns plus the hoisted self-dot ``nrm``.
+    Every ANN-family oracle builds on this instead of carrying DOUBLE[]
+    lists through joins/windows — fixed-width rows avoid DuckDB's per-row
+    heap blocks, whose 32-thread allocation churn fragmented jemalloc into
+    ~64k VMAs and starved the r09 checker (PERF.md: max_map_count)."""
+    xs = ", ".join(f"v[{i}] AS x{i}" for i in range(1, EMB_DIM + 1))
+    cols = ", ".join(f"x{i}" for i in range(1, EMB_DIM + 1))
+    return (
+        f"ew AS (\n  SELECT vec_id, {_sql_scalar_dot('x', 'x')} AS nrm, {cols}\n"
+        f"  FROM (SELECT vec_id, {xs}\n"
+        f"        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))\n)"
+    )
+
+
+#: renames x1..x64 → q1..q64 (etc.) when a CTE needs a second vector role
+def _sql_x_as(prefix: str) -> str:
+    return ", ".join(f"x{i} AS {prefix}{i}" for i in range(1, EMB_DIM + 1))
+
+
 # --- token counting ----------------------------------------------------------
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,29 +609,6 @@ def q_semdedup_kept_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup_screen(a, COS_THRESHOLD, cell_type="int")
 
 
-def _sql_scalar_dot(a: str, b: str) -> str:
-    """`_sql_dot` over 64 flat DOUBLE columns (``{a}1``…``{a}64``) instead
-    of list extracts — IDENTICAL term order ("0.0 + t1 + t2 + …"), so the
-    IEEE result is bit-identical to the list form."""
-    terms = " + ".join(f"{a}{i} * {b}{i}" for i in range(1, EMB_DIM + 1))
-    return f"(0.0 + {terms})"
-
-
-def _sql_scalar_cos(a: str, b: str, anrm: str, bnrm: str) -> str:
-    """Cosine with the self-dots HOISTED to per-vector ``nrm`` columns
-    (computed once per vector with the same term order, so
-    ``sqrt(anrm * bnrm)`` is the exact same IEEE value as the inline
-    ``sqrt(dot(a,a) * dot(b,b))``). This shrinks every pairwise expression
-    from 3 unrolled dots (~390 operator nodes) to 1 (~130): DuckDB
-    allocates a ~16 KB intermediate vector per operator node PER THREAD,
-    and at the checker's 32 threads the wide form's allocation burst
-    fragmented jemalloc into tens of thousands of VMAs (see PERF.md)."""
-    return (
-        f"({_sql_scalar_dot(a, b)}"
-        f" / nullif(sqrt({anrm} * {bnrm}), 0))"
-    )
-
-
 def _sql_semdedup() -> str:
     """Two-level adaptive-quantizer SemDeDup oracle: replays
     `similarity.semdedup_assign` exactly — nlist and k1 derived from the
@@ -585,7 +626,10 @@ def _sql_semdedup() -> str:
     64 flat DOUBLE columns (fixed-width rows, no heap blocks), ranks
     windows over (id, cand, sim) scalars only, and re-joins coordinates by
     id where a later level needs them. Same expressions, same term order →
-    bit-identical values; map count stays ~O(100)."""
+    bit-identical values; map count stays ~O(100). The ew CTE is built by
+    the shared `_sql_ew_cte()` (r10 ADVICE: a hand-inlined copy here could
+    silently diverge from the ANN family's term order — one source of
+    truth now guarantees the unnest shape)."""
     rank = (
         "row_number() OVER (PARTITION BY {part} ORDER BY"
         " coalesce(round({cos}, 6), -2.0) DESC, {cand} ASC)"
@@ -601,14 +645,7 @@ WITH p AS (
                ceil(count(*) / {SEMDEDUP_CELL_TARGET}.0)))) AS BIGINT) AS k1
   FROM embeddings
 ),
-ew AS (
-  SELECT vec_id, {_sql_scalar_dot("x", "x")} AS nrm,
-         {", ".join(f"x{i}" for i in range(1, EMB_DIM + 1))}
-  FROM (
-    SELECT vec_id, {xs}
-    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-  )
-),
+{_sql_ew_cte()},
 supers AS (
   SELECT vec_id AS super_id, nrm AS pnrm, {ps} FROM ew
   WHERE vec_id < (SELECT k1 FROM p)
@@ -1130,24 +1167,6 @@ FROM bits GROUP BY doc_id
 TOPK = 10
 N_QUERIES = 10
 
-#: embeddings are 64-dim (TESTDATA schema); the explicit unrolled sum below
-#: is the same left-associative float-op sequence as the JVM `aggregate`
-#: fold and the previous list_reduce oracle (bit-identical), but DuckDB
-#: evaluates the plain expression ~10× faster than the lambda — oracle-side
-#: cost only, the Spark plans are untouched.
-EMB_DIM = 64
-
-
-def _sql_dot(a: str, b: str) -> str:
-    terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, EMB_DIM + 1))
-    return f"(0.0 + {terms})"
-
-
-def _sql_cos(a: str, b: str) -> str:
-    return (
-        f"({_sql_dot(a, b)}"
-        f" / nullif(sqrt({_sql_dot(a, a)} * {_sql_dot(b, b)}), 0))"
-    )
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1156,27 +1175,6 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.brute_force_topk(emb, queries, k=TOPK)
-
-
-def _sql_ew_cte() -> str:
-    """The shared scalar-embedding CTE (``ew``): the embedding unnested
-    ONCE into 64 flat DOUBLE columns plus the hoisted self-dot ``nrm``.
-    Every ANN-family oracle builds on this instead of carrying DOUBLE[]
-    lists through joins/windows — fixed-width rows avoid DuckDB's per-row
-    heap blocks, whose 32-thread allocation churn fragmented jemalloc into
-    ~64k VMAs and starved the r09 checker (PERF.md: max_map_count)."""
-    xs = ", ".join(f"v[{i}] AS x{i}" for i in range(1, EMB_DIM + 1))
-    cols = ", ".join(f"x{i}" for i in range(1, EMB_DIM + 1))
-    return (
-        f"ew AS (\n  SELECT vec_id, {_sql_scalar_dot('x', 'x')} AS nrm, {cols}\n"
-        f"  FROM (SELECT vec_id, {xs}\n"
-        f"        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))\n)"
-    )
-
-
-#: renames x1..x64 → q1..q64 (etc.) when a CTE needs a second vector role
-def _sql_x_as(prefix: str) -> str:
-    return ", ".join(f"x{i} AS {prefix}{i}" for i in range(1, EMB_DIM + 1))
 
 
 SQL_ANN_TOPK = f"""
