@@ -225,16 +225,20 @@ def ogg_build(serial: int, packets: list[bytes], granules: list[int]) -> bytes:
 
 def parse_ogg(data: bytes) -> dict | None:
     """Strict OGG page walk with per-page CRC validation. Returns
-    {"n_pages", "serials", "last_granule"} or None. `last_granule` is the
-    maximum granule position over final pages per stream — the
-    codec-units duration counter (converting it to seconds needs the
-    codec's rate, which is exactly the stubbed boundary)."""
+    {"n_pages", "serials", "last_granule", "bos_packets"} or None.
+    `last_granule` is the maximum granule position over final pages per
+    stream — the codec-units duration counter. `bos_packets` maps each
+    stream serial to the first packet of its beginning-of-stream page:
+    the codec id header, whose fixed fields (e.g. Vorbis channels +
+    sample rate via `parse_vorbis_id`) parse without any entropy
+    decoding — and with the rate known, granules convert to seconds."""
     if len(data) < 27 or data[:4] != b"OggS":
         return None
     pos = 0
     n_pages = 0
     serials: set[int] = set()
     last_granule: dict[int, int] = {}
+    bos_packets: dict[int, bytes] = {}
     while pos < len(data):
         if pos + 27 > len(data) or data[pos : pos + 4] != b"OggS":
             return None
@@ -258,9 +262,87 @@ def parse_ogg(data: bytes) -> dict | None:
         serials.add(serial)
         if gran >= 0:
             last_granule[serial] = max(last_granule.get(serial, 0), gran)
+        # beginning-of-stream page: its first packet is the codec's id
+        # header (Vorbis/Opus/...) — capture it so header-level metadata
+        # (e.g. `parse_vorbis_id`) is reachable without decoding audio.
+        # A final lacing value of 255 means the packet continues on the
+        # next page (multi-page headers are out of this demux's scope,
+        # like the builder); skip capture rather than truncate.
+        if htype & 0x02 and serial not in bos_packets and nseg:
+            first_len = 0
+            for lv in lacing:
+                first_len += lv
+                if lv < 255:
+                    break
+            else:
+                first_len = -1  # packet spans pages
+            if first_len >= 0:
+                bos_packets[serial] = data[body_off : body_off + first_len]
         pos = body_off + body_len
     return {
         "n_pages": n_pages,
         "serials": sorted(serials),
         "last_granule": max(last_granule.values()) if last_granule else None,
+        "bos_packets": bos_packets,
+    }
+
+
+# --- Vorbis I identification header (inside OGG pages) -----------------------
+
+def vorbis_id_packet(
+    channels: int,
+    sample_rate: int,
+    bitrate_nominal: int = 0,
+    blocksize_exp: tuple[int, int] = (8, 11),
+) -> bytes:
+    """Vorbis I identification header (spec §4.2.2): the 30-byte first
+    packet of every Vorbis stream. This is CONTAINER-ADJACENT metadata —
+    plain little-endian fields, no entropy coding — so parsing it is
+    stdlib-feasible and moves the stub boundary one honest notch: with
+    audio_sample_rate known, the OGG granule position (PCM sample count
+    for Vorbis) converts to seconds. The comment/setup headers and the
+    audio packets stay stubbed (they need the full codebook machinery)."""
+    b0, b1 = blocksize_exp
+    if not (6 <= b0 <= b1 <= 13):
+        raise ValueError(f"blocksize exponents out of spec: {blocksize_exp}")
+    if not (1 <= channels <= 255) or sample_rate <= 0:
+        raise ValueError(f"bad channels/rate: {channels}/{sample_rate}")
+    return (
+        b"\x01vorbis"
+        + struct.pack(
+            "<IBIiii",
+            0,                # vorbis_version
+            channels,
+            sample_rate,
+            0,                # bitrate_maximum
+            bitrate_nominal,
+            0,                # bitrate_minimum
+        )
+        + bytes([(b1 << 4) | b0, 0x01])  # blocksizes + framing flag
+    )
+
+
+def parse_vorbis_id(packet: bytes) -> dict | None:
+    """Strict Vorbis I identification-header parse. Returns
+    {"channels", "sample_rate", "bitrate_nominal"} or None when the
+    packet is not a spec-valid id header (wrong magic/version, zero
+    channels/rate, out-of-range or misordered blocksizes, framing bit
+    unset — §4.2.2 says each check MUST reject the stream)."""
+    if len(packet) < 30 or packet[:7] != b"\x01vorbis":
+        return None
+    version, channels, rate, br_max, br_nom, br_min = struct.unpack_from(
+        "<IBIiii", packet, 7
+    )
+    if version != 0 or channels == 0 or rate == 0:
+        return None
+    bs = packet[28]
+    b0, b1 = bs & 0x0F, bs >> 4
+    if not (6 <= b0 <= b1 <= 13):
+        return None
+    if not packet[29] & 0x01:  # framing flag
+        return None
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "bitrate_nominal": br_nom,
     }

@@ -40,6 +40,8 @@ from multi_source_financial_data_pipeline_spark.operators.containers import (
     ogg_build,
     parse_mp4,
     parse_ogg,
+    parse_vorbis_id,
+    vorbis_id_packet,
 )
 from multi_source_financial_data_pipeline_spark.operators.jpegcodec import jpeg_encode, parse_jpeg
 
@@ -247,18 +249,34 @@ def _decode_mp4(data: bytes) -> dict | None:
 def _decode_ogg(data: bytes) -> dict | None:
     """OGG page demux (REAL page walk + per-page CRC,
     `operators/containers.parse_ogg`): page/stream layout and the final
-    granule position. Converting granules to seconds needs the codec's
-    rate — exactly the stubbed boundary — so duration stays None."""
+    granule position. When the beginning-of-stream packet is a Vorbis I
+    identification header (`containers.parse_vorbis_id` — fixed fields,
+    no entropy decoding), channels/sample_rate surface too, and the
+    granule counter (PCM samples for Vorbis) converts to real duration.
+    Anything past the id header — comment/setup headers, audio packets —
+    stays honestly stubbed (needs the full codebook machinery)."""
     parsed = parse_ogg(data)
     if parsed is None:
         return None
-    return {
+    out = {
         "feature": [
             float(parsed["n_pages"]),
             float(len(parsed["serials"])),
             float(parsed["last_granule"] or 0),
         ],
     }
+    vid = None
+    if len(parsed["serials"]) == 1:
+        pkt = parsed["bos_packets"].get(parsed["serials"][0])
+        vid = parse_vorbis_id(pkt) if pkt else None
+    if vid is not None:
+        out["sample_rate"] = vid["sample_rate"]
+        out["feature"].append(float(vid["channels"]))
+        if parsed["last_granule"] is not None:
+            out["duration_ms"] = (
+                parsed["last_granule"] * 1000.0 / vid["sample_rate"]
+            )
+    return out
 
 
 def _decode_any(data: bytes | None) -> dict:
@@ -852,6 +870,49 @@ def synthetic_ogg_media(spark: SparkSession, n: int = 100, seed: int = 7) -> Dat
                     {"media_id": mid, "kind": "audio",
                      "data": ogg_build(1000 + mid, pkts, grans),
                      "meta": {"codec": "ogg/opaque"}}
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synthetic_vorbis_media(
+    spark: SparkSession, n: int = 100, seed: int = 7
+) -> DataFrame:
+    """OGG/Vorbis streams whose beginning-of-stream packet is a REAL
+    Vorbis I identification header (`containers.vorbis_id_packet`):
+    channels = 1 + mid%2, sample_rate drawn from the standard audio
+    rates, 2 + mid%3 audio pages advancing 960 PCM samples each — all
+    closed-form so a SQL oracle recomputes what the page walk + id-header
+    parse must extract, INCLUDING the granule→seconds conversion the
+    rate unlocks. Packets after the id header are md5 blobs (the
+    honestly-stubbed comment/setup headers and audio bitstream)."""
+    import hashlib as _hl
+
+    rates = (8000, 16000, 22050, 44100, 48000)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                chans = 1 + mid % 2
+                rate = rates[mid % 5]
+                n_audio = 2 + mid % 3
+                pkts = [vorbis_id_packet(chans, rate)] + [
+                    _hl.md5(f"{seed}:v:{mid}:{k}".encode()).digest()
+                    * (1 + (mid + k) % 3)
+                    for k in range(n_audio)
+                ]
+                # id header page carries granule 0 (no PCM yet), audio
+                # pages advance 960 samples each
+                grans = [0] + [960 * (k + 1) for k in range(n_audio)]
+                rows.append(
+                    {"media_id": mid, "kind": "audio",
+                     "data": ogg_build(2000 + mid, pkts, grans),
+                     "meta": {"codec": "ogg/vorbis"}}
                 )
             yield pd.DataFrame(rows)
 

@@ -367,6 +367,50 @@ FROM generate_series(0, {N_REAL_MEDIA - 1}) t(i)
 """
 
 
+# --- REAL Vorbis id-header parse inside OGG pages ----------------------------
+
+
+def q_media_vorbis_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec id-header metadata WITHOUT decoding audio: the
+    beginning-of-stream packet of an OGG/Vorbis stream is a fixed-field
+    identification header (Vorbis I §4.2.2), so channels and sample rate
+    parse with struct alone (`containers.parse_vorbis_id`) — and with the
+    rate known, the granule position (PCM samples for Vorbis) converts to
+    REAL duration, the field the plain page walk had to leave null. This
+    moves the stub boundary one notch: comment/setup headers and the
+    audio bitstream (codebook entropy decoding) remain the honest
+    `require_codecs` stub. Oracle recomputes every field closed-form from
+    the generator's formulas — it can only match if the page walk, the
+    CRC checks, the BOS packet extraction and the id-header field offsets
+    are all byte-correct."""
+    media = multimodal.synthetic_vorbis_media(
+        spark, n=N_REAL_MEDIA, seed=REAL_MEDIA_SEED
+    )
+    feats = multimodal.decode_media_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "sample_rate",
+        F.element_at("feature", 4).cast("int").alias("channels"),
+        "duration_ms",
+        F.element_at("feature", 1).cast("double").alias("n_pages"),
+    )
+
+
+SQL_MEDIA_VORBIS_ID = f"""
+SELECT i AS media_id, 'audio' AS kind,
+       CAST(list_extract([8000, 16000, 22050, 44100, 48000],
+                         CAST(i % 5 AS INTEGER) + 1) AS INTEGER)
+         AS sample_rate,
+       CAST(1 + i % 2 AS INTEGER) AS channels,
+       CAST(960 * (2 + i % 3) * 1000 AS DOUBLE)
+         / list_extract([8000, 16000, 22050, 44100, 48000],
+                        CAST(i % 5 AS INTEGER) + 1) AS duration_ms,
+       CAST(3 + i % 3 AS DOUBLE) AS n_pages
+FROM generate_series(0, {N_REAL_MEDIA - 1}) t(i)
+"""
+
+
 # --- REAL baseline JPEG decode (entropy-coded; operators/jpegcodec) ----------
 
 
@@ -1378,6 +1422,14 @@ SPECS = {
         SQL_MEDIA_MP4_METADATA,
         "real ISO-BMFF demux: duration/dims/track-count from the box walk "
         "(codec bitstream honestly stubbed)",
+        ("multimodal",),
+    ),
+    "media_vorbis_id": QuerySpec(
+        q_media_vorbis_id,
+        SQL_MEDIA_VORBIS_ID,
+        "real Vorbis I id-header parse inside the OGG page walk: "
+        "channels/rate + granule-to-seconds duration (audio bitstream "
+        "honestly stubbed)",
         ("multimodal",),
     ),
     "media_jpeg_channel_stats": QuerySpec(

@@ -629,7 +629,12 @@ def test_mp4_ogg_container_demux_strict():
 
     ogg = C.ogg_build(9, [b"head", b"a" * 300, b"tail"], [0, 960, 1920])
     o = C.parse_ogg(ogg)
-    assert o == {"n_pages": 3, "serials": [9], "last_granule": 1920}
+    assert o == {
+        "n_pages": 3,
+        "serials": [9],
+        "last_granule": 1920,
+        "bos_packets": {9: b"head"},
+    }
     crc_bad = bytearray(ogg)
     crc_bad[40] ^= 1  # flip a body bit → page CRC mismatch
     assert C.parse_ogg(bytes(crc_bad)) is None
@@ -748,6 +753,9 @@ def test_new_parsers_never_raise_on_mutated_bytes():
         J.jpeg_encode(w, h, rows),
         C.mp4_build(1234, [("vide", 32, 24)], b"p" * 40),
         C.ogg_build(5, [b"abc", b"d" * 600], [0, 960]),
+        # r11: vorbis-headed stream — corrupted id headers must degrade
+        # through parse_vorbis_id, never raise
+        C.ogg_build(6, [C.vorbis_id_packet(2, 44100), b"d" * 200], [0, 960]),
     ]
     for _ in range(600):
         b = bytearray(rng.choice(seeds))
@@ -858,3 +866,50 @@ def test_jpeg_fullac_roundtrip_psnr_bound():
     out = jpeg_fullac_probe(n_images=8, size=64)
     assert out["psnr_min_db"] >= 25.0, out
     assert math.isfinite(out["encode_imgs_per_sec"])
+
+
+def test_vorbis_id_header_strict_parse_and_spark_query():
+    """Vorbis I §4.2.2 id-header contract: spec-valid headers round-trip
+    channels/rate; every MUST-reject condition (magic, version, zero
+    channels/rate, misordered or out-of-range blocksizes, unset framing
+    bit) returns None; and the OGG page walk surfaces the BOS packet so
+    _decode_any converts granules to real duration — while the legacy
+    opaque-packet fixtures stay byte-for-byte on the stub path."""
+    import struct
+
+    from multi_source_financial_data_pipeline_spark.operators import containers as C
+    from multi_source_financial_data_pipeline_spark.operators import multimodal as mm
+
+    pkt = C.vorbis_id_packet(2, 44100, 128000)
+    assert len(pkt) == 30
+    assert C.parse_vorbis_id(pkt) == {
+        "channels": 2, "sample_rate": 44100, "bitrate_nominal": 128000,
+    }
+    # MUST-reject mutations
+    rejects = [
+        b"\x02" + pkt[1:],                       # packet type
+        b"\x01norbis" + pkt[7:],                 # magic
+        pkt[:7] + struct.pack("<I", 1) + pkt[11:],   # version != 0
+        pkt[:11] + b"\x00" + pkt[12:],           # channels == 0
+        pkt[:12] + struct.pack("<I", 0) + pkt[16:],  # rate == 0
+        pkt[:28] + bytes([(8 << 4) | 11]) + pkt[29:],   # b0 > b1
+        pkt[:28] + bytes([(14 << 4) | 6]) + pkt[29:],   # b1 out of range
+        pkt[:29] + b"\x00",                      # framing bit unset
+        pkt[:29],                                # truncated
+    ]
+    for bad in rejects:
+        assert C.parse_vorbis_id(bad) is None, bad.hex()
+
+    # through the page walk: granule → seconds via the parsed rate
+    ogg = C.ogg_build(9, [pkt, b"\xaa" * 100, b"\xbb" * 40], [0, 960, 1920])
+    out = mm._decode_any(ogg)
+    assert out["codec"] == "ogg"
+    assert out["sample_rate"] == 44100
+    assert out["duration_ms"] == 1920 * 1000.0 / 44100
+    assert out["feature"][:4] == [3.0, 1.0, 1920.0, 2.0]
+    # opaque first packet (the legacy ogg fixtures): no vorbis fields
+    ogg2 = C.ogg_build(9, [b"\x99" * 48, b"\xaa" * 10], [960, 1920])
+    out2 = mm._decode_any(ogg2)
+    assert out2["codec"] == "ogg"
+    assert out2["sample_rate"] is None and out2["duration_ms"] is None
+    assert len(out2["feature"]) == 3
