@@ -82,6 +82,7 @@ HEADLINE = [
     "unigram_prob",
     "weekly_bars",
     "bars_4h",
+    "rsi_bars_4h",
     "max_drawdown",
     # round-6 additions: the Python-heaviest operators in the repo (real
     # stdlib codecs through the Arrow batch boundary) + the weights->apply

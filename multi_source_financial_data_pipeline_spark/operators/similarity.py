@@ -348,8 +348,14 @@ def semdedup_screen(
         )
 
     schema = f"{id_col} long, {cell_col} {cell_type}, max_prev double"
+    from multi_source_financial_data_pipeline_spark.operators.grouped import _fold_partitions
+
     screened = (
         assigned.select(id_col, vec_col, cell_col)
+        # cells are many and small: pin grouped-map parallelism to cores
+        # (see grouped._fold_partitions — AQE's byte-based coalescing
+        # otherwise serializes every cell through one Python worker)
+        .repartition(_fold_partitions(assigned), cell_col)
         .groupBy(cell_col)
         .applyInPandas(screen_cell, schema=schema)
     )

@@ -1336,6 +1336,92 @@ FROM w
 """
 
 
+def q_rsi_bars_4h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder RSI computed ON 4-hour bars — the documented fold-family
+    ESCAPE HATCH as one registered pipeline (`grouped._check_group_rows`'s
+    error message prescribes exactly this composition): `resample_bars`
+    bounds the per-key series to #bars rows with a skew-immune
+    (user, bar) partitioning, then the grouped-map fold runs on the bar
+    closes. A key with 10^9 raw ticks that the direct fold refuses
+    (GROUPED_FOLD_MAX_ROWS) folds here over ~#bars rows. Bit-exact across
+    engines: close_value is a raw input double (the bar's last
+    observation), and the oracle replays the identical mean-seeded
+    EWMA fold over the same bar-ordered list."""
+    bars = resample_bars(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "value",
+        BAR_4H_SECONDS,
+        ("event_id",),
+    )
+    out = grouped.rsi_wilder_last(
+        bars,
+        key="user_id",
+        ts_col="bar_ts",
+        tiebreak="n_events",  # bar_ts is unique per key; sort just needs 2 cols
+        value_col="close_value",
+        n=RSI_N,
+    )
+    return out.select(
+        F.col("key").alias("user_id"), "n_rows", "avg_gain", "avg_loss", "rsi"
+    )
+
+
+SQL_RSI_BARS_4H = f"""
+WITH w AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / {BAR_4H_SECONDS}) AS BIGINT)
+           * {BAR_4H_SECONDS} AS bar_epoch,
+         value,
+         row_number() OVER (
+           PARTITION BY user_id, floor(epoch(ts) / {BAR_4H_SECONDS})
+           ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+), bars AS (
+  SELECT user_id, bar_epoch,
+         max(CASE WHEN rn_d = 1 THEN value END) AS close_value
+  FROM w GROUP BY user_id, bar_epoch
+), g AS (
+  SELECT user_id, list(close_value ORDER BY bar_epoch) AS vs
+  FROM bars GROUP BY user_id
+), d AS (
+  SELECT user_id, CAST(len(vs) AS BIGINT) AS n_rows,
+         list_transform(generate_series(2, len(vs)), t -> vs[t] - vs[t-1])
+           AS diffs
+  FROM g
+), gl AS (
+  SELECT user_id, n_rows,
+         list_transform(diffs, x -> greatest(x, 0.0)) AS gains,
+         list_transform(diffs, x -> greatest(0.0 - x, 0.0)) AS losses
+  FROM d
+), wd AS (
+  SELECT user_id, n_rows,
+         CASE WHEN len(gains) >= {RSI_N} THEN
+           list_reduce(
+             list_prepend(
+               list_reduce(list_slice(gains, 1, {RSI_N}), (a, x) -> a + x)
+                 / {_W_LO},
+               list_slice(gains, {RSI_N} + 1, len(gains))),
+             (acc, x) -> (acc * {_W_HI} + x) / {_W_LO})
+         END AS avg_gain,
+         CASE WHEN len(losses) >= {RSI_N} THEN
+           list_reduce(
+             list_prepend(
+               list_reduce(list_slice(losses, 1, {RSI_N}), (a, x) -> a + x)
+                 / {_W_LO},
+               list_slice(losses, {RSI_N} + 1, len(losses))),
+             (acc, x) -> (acc * {_W_HI} + x) / {_W_LO})
+         END AS avg_loss
+  FROM gl
+)
+SELECT user_id, n_rows, avg_gain, avg_loss,
+       CASE WHEN avg_gain + avg_loss = 0.0 THEN NULL
+            ELSE 100.0 * avg_gain / (avg_gain + avg_loss) END AS rsi
+FROM wd
+"""
+
+
 def q_atr_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = _daily_bars(_t(spark, sf_dir, "events"))
     w_ord = Window.partitionBy("user_id").orderBy(F.col("day").asc())
@@ -1824,6 +1910,14 @@ SPECS = {
         "industry-standard Wilder RSI: mean-seeded α=1/14 EWMA fold per "
         "user (grouped-map), prefix-list_reduce oracle",
         ("window",),
+    ),
+    "rsi_bars_4h": QuerySpec(
+        q_rsi_bars_4h,
+        SQL_RSI_BARS_4H,
+        "Wilder RSI on 4-hour bars: the fold family's documented "
+        "escape hatch (resample_bars pre-step -> fold the closes) as "
+        "one registered pipeline",
+        ("window", "agg"),
     ),
     "atr_14_wilder": QuerySpec(
         q_atr_wilder,

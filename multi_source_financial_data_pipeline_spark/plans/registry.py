@@ -44,8 +44,9 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #: user_setops, value_percentiles_by_type, winsorized_stats,
 #: equi_depth_bins, zorder_locality, scd2_intervals, sequence_pack,
 #: decontaminate, cms_heavy_hitters, kmv_distinct, stream_scd2_closed,
-#: stream_media_features, media_vorbis_id if added, ...) — rotate those
-#: in, plus any r11 addition or reformulation.
+#: stream_media_features, ...) — rotate those in, LED by the two r11
+#: additions registered after this window was sized and therefore never
+#: driver-checked: media_vorbis_id and rsi_bars_4h.
 _GATE_PRIORITY = (
     # -- 1. new in round 11, never driver-checked --------------------------
     "bars_4h",
