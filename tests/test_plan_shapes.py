@@ -211,6 +211,49 @@ def test_weekly_bars_single_exchange(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
 
 
+def test_bars_4h_single_exchange_pruned_scan(spark, sf_dir):
+    """The generic `resample_bars` (N-second flavor) keeps weekly_bars'
+    contract: both row_number windows and the OHLC groupBy share ONE
+    (user_id, bar_ts) exchange, the whole plan stays JVM-side (zero
+    Python nodes), and column pruning reaches the scan — the operator
+    projects the bar key FIRST, so unused event columns (event_type,
+    props) never leave the parquet reader."""
+    plan = _plan(spark, sf_dir, "bars_4h")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange") == 1  # no round-robin/range sneaking in
+    assert plan.count("Scan parquet") == 1
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "value" in read_schema
+    assert "props" not in read_schema and "event_type" not in read_schema
+
+
+def test_rsi_bars_4h_two_exchanges_one_fold(spark, sf_dir):
+    """The fold-family escape hatch composes exactly two exchanges: the
+    resample's (user_id, bar_ts) shuffle and the fold's explicit
+    REPARTITION_BY_NUM on user_id (the AQE-coalescing pin —
+    `grouped._fold_partitions`); exactly ONE grouped-map node; one fact
+    scan. A third exchange means the fold stopped reusing the
+    repartition's clustering; a missing REPARTITION_BY_NUM means the
+    pin regressed to AQE byte-coalescing."""
+    plan = _plan(spark, sf_dir, "rsi_bars_4h")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "REPARTITION_BY_NUM" in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_media_vorbis_id_map_only(spark, sf_dir):
+    """The Vorbis id-header query is a pure map pipeline: synthetic
+    generator -> feature extraction, each a MapInPandas, with NO exchange
+    anywhere — per-blob byte parsing must never induce a shuffle."""
+    plan = _plan(spark, sf_dir, "media_vorbis_id")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2
+    assert "CartesianProduct" not in plan
+
+
 def test_max_drawdown_single_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "max_drawdown")
     # running-peak window and the per-user min share one user_id exchange
