@@ -123,6 +123,12 @@ PROBE_QUERIES = [
     "weighted_sample_k",
     "zorder_locality",
     "scd2_intervals",
+    # round-11: the generic resample pre-step (one (key,bar) exchange —
+    # must scale with rows, never with per-key history) and the fold
+    # escape-hatch composition (resample + pinned-parallelism fold; its
+    # k× time is bars-bound, so it should grow far slower than macd_last)
+    "bars_4h",
+    "rsi_bars_4h",
 ]
 
 
