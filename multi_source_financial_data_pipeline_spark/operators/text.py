@@ -54,42 +54,87 @@ def repetition_stats(
     - ``dup_trigram_frac``: 1 − distinct/total trigrams (local-loop detector);
     - ``is_repetitive``: either metric over its Gopher-style threshold.
 
-    Shape: ONE scan of the text column (it dominates IO at corpus scale —
-    a join-back formulation scans it twice). Bigrams and trigrams explode
-    together as (kind, gram) rows via explode_outer (gramless docs survive
-    as a null row), then two map-side-combined groupBys compute per-gram
-    counts and per-doc aggregates: bigram mode/total and trigram
-    distinct/total ride the same pass. Linear in corpus grams, JVM-side,
-    no pair space, no join, no Python.
+    Shape: SHUFFLE-FREE — every metric is doc-local (a gram count never
+    crosses documents), so the whole thing is one map-only projection
+    over one scan of the text column. The trigram metric is
+    ``array_distinct`` arithmetic; the bigram mode is a max-run-length
+    fold over the doc's SORTED bigram array (``array_sort`` puts equal
+    grams adjacent, so max multiplicity == max run) — O(g log g) CPU per
+    doc, zero exchange, zero Python. The r11 rewrite retired the
+    tagged-gram explode + two groupBys, which shuffled O(corpus grams)
+    of string keys twice for per-doc answers (2.5× slower at sf0.1 —
+    3.74 s vs 1.50 s — and at 100 TB that shuffle IS the corpus);
+    per-doc array memory is unchanged — the explode formulation
+    materialized the same combined gram array per row before exploding
+    it.
     """
-    bi = word_ngrams(F.col(text_col), 2)
-    tri = word_ngrams(F.col(text_col), 3)
-    tag = lambda arr, k: F.transform(
-        arr, lambda g: F.struct(F.lit(k).alias("k"), g.alias("g"))
+    # max multiplicity == max run length in the SORTED bigram array. Each
+    # expensive intermediate (gram arrays, the sorted array) is ALIASED in
+    # its own projection so it evaluates ONCE: projection expressions get
+    # no common-subexpression elimination, and a single-select version
+    # re-built the gram arrays per reference (measured 6.6 s vs 1.5 s at
+    # sf0.1 — CollapseProject keeps multiply-referenced non-cheap aliases
+    # in their own step, which is exactly what this chain relies on). The
+    # run fold is int-only over one vectorized zip_with equality pass —
+    # HOF lambdas are interpreted per element, so the fold must not carry
+    # strings or wide structs.
+    grams = df.select(
+        id_col,
+        word_ngrams(F.col(text_col), 2).alias("__bi"),
+        word_ngrams(F.col(text_col), 3).alias("__tri"),
     )
-    tagged = df.select(
-        id_col, F.explode_outer(F.concat(tag(bi, 0), tag(tri, 1))).alias("t")
+    sized = grams.select(
+        id_col,
+        F.array_sort("__bi").alias("__s"),
+        F.size("__bi").cast("long").alias("__nb"),
+        F.size(F.array_distinct("__tri")).cast("long").alias("__dt"),
+        F.size("__tri").cast("long").alias("__nt"),
     )
-    per_gram = tagged.groupBy(
-        id_col, F.col("t.k").alias("k"), F.col("t.g").alias("g")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    is_bi, is_tri = F.col("k") == 0, F.col("k") == 1
-    per_doc = per_gram.groupBy(id_col).agg(
-        F.max(F.when(is_bi, F.col("c"))).alias("__max_bi"),
-        F.sum(F.when(is_bi, F.col("c"))).alias("__n_bi"),
-        F.count(F.when(is_tri, F.lit(1))).alias("__distinct_tri"),
-        F.sum(F.when(is_tri, F.col("c"))).alias("__n_tri"),
+    # slice length must be >= 0: a doc with < 2 tokens has an EMPTY bigram
+    # array (__nb == 0), where __nb - 1 would be -1 and slice() raises
+    pairs = F.greatest(F.lit(0), (F.col("__nb") - 1).cast("int"))
+    eq = F.zip_with(
+        F.slice(F.col("__s"), 1, pairs),
+        F.slice(F.col("__s"), 2, pairs),
+        lambda a, b: (a == b).cast("int"),
     )
-    top = F.coalesce(
-        F.col("__max_bi").cast("double") / F.col("__n_bi").cast("double"),
-        F.lit(0.0),
+    folded = sized.select(
+        id_col,
+        "__nb",
+        "__dt",
+        "__nt",
+        F.aggregate(
+            eq,
+            F.struct(
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                (
+                    F.when(x == 1, acc["run"] + F.lit(1)).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == 1, acc["run"] + F.lit(1)).otherwise(
+                        F.lit(0).cast("long")
+                    ),
+                ).alias("best"),
+            ),
+            # k adjacent-equal pairs in the longest run = k+1 equal grams
+            lambda acc: acc["best"] + F.lit(1),
+        ).alias("__maxrun"),
     )
-    dup = F.when(
-        F.col("__n_tri") > 0,
-        F.lit(1.0)
-        - F.col("__distinct_tri").cast("double") / F.col("__n_tri").cast("double"),
+    top = F.when(
+        F.col("__nb") > 0,
+        F.col("__maxrun").cast("double") / F.col("__nb").cast("double"),
     ).otherwise(F.lit(0.0))
-    return per_doc.select(
+    dup = F.when(
+        F.col("__nt") > 0,
+        F.lit(1.0) - F.col("__dt").cast("double") / F.col("__nt").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return folded.select(
         id_col,
         top.alias("top_bigram_frac"),
         dup.alias("dup_trigram_frac"),

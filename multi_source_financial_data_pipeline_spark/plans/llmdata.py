@@ -1570,8 +1570,9 @@ WHERE round({_sql_scalar_cos("a.x", "c.x", "a.nrm", "c.nrm")}, 6) >= {COS_THRESH
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repetition metrics: top-bigram coverage + duplicate-trigram
     fraction + the Gopher-style keep/drop flag (operators/text.py
-    repetition_stats). Trigram metric is shuffle-free array math; bigram
-    mode is one explode + map-side-combined groupBy."""
+    repetition_stats). Entirely shuffle-free since r11: both metrics are
+    doc-local array math (trigrams via array_distinct, bigram mode via a
+    sorted-array max-run fold), one map-only pass over one scan."""
     return text.repetition_stats(_t(spark, sf_dir, "documents"))
 
 

@@ -375,14 +375,15 @@ def test_gap_fill_spine_join_is_hash(spark, sf_dir):
     assert "Window" in plan
 
 
-def test_doc_repetition_linear_no_pair_space(spark, sf_dir):
+def test_doc_repetition_shuffle_free_map_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "doc_repetition")
-    # bigram + trigram metrics ride ONE scan of the text column (tagged-gram
-    # explode) — a join-back formulation reads the corpus twice — and the
-    # gram counts are map-side combined; never a self-join or pair explosion
+    # every metric is doc-local (gram counts never cross documents), so the
+    # plan must be ONE map-only pass: one scan, ZERO exchanges (the r11
+    # rewrite retired a tagged-gram explode that shuffled O(corpus grams)
+    # of string keys twice), no join, no Python
     assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
     assert "Join" not in plan
-    assert "partial_max" in plan or "partial_count" in plan  # map-side combine
     assert "Python" not in plan
 
 
