@@ -333,20 +333,27 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 def token_chunks(
     text_col: str = "text", width: int = 10
-) -> tuple[Column, Column, Column]:
-    """(chunk_idx array-explode source, chunk text, chunk token count) for
-    fixed `width`-token chunks of the whitespace token stream — the
+) -> tuple[Column, Column, Column, Column]:
+    """Fixed `width`-token chunking of the whitespace token stream — the
     "paragraph" granularity for boilerplate detection on a corpus without
-    layout. Returns the sequence column to explode plus per-chunk
-    expressions over the exploded index column `__ci`."""
+    layout. Returns ``(toks, seq, chunk, chunk_toks)``: ``toks`` is the
+    one-pass tokenization the CALLER must materialize as a column named
+    ``__toks``; ``seq`` is the chunk-index array to explode (as ``__ci``);
+    ``chunk``/``chunk_toks`` are per-chunk O(width) slices of the
+    MATERIALIZED ``__toks`` attribute. The pre-r11 shape sliced a fresh
+    ``tokens(text)`` expression per chunk row, re-splitting the whole
+    document once per chunk per expression — O(doc²/width) per doc
+    (projection expressions get no CSE); slicing the attribute makes the
+    chunk pass linear and keeps the token array inside one codegen stage
+    (it must be projected away before any exchange)."""
     toks = tokens(F.col(text_col))
-    n_chunks = F.floor((F.size(toks) + (width - 1)) / width).cast("int")
+    mat = F.col("__toks")
+    n_chunks = F.floor((F.size(mat) + (width - 1)) / width).cast("int")
     seq = F.sequence(F.lit(0), n_chunks - 1)
-    chunk = F.array_join(
-        F.slice(toks, F.col("__ci") * width + 1, width), " "
-    )
-    chunk_toks = F.size(F.slice(toks, F.col("__ci") * width + 1, width))
-    return seq, chunk, chunk_toks
+    sl = F.slice(mat, F.col("__ci") * width + 1, width)
+    chunk = F.array_join(sl, " ")
+    chunk_toks = F.size(sl)
+    return toks, seq, chunk, chunk_toks
 
 
 def length_quantiles(

@@ -2142,9 +2142,15 @@ def q_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a second row-local tokenize pass for the spread branch. Never
     materializes a pair space; all shuffles are linear."""
     docs = _t(spark, sf_dir, "documents")
-    seq, chunk, chunk_toks = text.token_chunks("text", width=CHUNK_W)
+    toks, seq, chunk, chunk_toks = text.token_chunks("text", width=CHUNK_W)
+    # tokenize ONCE per doc; the exploded chunk rows slice the materialized
+    # __toks attribute (O(width) each) instead of re-splitting the document
+    # per chunk — __toks stays inside the pre-exchange codegen stage and is
+    # projected away with the third select
     chunks = docs.select(
-        "doc_id", "text", F.explode(seq).alias("__ci")
+        "doc_id", toks.alias("__toks")
+    ).select(
+        "doc_id", "__toks", F.explode(seq).alias("__ci")
     ).select(
         "doc_id",
         F.col("__ci").alias("chunk_idx"),

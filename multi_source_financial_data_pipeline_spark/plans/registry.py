@@ -50,8 +50,9 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #: whose PLAN changed in r11 after their latest row (results and oracles
 #: unchanged — the fold-parallelism repartition): ewma_last, macd_last,
 #: rsi_14_wilder, atr_14_wilder, semdedup_kept, semdedup_kept_probe; plus
-#: doc_repetition (r11 shuffle-free rewrite — already r08-stale, so it is
-#: in the r12 window regardless).
+#: doc_repetition (r11 shuffle-free rewrite) and chunk_boilerplate (r11
+#: tokenize-once rewrite) — both already r08-stale, so they are in the
+#: r12 window regardless.
 _GATE_PRIORITY = (
     # -- 1. new in round 11, never driver-checked --------------------------
     "bars_4h",

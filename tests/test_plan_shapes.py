@@ -587,6 +587,17 @@ def test_chunk_boilerplate_no_fp_window(spark, sf_dir):
     assert plan.count("documents.parquet") == 2
     assert not re.search(r"Window \[[^\n]*\bfp\b", plan)
     assert "partial_min" in plan and "partial_max" in plan
+    # r11: each branch tokenizes ONCE per doc (split appears exactly once
+    # per scan, in the Generate's child projection); the chunk expressions
+    # slice the materialized __toks attribute, so chunking is O(doc), not
+    # O(doc²/width) — a split() above the Generate means per-chunk
+    # re-tokenization regressed (the pre-r11 shape could not finish a
+    # 1080-token-doc corpus that the attribute-slicing shape does in ~6 s)
+    assert plan.count("split(text") == 2
+    # and the token array never rides a shuffle: no __toks past any exchange
+    for seg in plan.split("Exchange")[1:]:
+        first_line = seg.splitlines()[0]
+        assert "__toks" not in first_line
 
 
 def test_minhash_accuracy_scan_bound(spark, sf_dir):
