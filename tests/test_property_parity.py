@@ -423,3 +423,45 @@ def test_cms_contract_on_random_multisets(spark, toks):
             for j in range(CMS_D)
         )
         assert est >= n
+
+
+# --- repetition_stats: max-run fold vs a direct Counter reference ------------
+
+doc_words = st.lists(
+    st.sampled_from(["a", "b", "c", "aa", "bb", "x"]),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(wordlists=st.lists(doc_words, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_repetition_stats_matches_counter_reference(spark, wordlists):
+    """The r11 shuffle-free repetition_stats computes the top-bigram
+    multiplicity as a MAX-RUN fold over the sorted bigram array; this
+    drives it with adversarial tiny vocabularies (runs, ties, empty and
+    1-token docs) and checks against the direct Counter definition —
+    mode(bigram count)/total — plus the distinct-trigram fraction."""
+    from collections import Counter
+
+    from multi_source_financial_data_pipeline_spark.operators.text import (
+        repetition_stats,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(wordlists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert set(got) == set(range(len(wordlists)))
+    for i, ws in enumerate(wordlists):
+        # the engine tokenizes via split(\s+): "" -> [""] (one empty token)
+        toks = " ".join(ws).split(" ")
+        bis = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        tris = [
+            f"{a} {b} {c}" for a, b, c in zip(toks, toks[1:], toks[2:])
+        ]
+        want_top = (max(Counter(bis).values()) / len(bis)) if bis else 0.0
+        want_dup = (
+            1.0 - len(set(tris)) / len(tris) if tris else 0.0
+        )
+        assert abs(got[i]["top_bigram_frac"] - want_top) < 1e-12, (i, ws)
+        assert abs(got[i]["dup_trigram_frac"] - want_dup) < 1e-12, (i, ws)
