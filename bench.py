@@ -169,6 +169,7 @@ HEADLINE = [
     # round-9: OGG page-walk demux (CRC per page, no codec cost)
     "media_ogg_stats",
     "media_vorbis_id",
+    "media_aac_id",
     # round-8: Morton-key locality audit (pure codegen bit arithmetic)
     "zorder_locality",
     # round-8: Count-Min sketch build + probe (second sketch family)

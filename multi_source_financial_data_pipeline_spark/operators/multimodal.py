@@ -12,10 +12,12 @@ entropy pipeline — Huffman, byte stuffing, differential DC, zigzag,
 quantization, 8×8 DCT — in `operators/jpegcodec`), all pure
 stdlib+numpy with strict magic+length detection. MP4 (ISO-BMFF box
 walk) and OGG (page walk + per-page CRC) DEMUX is real too
-(`operators/containers`); what stays stubbed is decoding the codec
-bitstream INSIDE a container track (H.264/AAC/Vorbis) — payloads that
-are none of these formats fall back to a deterministic md5 stub, and
-``require_codecs=True`` raises NotImplementedError at exactly that
+(`operators/containers`), including the entropy-free codec id headers
+(Vorbis identification header, AAC AudioSpecificConfig via the esds
+descriptor chain); what stays stubbed is decoding the codec bitstream
+PAYLOAD inside a container track (H.264/AAC/Vorbis frames) — payloads
+that are none of these formats fall back to a deterministic md5 stub,
+and ``require_codecs=True`` raises NotImplementedError at exactly that
 boundary, where ffmpeg would plug in.
 
 Scale notes: binary payloads ride in parquet as byte arrays; keep
@@ -36,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from multi_source_financial_data_pipeline_spark.operators.containers import (
+    AAC_SAMPLE_RATES,
     mp4_build,
     ogg_build,
     parse_mp4,
@@ -230,20 +233,29 @@ def _decode_jpeg(data: bytes) -> dict | None:
 def _decode_mp4(data: bytes) -> dict | None:
     """ISO-BMFF demux (REAL box walk, `operators/containers.parse_mp4`):
     movie duration from mvhd, dimensions from the first video track's
-    tkhd. The codec bitstream inside the tracks stays stubbed — this is
-    exactly the metadata a curation pipeline filters on before paying for
-    a decode."""
+    tkhd. When an audio track carries an mp4a/esds AudioSpecificConfig
+    (fixed bit fields — `containers.parse_audio_specific_config`), the
+    AAC sample rate surfaces, and channels + object type join the
+    feature vector (mirror of the OGG/Vorbis id-header notch). The codec
+    bitstream inside the tracks stays stubbed — this is exactly the
+    metadata a curation pipeline filters on before paying for a decode."""
     parsed = parse_mp4(data)
     if parsed is None:
         return None
     vids = [t for t in parsed["tracks"] if t[0] == "vide"]
     w, h = (vids[0][1], vids[0][2]) if vids else (None, None)
-    return {
+    out = {
         "width": w,
         "height": h,
         "duration_ms": parsed["duration_ms"],
         "feature": [float(len(parsed["tracks"]))],
     }
+    audio = parsed.get("audio")
+    if audio is not None:
+        out["sample_rate"] = audio["sample_rate"]
+        out["feature"].append(float(audio["channels"]))
+        out["feature"].append(float(audio["object_type"]))
+    return out
 
 
 def _decode_ogg(data: bytes) -> dict | None:
@@ -870,6 +882,44 @@ def synthetic_ogg_media(spark: SparkSession, n: int = 100, seed: int = 7) -> Dat
                     {"media_id": mid, "kind": "audio",
                      "data": ogg_build(1000 + mid, pkts, grans),
                      "meta": {"codec": "ogg/opaque"}}
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synthetic_aac_media(
+    spark: SparkSession, n: int = 100, seed: int = 7
+) -> DataFrame:
+    """ISO-BMFF files whose audio track carries a REAL mp4a → esds →
+    AudioSpecificConfig chain (`containers.mp4_build(aac=...)`): AAC-LC
+    (object type 2), the sample rate cycling through the full ISO/IEC
+    14496-3 Table 1.18 rate list, 1 + mid%2 channels, plus a video track
+    on every third id — all closed-form so a SQL oracle recomputes what
+    the box walk + descriptor-chain + ASC bit parse must extract. The
+    mdat payload stays an md5 blob (the honestly-stubbed AAC bitstream)."""
+    import hashlib as _hl
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                tracks = []
+                if mid % 3 == 0:
+                    tracks.append(("vide", 64 + 8 * (mid % 5), 48))
+                tracks.append(("soun", 0, 0))
+                rate = AAC_SAMPLE_RATES[mid % len(AAC_SAMPLE_RATES)]
+                payload = _hl.md5(f"{seed}:aac:{mid}".encode()).digest() * 3
+                rows.append(
+                    {"media_id": mid, "kind": "audio",
+                     "data": mp4_build(
+                         1000 + 137 * mid + seed, tracks, payload,
+                         aac=(2, rate, 1 + mid % 2),
+                     ),
+                     "meta": {"codec": "mp4/aac"}}
                 )
             yield pd.DataFrame(rows)
 

@@ -367,6 +367,49 @@ FROM generate_series(0, {N_REAL_MEDIA - 1}) t(i)
 """
 
 
+# --- REAL AAC AudioSpecificConfig parse inside MP4 esds ----------------------
+
+
+def q_media_aac_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec id-header metadata from ISO-BMFF audio tracks WITHOUT
+    decoding audio: the mp4a sample entry's esds descriptor chain ends in
+    a 2-byte AudioSpecificConfig whose fixed bit fields give the AAC
+    object type, sample rate (full Table 1.18 rate list exercised) and
+    channel count (`containers.parse_audio_specific_config`). The MP4
+    twin of the OGG `media_vorbis_id` notch — the oracle recomputes every
+    field closed-form, so it can only match if the box walk, the stsd →
+    mp4a → esds descent, the expandable-size descriptor parse and the ASC
+    bit offsets are all byte-correct. The AAC bitstream itself stays the
+    honest `require_codecs` stub."""
+    media = multimodal.synthetic_aac_media(
+        spark, n=N_REAL_MEDIA, seed=REAL_MEDIA_SEED
+    )
+    feats = multimodal.decode_media_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "sample_rate",
+        F.element_at("feature", 2).cast("int").alias("channels"),
+        F.element_at("feature", 3).cast("int").alias("aac_object_type"),
+        "duration_ms",
+        F.element_at("feature", 1).cast("double").alias("n_tracks"),
+    )
+
+
+SQL_MEDIA_AAC_ID = f"""
+SELECT i AS media_id, 'audio' AS kind,
+       CAST(list_extract([96000, 88200, 64000, 48000, 44100, 32000, 24000,
+                          22050, 16000, 12000, 11025, 8000, 7350],
+                         CAST(i % 13 AS INTEGER) + 1) AS INTEGER)
+         AS sample_rate,
+       CAST(1 + i % 2 AS INTEGER) AS channels,
+       CAST(2 AS INTEGER) AS aac_object_type,
+       CAST(1000 + 137 * i + {REAL_MEDIA_SEED} AS DOUBLE) AS duration_ms,
+       CAST(CASE WHEN i % 3 = 0 THEN 2 ELSE 1 END AS DOUBLE) AS n_tracks
+FROM generate_series(0, {N_REAL_MEDIA - 1}) t(i)
+"""
+
+
 # --- REAL Vorbis id-header parse inside OGG pages ----------------------------
 
 
@@ -1429,6 +1472,14 @@ SPECS = {
         SQL_MEDIA_VORBIS_ID,
         "real Vorbis I id-header parse inside the OGG page walk: "
         "channels/rate + granule-to-seconds duration (audio bitstream "
+        "honestly stubbed)",
+        ("multimodal",),
+    ),
+    "media_aac_id": QuerySpec(
+        q_media_aac_id,
+        SQL_MEDIA_AAC_ID,
+        "real AAC AudioSpecificConfig parse from the mp4a/esds descriptor "
+        "chain: object type, sample rate, channels (AAC bitstream "
         "honestly stubbed)",
         ("multimodal",),
     ),

@@ -756,6 +756,9 @@ def test_new_parsers_never_raise_on_mutated_bytes():
         # r11: vorbis-headed stream — corrupted id headers must degrade
         # through parse_vorbis_id, never raise
         C.ogg_build(6, [C.vorbis_id_packet(2, 44100), b"d" * 200], [0, 960]),
+        # r11: aac-configured mp4 — corrupted esds descriptor chains must
+        # degrade through parse_audio_specific_config, never raise
+        C.mp4_build(1234, [("soun", 0, 0)], b"p" * 40, aac=(2, 48000, 2)),
     ]
     for _ in range(600):
         b = bytearray(rng.choice(seeds))
@@ -913,3 +916,71 @@ def test_vorbis_id_header_strict_parse_and_spark_query():
     assert out2["codec"] == "ogg"
     assert out2["sample_rate"] is None and out2["duration_ms"] is None
     assert len(out2["feature"]) == 3
+
+
+def test_aac_asc_strict_parse_and_esds_chain():
+    """AAC AudioSpecificConfig contract (ISO/IEC 14496-3 §1.6.2.1): the
+    builder's mp4a → esds → DecSpecificInfo chain round-trips object
+    type / rate / channels through the strict descriptor walk for every
+    Table 1.18 rate; the escape-index 24-bit explicit-rate form parses;
+    and each reject condition (object type 0, reserved rate index, PCE
+    channel config 0, truncation, malformed descriptor sizes) returns
+    None — a crafted esds degrades, never raises."""
+    import struct
+
+    from multi_source_financial_data_pipeline_spark.operators import containers as C
+    from multi_source_financial_data_pipeline_spark.operators import multimodal as mm
+
+    for rate in C.AAC_SAMPLE_RATES:
+        for chans in (1, 2, 7):
+            blob = C.mp4_build(1500, [("soun", 0, 0)], aac=(2, rate, chans))
+            parsed = C.parse_mp4(blob)
+            assert parsed["audio"] == {
+                "object_type": 2, "sample_rate": rate, "channels": chans,
+            }, (rate, chans)
+
+    # escape index 15: 24-bit explicit rate
+    obj, rate, ch = 2, 19200, 2
+    asc = bytes([
+        (obj << 3) | (15 >> 1),
+        ((15 & 1) << 7) | (rate >> 17),
+        (rate >> 9) & 0xFF,
+        (rate >> 1) & 0xFF,
+        ((rate & 1) << 7) | (ch << 3),
+    ])
+    assert C.parse_audio_specific_config(asc) == {
+        "object_type": 2, "sample_rate": 19200, "channels": 2,
+    }
+
+    # MUST-reject forms
+    assert C.parse_audio_specific_config(b"") is None
+    assert C.parse_audio_specific_config(b"\x12") is None          # 1 byte
+    assert C.parse_audio_specific_config(b"\x00\x10") is None      # type 0
+    bad_idx = struct.pack(">H", (2 << 11) | (13 << 7) | (2 << 3))  # idx 13
+    assert C.parse_audio_specific_config(bad_idx) is None
+    pce = struct.pack(">H", (2 << 11) | (4 << 7) | (0 << 3))       # chan 0
+    assert C.parse_audio_specific_config(pce) is None
+    assert C.parse_audio_specific_config(asc[:4]) is None  # short escape
+
+    # descriptor chain robustness: byte-level mutations of a valid esds
+    # region must degrade (audio key absent), never raise
+    good = C.mp4_build(1500, [("soun", 0, 0)], aac=(2, 44100, 2))
+    pos = good.find(b"esds")
+    assert pos > 0
+    for off in range(pos + 4, min(pos + 24, len(good))):
+        for val in (0x00, 0x7F, 0x80, 0xFF):
+            mutated = good[:off] + bytes([val]) + good[off + 1:]
+            p = C.parse_mp4(mutated)  # may be None (box sizes) — fine
+            if p is not None and "audio" in p:
+                a = p["audio"]
+                assert set(a) == {"object_type", "sample_rate", "channels"}
+
+    # through the media decode path: audio fields join the feature vector
+    out = mm._decode_any(good)
+    assert out["codec"] == "mp4"
+    assert out["sample_rate"] == 44100
+    assert out["feature"][1:3] == [2.0, 2.0]  # channels, object type
+    # an aac-less build keeps the legacy single-element feature
+    out2 = mm._decode_any(C.mp4_build(1000, [("vide", 64, 48)]))
+    assert out2["sample_rate"] is None
+    assert len(out2["feature"]) == 1

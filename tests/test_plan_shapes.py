@@ -254,6 +254,15 @@ def test_media_vorbis_id_map_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_media_aac_id_map_only(spark, sf_dir):
+    """The MP4/AAC AudioSpecificConfig query has the same contract as its
+    OGG/Vorbis twin: two MapInPandas, zero exchanges."""
+    plan = _plan(spark, sf_dir, "media_aac_id")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2
+    assert "CartesianProduct" not in plan
+
+
 def test_max_drawdown_single_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "max_drawdown")
     # running-peak window and the per-user min share one user_id exchange
