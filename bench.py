@@ -170,6 +170,7 @@ HEADLINE = [
     "media_ogg_stats",
     "media_vorbis_id",
     "media_aac_id",
+    "media_h264_sps",
     # round-8: Morton-key locality audit (pure codegen bit arithmetic)
     "zorder_locality",
     # round-8: Count-Min sketch build + probe (second sketch family)

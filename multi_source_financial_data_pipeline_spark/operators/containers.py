@@ -117,14 +117,18 @@ def mp4_build(
     tracks: list[tuple[str, int, int]],
     payload: bytes = b"",
     aac: tuple[int, int, int] | None = None,
+    avc: tuple[int, int] | None = None,
 ) -> bytes:
     """Minimal valid ISO-BMFF file: ftyp + moov(mvhd + trak*) + mdat.
     `tracks` is a list of (handler, width, height) — handler "vide" or
     "soun" (audio tracks carry 0×0 dims, per spec). Movie timescale is
     1000, so mvhd duration == duration_ms. With ``aac=(object_type,
     sample_rate, channels)``, every "soun" track gains the full
-    minf→stbl→stsd→mp4a→esds chain carrying a real AudioSpecificConfig —
-    the header `parse_mp4` extracts codec audio metadata from."""
+    minf→stbl→stsd→mp4a→esds chain carrying a real AudioSpecificConfig;
+    with ``avc=(profile_idc, level_idc)``, every "vide" track gains an
+    avc1→avcC chain whose SPS codes the track's dimensions (macroblock
+    grid + frame cropping) — the headers `parse_mp4` extracts codec
+    metadata from."""
     mvhd = _box(
         b"mvhd",
         struct.pack(">BxxxIIIIi", 0, 0, 0, 1000, duration_ms, 0x00010000)
@@ -161,14 +165,14 @@ def mp4_build(
             + b"\x00" * 12 + b"\x00",
         )
         minf = b""
+        dref = _box(
+            b"dref",
+            struct.pack(">BxxxI", 0, 1)
+            + _box(b"url ", struct.pack(">Bxxx", 1)),  # self-contained
+        )
         if aac is not None and handler == "soun":
             obj, rate, chans = aac
             smhd = _box(b"smhd", struct.pack(">BxxxHH", 0, 0, 0))
-            dref = _box(
-                b"dref",
-                struct.pack(">BxxxI", 0, 1)
-                + _box(b"url ", struct.pack(">Bxxx", 1)),  # self-contained
-            )
             minf = _box(
                 b"minf",
                 smhd
@@ -176,6 +180,15 @@ def mp4_build(
                 + _stbl_for_mp4a(
                     rate, chans, aac_audio_specific_config(obj, rate, chans)
                 ),
+            )
+        elif avc is not None and handler == "vide":
+            profile, level = avc
+            vmhd = _box(b"vmhd", struct.pack(">BBBBHHHH", 0, 0, 0, 1, 0, 0, 0, 0))
+            minf = _box(
+                b"minf",
+                vmhd
+                + _box(b"dinf", dref)
+                + _stbl_for_avc1(w, h, h264_sps(w, h, profile, level)),
             )
         mdia = _box(b"mdia", mdhd + hdlr + minf)
         traks += _box(b"trak", tkhd + mdia)
@@ -302,6 +315,32 @@ def _minf_audio(data: bytes, walk, off: int, end: int) -> dict | None:
     return None
 
 
+def _minf_video(data: bytes, walk, off: int, end: int) -> dict | None:
+    """minf → stbl → stsd → first `avc1` VisualSampleEntry → avcC →
+    first SPS → `parse_h264_sps`. Same lenient contract as
+    `_minf_audio`: malformation yields None, never an exception."""
+    for st, soff, send in walk(data, off, end):
+        if st != b"stbl":
+            continue
+        for bt, boff, bend in walk(data, soff, send):
+            if bt != b"stsd" or bend - boff < 8:
+                continue
+            for et, eoff, eend in walk(data, boff + 8, bend):
+                if et != b"avc1" or eend - eoff < 78:
+                    continue
+                for ct, coff, cend in walk(data, eoff + 78, eend):
+                    if ct != b"avcC" or cend - coff < 8:
+                        continue
+                    n_sps = data[coff + 5] & 0x1F
+                    if n_sps < 1 or coff + 8 > cend:
+                        return None
+                    (sps_len,) = struct.unpack_from(">H", data, coff + 6)
+                    if coff + 8 + sps_len > cend:
+                        return None
+                    return parse_h264_sps(data[coff + 8 : coff + 8 + sps_len])
+    return None
+
+
 def parse_mp4(data: bytes) -> dict | None:
     """Strict ISO-BMFF walk: the payload must start with a well-formed
     `ftyp` box and every top-level box size must land exactly inside the
@@ -309,7 +348,11 @@ def parse_mp4(data: bytes) -> dict | None:
     "tracks": [(handler, width, height), ...]} or None; when a track
     carries an `mp4a` sample entry whose esds parses, an "audio" key
     adds {"object_type", "sample_rate", "channels"} from its
-    AudioSpecificConfig (the first such track wins)."""
+    AudioSpecificConfig (the first such track wins); when one carries an
+    `avc1` entry whose avcC SPS parses, a "video" key adds
+    {"profile_idc", "level_idc", "width", "height"} — the CODED
+    dimensions from the SPS macroblock grid + cropping, independent of
+    the tkhd display values."""
     if len(data) < 16:
         return None
 
@@ -341,6 +384,7 @@ def parse_mp4(data: bytes) -> dict | None:
     duration_ms = None
     tracks: list[tuple[str, int, int]] = []
     audio: dict | None = None
+    video: dict | None = None
     for btype, boff, bend in top:
         if btype != b"moov":
             continue
@@ -383,8 +427,11 @@ def parse_mp4(data: bytes) -> dict | None:
                                 handler = data[moff + 8 : moff + 12].decode(
                                     "ascii", "replace"
                                 )
-                            elif mt == b"minf" and audio is None:
-                                audio = _minf_audio(data, walk, moff, mend)
+                            elif mt == b"minf":
+                                if audio is None:
+                                    audio = _minf_audio(data, walk, moff, mend)
+                                if video is None:
+                                    video = _minf_video(data, walk, moff, mend)
                 if handler is None:
                     return None
                 tracks.append((handler, width, height))
@@ -393,7 +440,252 @@ def parse_mp4(data: bytes) -> dict | None:
     out = {"brand": brand, "duration_ms": duration_ms, "tracks": tracks}
     if audio is not None:
         out["audio"] = audio
+    if video is not None:
+        out["video"] = video
     return out
+
+
+# --- H.264 sequence parameter set (inside MP4 avcC) ---------------------------
+#
+# The SPS is HEADER SYNTAX (ITU-T H.264 §7.3.2.1.1): fixed-width fields plus
+# Exp-Golomb-coded integers — deterministic bit layout, not entropy coding
+# over picture content — so coded dimensions/profile parse with a 30-line
+# bit reader. Slice data (CABAC/CAVLC) is the real entropy boundary and
+# stays stubbed.
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def u(self, val: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((val >> i) & 1)
+
+    def ue(self, val: int) -> None:
+        # Exp-Golomb: leadingZeroBits zeros, then the (val+1) bits
+        code = val + 1
+        n = code.bit_length()
+        self.u(0, n - 1)
+        self.u(code, n)
+
+    def rbsp(self) -> bytes:
+        # rbsp_stop_one_bit + zero padding to a byte boundary
+        bits = self.bits + [1]
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def _ebsp_escape(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention bytes: 00 00 {00,01,02,03} → 00 00 03 xx."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _ebsp_unescape(ebsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(ebsp):
+        b = ebsp[i]
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            i += 1
+            continue  # emulation-prevention byte
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def u(self, n: int) -> int:
+        if self.pos + n > len(self.data) * 8:
+            raise ValueError("SPS bit read out of bounds")
+        val = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            val = (val << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return val
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("Exp-Golomb prefix too long")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def h264_sps(
+    width: int, height: int, profile_idc: int = 66, level_idc: int = 30
+) -> bytes:
+    """Minimal spec-correct SPS NAL for a frame-coded 4:2:0 stream:
+    coded size is the macroblock grid (multiples of 16) with frame
+    cropping trimming the right/bottom remainder — exactly how real
+    encoders express arbitrary dimensions. Baseline/Main profile ids
+    keep §7.3.2.1.1's high-profile chroma branch out of the header."""
+    if width <= 0 or height <= 0 or width % 2 or height % 2:
+        raise ValueError(f"bad dims (must be positive and even): {width}x{height}")
+    if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        raise ValueError("high-profile SPS (chroma branch) not emitted here")
+    mb_w = -(-width // 16)
+    mb_h = -(-height // 16)
+    crop_r = (mb_w * 16 - width) // 2   # CropUnitX = 2 (4:2:0)
+    crop_b = (mb_h * 16 - height) // 2  # CropUnitY = 2 (frame_mbs_only)
+    w = _BitWriter()
+    w.u(profile_idc, 8)
+    w.u(0, 8)          # constraint flags + reserved_zero_2bits
+    w.u(level_idc, 8)
+    w.ue(0)            # seq_parameter_set_id
+    w.ue(0)            # log2_max_frame_num_minus4
+    w.ue(0)            # pic_order_cnt_type → needs log2_max_pic_order_cnt
+    w.ue(0)            # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1)            # max_num_ref_frames
+    w.u(0, 1)          # gaps_in_frame_num_value_allowed_flag
+    w.ue(mb_w - 1)     # pic_width_in_mbs_minus1
+    w.ue(mb_h - 1)     # pic_height_in_map_units_minus1
+    w.u(1, 1)          # frame_mbs_only_flag
+    w.u(0, 1)          # direct_8x8_inference_flag
+    if crop_r or crop_b:
+        w.u(1, 1)      # frame_cropping_flag
+        w.ue(0)        # crop_left
+        w.ue(crop_r)   # crop_right
+        w.ue(0)        # crop_top
+        w.ue(crop_b)   # crop_bottom
+    else:
+        w.u(0, 1)
+    w.u(0, 1)          # vui_parameters_present_flag
+    return bytes([0x67]) + _ebsp_escape(w.rbsp())  # nal_ref_idc=3, type=7
+
+
+def parse_h264_sps(nal: bytes) -> dict | None:
+    """Strict SPS parse → {"profile_idc", "level_idc", "width", "height"}
+    or None. Handles the high-profile chroma branch on the READ side
+    (chroma_format_idc et al.), emulation-prevention stripping, and the
+    4:2:0 / frame_mbs_only cropping arithmetic (§7.4.2.1.1)."""
+    if len(nal) < 4 or (nal[0] & 0x1F) != 7 or nal[0] & 0x80:
+        return None
+    try:
+        r = _BitReader(_ebsp_unescape(nal[1:]))
+        profile_idc = r.u(8)
+        r.u(8)  # constraint flags
+        level_idc = r.u(8)
+        r.ue()  # seq_parameter_set_id
+        chroma_format_idc = 1
+        separate_colour_plane = 0
+        if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135):
+            chroma_format_idc = r.ue()
+            if chroma_format_idc == 3:
+                separate_colour_plane = r.u(1)
+            r.ue()  # bit_depth_luma_minus8
+            r.ue()  # bit_depth_chroma_minus8
+            r.u(1)  # qpprime_y_zero_transform_bypass_flag
+            if r.u(1):  # seq_scaling_matrix_present_flag: lists not handled
+                return None
+        r.ue()  # log2_max_frame_num_minus4
+        poc_type = r.ue()
+        if poc_type == 0:
+            r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+        elif poc_type == 1:
+            r.u(1)  # delta_pic_order_always_zero_flag
+            r.se()  # offset_for_non_ref_pic
+            r.se()  # offset_for_top_to_bottom_field
+            for _ in range(r.ue()):
+                r.se()
+        r.ue()  # max_num_ref_frames
+        r.u(1)  # gaps_in_frame_num_value_allowed_flag
+        mb_w = r.ue() + 1
+        mb_h = r.ue() + 1
+        frame_mbs_only = r.u(1)
+        if not frame_mbs_only:
+            r.u(1)  # mb_adaptive_frame_field_flag
+        r.u(1)  # direct_8x8_inference_flag
+        crop_l = crop_r = crop_t = crop_b = 0
+        if r.u(1):  # frame_cropping_flag
+            crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    except ValueError:
+        return None
+    if chroma_format_idc == 0 or separate_colour_plane:
+        unit_x, unit_y = 1, 2 - frame_mbs_only
+    else:
+        sub_w = 2 if chroma_format_idc in (1, 2) else 1
+        sub_h = 2 if chroma_format_idc == 1 else 1
+        unit_x, unit_y = sub_w, sub_h * (2 - frame_mbs_only)
+    width = mb_w * 16 - unit_x * (crop_l + crop_r)
+    height = (2 - frame_mbs_only) * mb_h * 16 - unit_y * (crop_t + crop_b)
+    if width <= 0 or height <= 0:
+        return None
+    return {
+        "profile_idc": profile_idc,
+        "level_idc": level_idc,
+        "width": width,
+        "height": height,
+    }
+
+
+def avcc_box(sps: bytes, pps: bytes = b"\x68\xce\x38\x80") -> bytes:
+    """AVCDecoderConfigurationRecord (ISO/IEC 14496-15 §5.3.3.1) as an
+    `avcC` box: version 1, profile/compat/level copied from the SPS
+    bytes, 4-byte NALU lengths, one SPS + one PPS."""
+    if len(sps) < 4:
+        raise ValueError("SPS too short")
+    return _box(
+        b"avcC",
+        bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
+        + struct.pack(">H", len(sps)) + sps
+        + bytes([1]) + struct.pack(">H", len(pps)) + pps,
+    )
+
+
+def _stbl_for_avc1(width: int, height: int, sps: bytes) -> bytes:
+    """Sample table for one AVC video track: stsd with a single `avc1`
+    VisualSampleEntry (14496-12 §12.1.3: 6 reserved + dri, then
+    pre_defined/reserved(16), width(2), height(2), 72dpi 16.16 ×2,
+    reserved(4), frame_count=1, 32-byte compressorname, depth=24,
+    pre_defined=-1) whose child is the avcC; plus empty stts/stsc/
+    stsz/stco."""
+    avc1 = _box(
+        b"avc1",
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+        + avcc_box(sps),
+    )
+    stsd = _box(b"stsd", struct.pack(">BxxxI", 0, 1) + avc1)
+    stts = _box(b"stts", struct.pack(">BxxxI", 0, 0))
+    stsc = _box(b"stsc", struct.pack(">BxxxI", 0, 0))
+    stsz = _box(b"stsz", struct.pack(">BxxxII", 0, 0, 0))
+    stco = _box(b"stco", struct.pack(">BxxxI", 0, 0))
+    return _box(b"stbl", stsd + stts + stsc + stsz + stco)
 
 
 # --- OGG (RFC 3533) ----------------------------------------------------------

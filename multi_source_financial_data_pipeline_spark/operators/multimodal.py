@@ -255,6 +255,17 @@ def _decode_mp4(data: bytes) -> dict | None:
         out["sample_rate"] = audio["sample_rate"]
         out["feature"].append(float(audio["channels"]))
         out["feature"].append(float(audio["object_type"]))
+    video = parsed.get("video")
+    if video is not None:
+        # SPS CODED dims + profile/level after any audio fields — each
+        # synthetic corpus exercises one branch, so oracle positions are
+        # stable per query
+        out["feature"].extend([
+            float(video["profile_idc"]),
+            float(video["level_idc"]),
+            float(video["width"]),
+            float(video["height"]),
+        ])
     return out
 
 
@@ -920,6 +931,43 @@ def synthetic_aac_media(
                          aac=(2, rate, 1 + mid % 2),
                      ),
                      "meta": {"codec": "mp4/aac"}}
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synthetic_h264_media(
+    spark: SparkSession, n: int = 100, seed: int = 7
+) -> DataFrame:
+    """ISO-BMFF files whose video track carries a REAL avc1 → avcC chain
+    with an SPS coding the track dimensions (`containers.h264_sps`):
+    widths/heights deliberately NOT multiples of 16, so the macroblock
+    grid + frame-cropping arithmetic (CropUnit 2 at 4:2:0) is what the
+    parse must get right; Baseline/Main profiles alternate and the level
+    cycles. Closed-form fields for the SQL oracle; the slice data (the
+    real entropy boundary) stays an md5 blob."""
+    import hashlib as _hl
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w = 64 + 2 * (mid % 9)   # 64..80, most not 16-aligned
+                h = 48 + 2 * (mid % 7)   # 48..60
+                profile = 66 if mid % 2 == 0 else 77
+                level = 30 + mid % 3
+                payload = _hl.md5(f"{seed}:avc:{mid}".encode()).digest() * 3
+                rows.append(
+                    {"media_id": mid, "kind": "video",
+                     "data": mp4_build(
+                         1000 + 137 * mid + seed, [("vide", w, h)], payload,
+                         avc=(profile, level),
+                     ),
+                     "meta": {"codec": "mp4/avc"}}
                 )
             yield pd.DataFrame(rows)
 

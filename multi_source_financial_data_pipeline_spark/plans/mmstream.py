@@ -410,6 +410,50 @@ FROM generate_series(0, {N_REAL_MEDIA - 1}) t(i)
 """
 
 
+# --- REAL H.264 SPS parse inside MP4 avcC -------------------------------------
+
+
+def q_media_h264_sps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coded video parameters from the H.264 sequence parameter set
+    WITHOUT touching slice data: the avc1 sample entry's avcC record
+    carries the SPS, whose Exp-Golomb header syntax
+    (`containers.parse_h264_sps` — deterministic bit layout, not content
+    entropy) yields profile/level and the CODED dimensions via the
+    macroblock grid + frame-cropping arithmetic. The corpus deliberately
+    uses dims that are NOT multiples of 16, so a parse that ignores
+    cropping (or the 4:2:0 crop units) hash-mismatches immediately. The
+    CABAC/CAVLC slice payload stays the honest `require_codecs` stub."""
+    media = multimodal.synthetic_h264_media(
+        spark, n=N_REAL_MEDIA, seed=REAL_MEDIA_SEED
+    )
+    feats = multimodal.decode_media_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.element_at("feature", 2).cast("int").alias("profile_idc"),
+        F.element_at("feature", 3).cast("int").alias("level_idc"),
+        F.element_at("feature", 4).cast("int").alias("coded_width"),
+        F.element_at("feature", 5).cast("int").alias("coded_height"),
+        "width",
+        "height",
+        "duration_ms",
+    )
+
+
+SQL_MEDIA_H264_SPS = f"""
+SELECT i AS media_id, 'video' AS kind,
+       CAST(CASE WHEN i % 2 = 0 THEN 66 ELSE 77 END AS INTEGER)
+         AS profile_idc,
+       CAST(30 + i % 3 AS INTEGER) AS level_idc,
+       CAST(64 + 2 * (i % 9) AS INTEGER) AS coded_width,
+       CAST(48 + 2 * (i % 7) AS INTEGER) AS coded_height,
+       CAST(64 + 2 * (i % 9) AS INTEGER) AS width,
+       CAST(48 + 2 * (i % 7) AS INTEGER) AS height,
+       CAST(1000 + 137 * i + {REAL_MEDIA_SEED} AS DOUBLE) AS duration_ms
+FROM generate_series(0, {N_REAL_MEDIA - 1}) t(i)
+"""
+
+
 # --- REAL Vorbis id-header parse inside OGG pages ----------------------------
 
 
@@ -1480,6 +1524,14 @@ SPECS = {
         SQL_MEDIA_AAC_ID,
         "real AAC AudioSpecificConfig parse from the mp4a/esds descriptor "
         "chain: object type, sample rate, channels (AAC bitstream "
+        "honestly stubbed)",
+        ("multimodal",),
+    ),
+    "media_h264_sps": QuerySpec(
+        q_media_h264_sps,
+        SQL_MEDIA_H264_SPS,
+        "real H.264 SPS parse from avc1/avcC: profile/level + coded dims "
+        "via Exp-Golomb header syntax and crop arithmetic (slice data "
         "honestly stubbed)",
         ("multimodal",),
     ),

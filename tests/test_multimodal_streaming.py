@@ -759,6 +759,9 @@ def test_new_parsers_never_raise_on_mutated_bytes():
         # r11: aac-configured mp4 — corrupted esds descriptor chains must
         # degrade through parse_audio_specific_config, never raise
         C.mp4_build(1234, [("soun", 0, 0)], b"p" * 40, aac=(2, 48000, 2)),
+        # r11: avc-configured mp4 — corrupted avcC/SPS bits must degrade
+        # through parse_h264_sps (Exp-Golomb reads bounds-checked)
+        C.mp4_build(1234, [("vide", 70, 50)], b"p" * 40, avc=(66, 30)),
     ]
     for _ in range(600):
         b = bytearray(rng.choice(seeds))
@@ -984,3 +987,59 @@ def test_aac_asc_strict_parse_and_esds_chain():
     out2 = mm._decode_any(C.mp4_build(1000, [("vide", 64, 48)]))
     assert out2["sample_rate"] is None
     assert len(out2["feature"]) == 1
+
+
+def test_h264_sps_strict_parse_and_avcc_chain():
+    """H.264 SPS contract (ITU-T H.264 §7.3.2.1.1 header syntax): the
+    builder's avc1 → avcC → SPS chain round-trips profile/level and the
+    CODED dimensions through the strict Exp-Golomb parse, including the
+    macroblock-grid + frame-cropping arithmetic for dims that are not
+    16-aligned and emulation-prevention byte stripping; reject conditions
+    (wrong NAL type, truncation, forbidden bit) return None; and random
+    bit corruption of the SPS region degrades, never raises."""
+    from multi_source_financial_data_pipeline_spark.operators import containers as C
+    from multi_source_financial_data_pipeline_spark.operators import multimodal as mm
+
+    # cropping both axes, none, and HD shapes
+    for w, h in ((66, 50), (64, 48), (1920, 1080), (1280, 720), (18, 2)):
+        for profile, level in ((66, 30), (77, 41)):
+            sps = C.h264_sps(w, h, profile, level)
+            assert C.parse_h264_sps(sps) == {
+                "profile_idc": profile, "level_idc": level,
+                "width": w, "height": h,
+            }, (w, h, profile)
+            blob = C.mp4_build(1500, [("vide", w, h)], avc=(profile, level))
+            assert C.parse_mp4(blob)["video"]["width"] == w
+
+    # emulation prevention: a level_idc of 0 forces 00 00 runs in the RBSP
+    sps0 = C.h264_sps(16, 16, 66, 0)
+    assert b"\x00\x00\x00" not in sps0[1:]
+    assert C.parse_h264_sps(sps0)["level_idc"] == 0
+
+    # MUST-reject forms
+    assert C.parse_h264_sps(b"") is None
+    assert C.parse_h264_sps(b"\x68\x42\x00\x1e") is None   # PPS nal type
+    assert C.parse_h264_sps(b"\xe7\x42\x00\x1e") is None   # forbidden bit
+    good = C.h264_sps(66, 50)
+    assert C.parse_h264_sps(good[:5]) is None              # truncated
+
+    # bit-corruption sweep over the whole SPS: degrade-or-parse, never raise
+    for off in range(1, len(good)):
+        for bit in (0x01, 0x80):
+            mutated = bytearray(good)
+            mutated[off] ^= bit
+            p = C.parse_h264_sps(bytes(mutated))
+            if p is not None:
+                assert set(p) == {"profile_idc", "level_idc", "width", "height"}
+
+    # through the media decode path: SPS fields join the feature vector
+    out = mm._decode_any(C.mp4_build(1500, [("vide", 70, 50)], avc=(77, 31)))
+    assert out["codec"] == "mp4"
+    assert out["feature"][1:5] == [77.0, 31.0, 70.0, 50.0]
+    # a/v file: audio fields first, then video, deterministic order
+    both = C.mp4_build(
+        1500, [("vide", 70, 50), ("soun", 0, 0)], aac=(2, 48000, 2),
+        avc=(66, 30),
+    )
+    outb = mm._decode_any(both)
+    assert outb["feature"][1:7] == [2.0, 2.0, 66.0, 30.0, 70.0, 50.0]
