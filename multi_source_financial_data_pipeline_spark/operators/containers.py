@@ -810,6 +810,62 @@ def parse_ogg(data: bytes) -> dict | None:
     }
 
 
+# --- Opus identification header (inside OGG pages, RFC 7845 §5.1) ------------
+
+def opus_id_packet(
+    channels: int,
+    input_sample_rate: int,
+    pre_skip: int = 312,
+    output_gain_q8: int = 0,
+) -> bytes:
+    """OpusHead: the fixed 19-byte first packet of every Ogg/Opus stream
+    (channel mapping family 0 — mono/stereo; families needing a mapping
+    table are the multichannel extension this builder doesn't emit).
+    `input_sample_rate` is informational (Opus decodes at 48 kHz); the
+    granule position is ALWAYS 48 kHz samples, so duration needs no rate
+    from the header at all — but channels/pre-skip/gain do parse here."""
+    if not (1 <= channels <= 2):
+        raise ValueError(f"mapping family 0 allows 1-2 channels: {channels}")
+    if input_sample_rate < 0 or pre_skip < 0:
+        raise ValueError("negative rate/pre_skip")
+    return (
+        b"OpusHead"
+        + struct.pack(
+            "<BBHIhB",
+            1,                  # version
+            channels,
+            pre_skip,
+            input_sample_rate,
+            output_gain_q8,
+            0,                  # channel mapping family 0
+        )
+    )
+
+
+def parse_opus_id(packet: bytes) -> dict | None:
+    """Strict OpusHead parse → {"channels", "pre_skip",
+    "input_sample_rate", "output_gain_q8"} or None. RFC 7845 §5.1:
+    magic + version (major 0, i.e. version < 16) are MUSTs; mapping
+    family 0 requires 1-2 channels and carries no mapping table (a
+    family needing the table is rejected — multichannel mapping is out
+    of this demux's scope, like multi-page headers)."""
+    if len(packet) < 19 or packet[:8] != b"OpusHead":
+        return None
+    version, channels, pre_skip, rate, gain, family = struct.unpack_from(
+        "<BBHIhB", packet, 8
+    )
+    if version >> 4 != 0:  # major version must be 0 (compat rule)
+        return None
+    if family != 0 or not (1 <= channels <= 2):
+        return None
+    return {
+        "channels": channels,
+        "pre_skip": pre_skip,
+        "input_sample_rate": rate,
+        "output_gain_q8": gain,
+    }
+
+
 # --- Vorbis I identification header (inside OGG pages) -----------------------
 
 def vorbis_id_packet(

@@ -41,8 +41,10 @@ from multi_source_financial_data_pipeline_spark.operators.containers import (
     AAC_SAMPLE_RATES,
     mp4_build,
     ogg_build,
+    opus_id_packet,
     parse_mp4,
     parse_ogg,
+    parse_opus_id,
     parse_vorbis_id,
     vorbis_id_packet,
 )
@@ -272,10 +274,12 @@ def _decode_mp4(data: bytes) -> dict | None:
 def _decode_ogg(data: bytes) -> dict | None:
     """OGG page demux (REAL page walk + per-page CRC,
     `operators/containers.parse_ogg`): page/stream layout and the final
-    granule position. When the beginning-of-stream packet is a Vorbis I
-    identification header (`containers.parse_vorbis_id` — fixed fields,
-    no entropy decoding), channels/sample_rate surface too, and the
-    granule counter (PCM samples for Vorbis) converts to real duration.
+    granule position. When the beginning-of-stream packet is a codec id
+    header — Vorbis I (`containers.parse_vorbis_id`) or OpusHead
+    (`containers.parse_opus_id`), both fixed fields, no entropy
+    decoding — channels/sample_rate surface too, and the granule counter
+    converts to real duration (PCM samples at the id rate for Vorbis;
+    ALWAYS 48 kHz samples minus pre-skip for Opus, RFC 7845 §4.1).
     Anything past the id header — comment/setup headers, audio packets —
     stays honestly stubbed (needs the full codebook machinery)."""
     parsed = parse_ogg(data)
@@ -288,16 +292,29 @@ def _decode_ogg(data: bytes) -> dict | None:
             float(parsed["last_granule"] or 0),
         ],
     }
-    vid = None
+    pkt = None
     if len(parsed["serials"]) == 1:
         pkt = parsed["bos_packets"].get(parsed["serials"][0])
-        vid = parse_vorbis_id(pkt) if pkt else None
+    vid = parse_vorbis_id(pkt) if pkt else None
     if vid is not None:
         out["sample_rate"] = vid["sample_rate"]
         out["feature"].append(float(vid["channels"]))
         if parsed["last_granule"] is not None:
             out["duration_ms"] = (
                 parsed["last_granule"] * 1000.0 / vid["sample_rate"]
+            )
+        return out
+    op = parse_opus_id(pkt) if pkt else None
+    if op is not None:
+        out["sample_rate"] = 48000  # Opus always decodes at 48 kHz
+        out["feature"].append(float(op["channels"]))
+        out["feature"].append(float(op["pre_skip"]))
+        out["feature"].append(float(op["input_sample_rate"]))
+        if parsed["last_granule"] is not None:
+            out["duration_ms"] = (
+                max(0, parsed["last_granule"] - op["pre_skip"])
+                * 1000.0
+                / 48000.0
             )
     return out
 

@@ -762,6 +762,9 @@ def test_new_parsers_never_raise_on_mutated_bytes():
         # r11: avc-configured mp4 — corrupted avcC/SPS bits must degrade
         # through parse_h264_sps (Exp-Golomb reads bounds-checked)
         C.mp4_build(1234, [("vide", 70, 50)], b"p" * 40, avc=(66, 30)),
+        # r11: opus-headed stream — corrupted OpusHead must degrade
+        # through parse_opus_id, never raise
+        C.ogg_build(7, [C.opus_id_packet(2, 48000), b"e" * 150], [0, 1920]),
     ]
     for _ in range(600):
         b = bytearray(rng.choice(seeds))
@@ -1043,3 +1046,45 @@ def test_h264_sps_strict_parse_and_avcc_chain():
     )
     outb = mm._decode_any(both)
     assert outb["feature"][1:7] == [2.0, 2.0, 66.0, 30.0, 70.0, 50.0]
+
+
+def test_opus_id_header_strict_parse_and_duration():
+    """OpusHead contract (RFC 7845 §5.1): spec-valid headers round-trip
+    channels/pre-skip/input-rate; MUST-reject conditions (magic, major
+    version, mapping family needing a table, family-0 channel bounds,
+    truncation) return None; and through the page walk the granule
+    position converts to duration at the FIXED 48 kHz decode rate minus
+    pre-skip (§4.1) — Vorbis streams keep their own id-rate path."""
+    from multi_source_financial_data_pipeline_spark.operators import containers as C
+    from multi_source_financial_data_pipeline_spark.operators import multimodal as mm
+
+    pkt = C.opus_id_packet(2, 44100, pre_skip=312, output_gain_q8=-128)
+    assert len(pkt) == 19
+    assert C.parse_opus_id(pkt) == {
+        "channels": 2, "pre_skip": 312,
+        "input_sample_rate": 44100, "output_gain_q8": -128,
+    }
+    rejects = [
+        b"OpusTags" + pkt[8:],            # wrong magic
+        pkt[:8] + b"\x10" + pkt[9:],      # major version 1
+        pkt[:18] + b"\x01",               # mapping family 1 (needs table)
+        pkt[:9] + b"\x00" + pkt[10:],     # 0 channels
+        pkt[:9] + b"\x03" + pkt[10:],     # 3 channels under family 0
+        pkt[:18],                         # truncated
+    ]
+    for bad in rejects:
+        assert C.parse_opus_id(bad) is None, bad.hex()
+    # minor version bump is compatible per the RFC
+    assert C.parse_opus_id(pkt[:8] + b"\x0f" + pkt[9:]) is not None
+
+    ogg = C.ogg_build(11, [pkt, b"\xaa" * 80, b"\xbb" * 30], [0, 960, 4152])
+    out = mm._decode_any(ogg)
+    assert out["codec"] == "ogg"
+    assert out["sample_rate"] == 48000
+    assert out["duration_ms"] == (4152 - 312) * 1000.0 / 48000.0
+    assert out["feature"][:6] == [3.0, 1.0, 4152.0, 2.0, 312.0, 44100.0]
+    # a vorbis stream still takes the vorbis branch (id-rate duration)
+    v = mm._decode_any(
+        C.ogg_build(12, [C.vorbis_id_packet(1, 8000), b"x" * 40], [0, 800])
+    )
+    assert v["sample_rate"] == 8000 and v["duration_ms"] == 100.0
