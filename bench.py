@@ -171,6 +171,7 @@ HEADLINE = [
     "media_vorbis_id",
     "media_aac_id",
     "media_h264_sps",
+    "media_opus_id",
     # round-8: Morton-key locality audit (pure codegen bit arithmetic)
     "zorder_locality",
     # round-8: Count-Min sketch build + probe (second sketch family)

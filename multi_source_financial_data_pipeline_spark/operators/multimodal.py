@@ -991,6 +991,49 @@ def synthetic_h264_media(
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synthetic_opus_media(
+    spark: SparkSession, n: int = 100, seed: int = 7
+) -> DataFrame:
+    """OGG/Opus streams whose beginning-of-stream packet is a REAL
+    OpusHead (`containers.opus_id_packet`): mapping family 0 with
+    1 + mid%2 channels, pre-skip 312 + 24*(mid%4), the informational
+    input rate cycling the standard audio rates, and 2 + mid%3 audio
+    pages advancing 960 granule units (48 kHz samples) each — all
+    closed-form so a SQL oracle recomputes the parse INCLUDING the
+    fixed-48kHz minus-pre-skip duration rule (RFC 7845 §4.1). Packets
+    after the id header are md5 blobs (the honestly-stubbed OpusTags and
+    audio frames)."""
+    import hashlib as _hl
+
+    rates = (8000, 16000, 24000, 44100, 48000)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                chans = 1 + mid % 2
+                pre_skip = 312 + 24 * (mid % 4)
+                rate = rates[mid % 5]
+                n_audio = 2 + mid % 3
+                pkts = [opus_id_packet(chans, rate, pre_skip)] + [
+                    _hl.md5(f"{seed}:o:{mid}:{k}".encode()).digest()
+                    * (1 + (mid + k) % 3)
+                    for k in range(n_audio)
+                ]
+                grans = [0] + [pre_skip + 960 * (k + 1) for k in range(n_audio)]
+                rows.append(
+                    {"media_id": mid, "kind": "audio",
+                     "data": ogg_build(3000 + mid, pkts, grans),
+                     "meta": {"codec": "ogg/opus"}}
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def synthetic_vorbis_media(
     spark: SparkSession, n: int = 100, seed: int = 7
 ) -> DataFrame:

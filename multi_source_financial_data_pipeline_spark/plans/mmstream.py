@@ -454,6 +454,48 @@ FROM generate_series(0, {N_REAL_MEDIA - 1}) t(i)
 """
 
 
+# --- REAL Opus id-header parse inside OGG pages -------------------------------
+
+
+def q_media_opus_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpusHead metadata without decoding audio (the Opus sibling of
+    `media_vorbis_id`): channels / pre-skip / informational input rate
+    from the fixed 19-byte header (`containers.parse_opus_id`), plus the
+    duration rule that distinguishes Opus from Vorbis — the granule
+    position is ALWAYS 48 kHz samples and pre-skip subtracts (RFC 7845
+    §4.1), so the oracle's closed-form duration only matches if the
+    engine applies the fixed decode rate, not the header's input rate.
+    OpusTags and the audio frames stay the honest stub."""
+    media = multimodal.synthetic_opus_media(
+        spark, n=N_REAL_MEDIA, seed=REAL_MEDIA_SEED
+    )
+    feats = multimodal.decode_media_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "sample_rate",
+        F.element_at("feature", 4).cast("int").alias("channels"),
+        F.element_at("feature", 5).cast("int").alias("pre_skip"),
+        F.element_at("feature", 6).cast("int").alias("input_sample_rate"),
+        "duration_ms",
+        F.element_at("feature", 1).cast("double").alias("n_pages"),
+    )
+
+
+SQL_MEDIA_OPUS_ID = f"""
+SELECT i AS media_id, 'audio' AS kind,
+       CAST(48000 AS INTEGER) AS sample_rate,
+       CAST(1 + i % 2 AS INTEGER) AS channels,
+       CAST(312 + 24 * (i % 4) AS INTEGER) AS pre_skip,
+       CAST(list_extract([8000, 16000, 24000, 44100, 48000],
+                         CAST(i % 5 AS INTEGER) + 1) AS INTEGER)
+         AS input_sample_rate,
+       CAST(960 * (2 + i % 3) AS DOUBLE) * 1000 / 48000 AS duration_ms,
+       CAST(3 + i % 3 AS DOUBLE) AS n_pages
+FROM generate_series(0, {N_REAL_MEDIA - 1}) t(i)
+"""
+
+
 # --- REAL Vorbis id-header parse inside OGG pages ----------------------------
 
 
@@ -1533,6 +1575,13 @@ SPECS = {
         "real H.264 SPS parse from avc1/avcC: profile/level + coded dims "
         "via Exp-Golomb header syntax and crop arithmetic (slice data "
         "honestly stubbed)",
+        ("multimodal",),
+    ),
+    "media_opus_id": QuerySpec(
+        q_media_opus_id,
+        SQL_MEDIA_OPUS_ID,
+        "real OpusHead parse inside the OGG page walk: channels/pre-skip "
+        "+ fixed-48kHz granule duration (audio frames honestly stubbed)",
         ("multimodal",),
     ),
     "media_jpeg_channel_stats": QuerySpec(

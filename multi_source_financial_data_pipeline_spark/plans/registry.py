@@ -46,8 +46,8 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #: decontaminate, cms_heavy_hitters, kmv_distinct, stream_scd2_closed,
 #: stream_media_features, ...) — rotate those in, LED by (a) the r11
 #: additions registered after this window was sized and therefore never
-#: driver-checked: media_vorbis_id, media_aac_id, media_h264_sps and
-#: rsi_bars_4h; then (b) the queries
+#: driver-checked: media_vorbis_id, media_opus_id,
+#: media_aac_id, media_h264_sps and rsi_bars_4h; then (b) the queries
 #: whose PLAN changed in r11 after their latest row (results and oracles
 #: unchanged — the fold-parallelism repartition): ewma_last, macd_last,
 #: rsi_14_wilder, atr_14_wilder, semdedup_kept, semdedup_kept_probe; plus

@@ -272,6 +272,15 @@ def test_media_h264_sps_map_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_media_opus_id_map_only(spark, sf_dir):
+    """The OpusHead query: same map-only contract as the other codec
+    id-header queries."""
+    plan = _plan(spark, sf_dir, "media_opus_id")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2
+    assert "CartesianProduct" not in plan
+
+
 def test_max_drawdown_single_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "max_drawdown")
     # running-peak window and the per-user min share one user_id exchange
