@@ -48,7 +48,9 @@ def aac_audio_specific_config(
     1.18), channelConfiguration (4 bits), 3 zero bits (GASpecificConfig
     framing for the fields we emit). Like the Vorbis id header this is
     CONTAINER-ADJACENT metadata — fixed bit fields, no entropy coding."""
-    if not (1 <= object_type <= 31 and 1 <= channels <= 7):
+    if not (1 <= object_type <= 30 and 1 <= channels <= 7):
+        # 31 is the escape signaling a 6-bit audioObjectTypeExt (AOT >= 32,
+        # e.g. xHE-AAC) — a different bit layout this builder does not emit
         raise ValueError(f"bad object_type/channels: {object_type}/{channels}")
     idx = AAC_SAMPLE_RATES.index(sample_rate)  # raises for non-standard rates
     bits = (object_type << 11) | (idx << 7) | (channels << 3)
@@ -211,7 +213,10 @@ def parse_audio_specific_config(asc: bytes) -> dict | None:
     b0, b1 = asc[0], asc[1]
     object_type = b0 >> 3
     freq_idx = ((b0 & 0x07) << 1) | (b1 >> 7)
-    if object_type == 0:
+    if object_type == 0 or object_type == 31:
+        # 31 = escape: a 6-bit audioObjectTypeExt follows (AOT >= 32, e.g.
+        # xHE-AAC), shifting every later field — degrade honestly to None
+        # rather than return misaligned rate/channel bits
         return None
     if freq_idx == 15:
         if len(asc) < 5:

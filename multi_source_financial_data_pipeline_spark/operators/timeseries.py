@@ -264,9 +264,11 @@ def resample_bars(
     groupBy on the SAME keys folds open/high/low/close/count/sum —
     Catalyst reuses the window's hash partitioning.
 
-    ``exact_sum=True`` sums through DECIMAL(12,2) (bit-exact across
-    engines for 2-dp inputs, the registry's oracle discipline); False
-    keeps a plain double sum (cheaper, order-dependent rounding).
+    ``exact_sum=True`` sums through DECIMAL(18,2) (bit-exact across
+    engines for 2-dp inputs, the registry's oracle discipline; 18,2
+    rather than 12,2 so |value| up to 1e16 casts losslessly instead of
+    becoming NULL under Spark's non-ANSI CAST while the oracle raises);
+    False keeps a plain double sum (cheaper, order-dependent rounding).
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if isinstance(interval, int):
@@ -302,7 +304,7 @@ def resample_bars(
     )
     v = F.col(value_col)
     sum_expr = (
-        F.sum(v.cast("decimal(12,2)")).cast("double")
+        F.sum(v.cast("decimal(18,2)")).cast("double")
         if exact_sum
         else F.sum(v)
     )

@@ -1018,7 +1018,7 @@ SELECT user_id, bar_epoch,
        min(value) AS low_value,
        max(CASE WHEN rn_d = 1 THEN value END) AS close_value,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM w GROUP BY user_id, bar_epoch
 """
 

@@ -967,6 +967,12 @@ def test_aac_asc_strict_parse_and_esds_chain():
     pce = struct.pack(">H", (2 << 11) | (4 << 7) | (0 << 3))       # chan 0
     assert C.parse_audio_specific_config(pce) is None
     assert C.parse_audio_specific_config(asc[:4]) is None  # short escape
+    # AOT 31 = escape to 6-bit audioObjectTypeExt (xHE-AAC etc.): a
+    # different bit layout — parser must degrade, builder must refuse
+    aot31 = struct.pack(">H", (31 << 11) | (4 << 7) | (2 << 3))
+    assert C.parse_audio_specific_config(aot31) is None
+    with pytest.raises(ValueError):
+        C.aac_audio_specific_config(31, 44100, 2)
 
     # descriptor chain robustness: byte-level mutations of a valid esds
     # region must degrade (audio key absent), never raise

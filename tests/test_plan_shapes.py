@@ -1138,7 +1138,7 @@ def test_grouped_map_max_group_share_audit(spark, sf_dir):
         for i in range(ch.size()):
             yield from walk(ch.apply(i))
 
-    measured: dict[tuple[str, tuple[str, ...]], tuple[float, int]] = {}
+    measured: dict[tuple[str, tuple[str, ...]], tuple[float, int, int]] = {}
     unmeasurable: list[tuple[str, tuple[str, ...], str]] = []
     cache: dict[tuple[str, tuple[str, ...]], tuple[int, int] | None] = {}
     for name, spec in QUERIES.items():

@@ -96,6 +96,10 @@ def test_gate_window_fronts_never_checked_then_oldest():
         "semdedup_kept",
         "semdedup_kept_probe",
         "cusum_drift",
+        # r12: exact_sum widened DECIMAL(12,2)->(18,2) on BOTH engines
+        # (r11 ADVICE) — oracle text changed, so the fresh r11 row proves
+        # the old formulation
+        "bars_4h",
     }
     # a name satisfies the front-load contract if it was EVER recorded —
     # once checked, it may legitimately re-enter any later window because
