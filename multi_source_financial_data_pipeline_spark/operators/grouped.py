@@ -53,6 +53,15 @@ def _check_group_rows(n: int, key_value: object, max_rows: int) -> None:
         )
 
 
+def _order_cols(ts_col: str, tiebreak: str | None) -> list[str]:
+    """In-group sort columns for a fold. ``tiebreak=None`` declares that
+    ``ts_col`` is already unique per key (true by construction for bar
+    series — `timeseries.resample_bars` emits one row per (key, bar)),
+    so bar-fed callers don't pass a semantically meaningless filler
+    column just to fill the slot."""
+    return [ts_col] if tiebreak is None else [ts_col, tiebreak]
+
+
 def _fold_partitions(df: DataFrame) -> int:
     """Explicit partition count for every fold exchange below.
 
@@ -87,7 +96,7 @@ def ewma_last(
     df: DataFrame,
     key: str,
     ts_col: str,
-    tiebreak: str,
+    tiebreak: str | None,
     value_col: str,
     alpha: float = 0.3,
     max_rows: int = GROUPED_FOLD_MAX_ROWS,
@@ -95,12 +104,13 @@ def ewma_last(
     """Final EWMA value per key over the (ts, tiebreak)-ordered series."""
     a = float(alpha)
     b = 1.0 - a  # computed once; the oracle inlines repr(a), repr(b)
+    order = _order_cols(ts_col, tiebreak)
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
         _check_group_rows(len(pdf), pdf[key].iloc[0], max_rows)
-        s = pdf.sort_values([ts_col, tiebreak])[value_col].to_numpy()
+        s = pdf.sort_values(order)[value_col].to_numpy()
         y = float(s[0])
         for x in s[1:]:
             y = y * b + a * float(x)
@@ -108,7 +118,7 @@ def ewma_last(
             {"key": [pdf[key].iloc[0]], "n_rows": [len(s)], "ewma": [y]}
         )
 
-    return df.select(key, ts_col, tiebreak, value_col).repartition(
+    return df.select(key, *order, value_col).repartition(
         _fold_partitions(df), key
     ).groupBy(key).applyInPandas(
         fold, schema=EWMA_SCHEMA
@@ -130,7 +140,7 @@ def cusum_last(
     df: DataFrame,
     key: str,
     ts_col: str,
-    tiebreak: str,
+    tiebreak: str | None,
     value_col: str,
     max_rows: int = GROUPED_FOLD_MAX_ROWS,
 ) -> DataFrame:
@@ -142,12 +152,13 @@ def cusum_last(
     seedless `list_reduce` (which seeds with the first element; 0.0+x₀
     round-trips to x₀ bitwise, so the python fold matches) replays every
     float op; the clamp folds replay via a 0.0-prepended list."""
+    order = _order_cols(ts_col, tiebreak)
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
         _check_group_rows(len(pdf), pdf[key].iloc[0], max_rows)
-        s = pdf.sort_values([ts_col, tiebreak])[value_col].to_numpy()
+        s = pdf.sort_values(order)[value_col].to_numpy()
         total = 0.0
         for x in s:
             total = total + float(x)
@@ -167,7 +178,7 @@ def cusum_last(
             }
         )
 
-    return df.select(key, ts_col, tiebreak, value_col).repartition(
+    return df.select(key, *order, value_col).repartition(
         _fold_partitions(df), key
     ).groupBy(key).applyInPandas(
         fold, schema=CUSUM_SCHEMA
@@ -189,7 +200,7 @@ def macd_last(
     df: DataFrame,
     key: str,
     ts_col: str,
-    tiebreak: str,
+    tiebreak: str | None,
     value_col: str,
     fast: int = 12,
     slow: int = 26,
@@ -213,12 +224,13 @@ def macd_last(
     b_s = 1.0 - a_s
     a_g = 2.0 / (signal + 1)
     b_g = 1.0 - a_g
+    order = _order_cols(ts_col, tiebreak)
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
         _check_group_rows(len(pdf), pdf[key].iloc[0], max_rows)
-        s = pdf.sort_values([ts_col, tiebreak])[value_col].to_numpy()
+        s = pdf.sort_values(order)[value_col].to_numpy()
         e_f = float(s[0])
         e_s = float(s[0])
         m = e_f - e_s
@@ -238,7 +250,7 @@ def macd_last(
             }
         )
 
-    return df.select(key, ts_col, tiebreak, value_col).repartition(
+    return df.select(key, *order, value_col).repartition(
         _fold_partitions(df), key
     ).groupBy(key).applyInPandas(
         fold, schema=MACD_SCHEMA
@@ -260,7 +272,7 @@ def rsi_wilder_last(
     df: DataFrame,
     key: str,
     ts_col: str,
-    tiebreak: str,
+    tiebreak: str | None,
     value_col: str,
     n: int = 14,
     max_rows: int = GROUPED_FOLD_MAX_ROWS,
@@ -278,12 +290,13 @@ def rsi_wilder_last(
     the −0.0 could surface in an all-flat series' output."""
     hi = float(n - 1)
     lo = float(n)
+    order = _order_cols(ts_col, tiebreak)
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
         _check_group_rows(len(pdf), pdf[key].iloc[0], max_rows)
-        s = pdf.sort_values([ts_col, tiebreak])[value_col].to_numpy()
+        s = pdf.sort_values(order)[value_col].to_numpy()
         diffs = [float(s[i]) - float(s[i - 1]) for i in range(1, len(s))]
         out = {"key": [pdf[key].iloc[0]], "n_rows": [len(s)]}
         if len(diffs) < n:
@@ -306,7 +319,7 @@ def rsi_wilder_last(
         out.update({"avg_gain": [ag], "avg_loss": [al], "rsi": [rsi]})
         return pd.DataFrame(out)
 
-    return df.select(key, ts_col, tiebreak, value_col).repartition(
+    return df.select(key, *order, value_col).repartition(
         _fold_partitions(df), key
     ).groupBy(key).applyInPandas(
         fold, schema=RSI_WILDER_SCHEMA

@@ -1359,7 +1359,7 @@ def q_rsi_bars_4h(spark: SparkSession, sf_dir: str) -> DataFrame:
         bars,
         key="user_id",
         ts_col="bar_ts",
-        tiebreak="n_events",  # bar_ts is unique per key; sort just needs 2 cols
+        tiebreak=None,  # bar_ts is unique per (key, bar) by construction
         value_col="close_value",
         n=RSI_N,
     )

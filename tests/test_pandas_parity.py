@@ -390,6 +390,34 @@ def test_grouped_fold_enforces_per_key_history_bound(spark):
     assert "per-key history bound" in str(ei.value)
 
 
+def test_fold_family_optional_tiebreak_matches_tiebreak_form(spark):
+    """`tiebreak=None` (VERDICT r11 item 7): when ts is unique per key —
+    true by construction for bar series — the fold family accepts None
+    instead of a semantically meaningless filler column, and produces
+    bit-identical results to the 2-column-sort form."""
+    from multi_source_financial_data_pipeline_spark.operators import grouped
+
+    rows = [
+        (k, float(i), i, 100.0 + ((i * 7 + k) % 13) * 0.5)
+        for k in (1, 2, 3)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, day double, event_id long, value double"
+    )
+    for fn in (grouped.ewma_last, grouped.cusum_last, grouped.macd_last,
+               grouped.rsi_wilder_last):
+        with_tb = {
+            r["key"]: r.asDict()
+            for r in fn(df, "user_id", "day", "event_id", "value").collect()
+        }
+        without = {
+            r["key"]: r.asDict()
+            for r in fn(df, "user_id", "day", None, "value").collect()
+        }
+        assert with_tb == without, fn.__name__
+
+
 def test_resample_bars_matches_pandas_ohlc_and_second_width_path(spark):
     """`resample_bars` parity with pandas ``resample(rule).ohlc()`` on an
     irregular series, and the integer-seconds path: a 3600-second width
