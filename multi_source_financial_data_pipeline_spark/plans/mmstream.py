@@ -23,7 +23,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-from multi_source_financial_data_pipeline_spark.operators import multimodal, similarity
+from multi_source_financial_data_pipeline_spark.operators import grouped, multimodal, similarity
 from multi_source_financial_data_pipeline_spark.plans.llmdata import (
     COS_THRESHOLD,
     N_QUERIES,
@@ -32,6 +32,7 @@ from multi_source_financial_data_pipeline_spark.plans.llmdata import (
     _sql_cos,
     q_ann_topk,
 )
+from multi_source_financial_data_pipeline_spark.plans.financial import RSI_N, SQL_RSI_BARS_4H
 from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 from multi_source_financial_data_pipeline_spark.schemas import TESTDATA
 from multi_source_financial_data_pipeline_spark.session import pin_utc, tune_for_session_cores
@@ -1474,6 +1475,66 @@ GROUP BY c_mktsegment
 """
 
 
+# --- streaming: incremental bars feeding the fold-family escape hatch --------
+
+def q_stream_bars_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE twin of `plans/financial.q_rsi_bars_4h` (VERDICT r11
+    item 8): stream-ingest → incremental 4-hour OHLC bars → Wilder RSI
+    fold, as one registered pipeline.
+
+    The bars are maintained BY THE STREAM: a tumbling event-time window
+    aggregate where open/close are min/max over ``struct(ts, event_id,
+    value)`` — mergeable and commutative, so streaming state is a
+    constant handful of scalars per (user, bar) no matter how many raw
+    ticks arrive, and each micro-batch UPDATES the open bar instead of
+    reprocessing history (the incremental semantics the batch
+    `resample_bars` row_number pair cannot have under streaming's
+    no-arbitrary-window rule). high/low/n_events ride the same state.
+    After the availableNow drain the final bar state is the same bar
+    table `resample_bars` derives, so the grouped-map fold runs
+    unchanged on the closes (tiebreak=None — bar_ts unique per key) and
+    the ORACLE IS BYTE-IDENTICAL to rsi_bars_4h's: same bars (epoch-
+    aligned 14400 s windows under the pinned UTC session), same
+    mean-seeded Wilder fold. At scale: state O(#users × #open bars)
+    with a watermark in continuous deployment; the drain-then-fold
+    cadence here mirrors the reference's cron re-run semantics."""
+    name = f"stream_bars_{next(_qname)}"
+    with _event_stream(spark, sf_dir) as stream:
+        bars = stream.groupBy(
+            F.window("ts", "4 hours"), F.col("user_id")
+        ).agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("__open"),
+            F.max(F.struct("ts", "event_id", "value")).alias("__close"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        query = (
+            bars.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    bar_state = spark.table(name).select(
+        "user_id",
+        F.col("window.start").alias("bar_ts"),
+        F.col("__close.value").alias("close_value"),
+    )
+    out = grouped.rsi_wilder_last(
+        bar_state,
+        key="user_id",
+        ts_col="bar_ts",
+        tiebreak=None,
+        value_col="close_value",
+        n=RSI_N,
+    )
+    return out.select(
+        F.col("key").alias("user_id"), "n_rows", "avg_gain", "avg_loss", "rsi"
+    )
+
+
 SPECS = {
     "stream_interval_join": QuerySpec(
         q_stream_interval_join,
@@ -1492,6 +1553,16 @@ SPECS = {
         SQL_STREAM_ENRICHED,
         "stream-static broadcast enrichment join + complete-mode aggregate",
         ("streaming", "join"),
+    ),
+    "stream_bars_rsi": QuerySpec(
+        q_stream_bars_rsi,
+        # byte-identical oracle to rsi_bars_4h: the stream maintains the
+        # SAME epoch-aligned 4h bars incrementally, then the same fold runs
+        SQL_RSI_BARS_4H,
+        "live rsi_bars_4h: incremental 4h OHLC bars as streaming window "
+        "state (min/max struct open/close), Wilder fold on the drained "
+        "bar closes",
+        ("streaming", "grouped-map"),
     ),
     "media_features": QuerySpec(
         q_media_features,

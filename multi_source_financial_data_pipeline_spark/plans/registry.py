@@ -42,7 +42,7 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #:   3. 36 of the 44 remaining r08-latest rows, light-oracle-first with
 #:      the heavy document/embedding scans LAST so any checker memory
 #:      pressure costs the fewest verdicts.
-#: Round-13 rotation backlog (30 names for 50 slots — under capacity, per
+#: Round-13 rotation backlog (31 names for 50 slots — under capacity, per
 #: VERDICT r11 item 5 the registry must not outgrow the gate): the 8
 #: r08-latest rows deferred here because a machinery twin IS in the r12
 #: window (atr_14 ~ atr_14_wilder; equi_depth_bins_ntile ~
@@ -51,10 +51,15 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #: stochastic_osc ~ the checked financial-window family), then the 22
 #: r09-latest rows (topn_orders_per_customer, user_setops,
 #: value_percentiles_by_type, scd2_intervals, cms_heavy_hitters,
-#: stream_scd2_closed, stream_media_features, table_stats, ...), plus any
-#: r12 plan changes.
+#: stream_scd2_closed, stream_media_features, table_stats, ...), plus
+#: cluster_best_doc (displaced past slot 50 by the stream_bars_rsi
+#: registration) and any r12 plan changes.
 _GATE_PRIORITY = (
-    # -- 1. registered after the r11 window was sized; never checked -------
+    # -- 1. never driver-checked: the 5 late-r11 registrations plus the one
+    #       r12 addition (stream_bars_rsi, VERDICT r11 item 8 — new queries
+    #       lead the window or wait; its entry pushes cluster_best_doc past
+    #       slot 50 into the r13 backlog) ---------------------------------
+    "stream_bars_rsi",
     "media_vorbis_id",
     "media_opus_id",
     "media_aac_id",
