@@ -477,6 +477,89 @@ def connector_ingest_latency(spark) -> dict:
     return out
 
 
+def dedup_growth() -> dict:
+    """VERDICT r11 item 6: the heaviest bench queries' growth EXPONENTS
+    between 10× and 30× are the real 100-TB evidence — a flat timing at
+    10× can hide a super-linear term that only bends past it. Times the
+    four heaviest dedup/ANN queries at both scales and, alongside each
+    timing, measures the structural terms that drive their cost:
+
+    - candidate-pair count (LSH banding collisions — the verify input),
+    - verified-edge count and component structure (n_components /
+      max cluster size — the fixpoint's work per round; replica
+      perturbation keeps chains internal to a replica, so component
+      DIAMETER, hence iteration count, must stay flat while component
+      COUNT scales with the corpus),
+    - vector count (the kmeans centroid agg is k·dim-wide regardless —
+      its per-round cost is one linear scan + a fixed-width hash agg).
+
+    Ratios to read: volume grows 3.0×; a cost term is super-linear
+    exactly where timing ratio / volume ratio > 1 beyond host noise."""
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("msfdp-dedup-growth")
+    spark.sparkContext.setLogLevel("WARN")
+    from multi_source_financial_data_pipeline_spark.operators import dedup as _dd
+    from multi_source_financial_data_pipeline_spark.plans import llmdata as _ld
+
+    names = (
+        "neardup_verified",
+        "dedup_cluster_sizes",
+        "cluster_best_doc",
+        "kmeans_refine",
+    )
+    out: dict = {"metric": "dedup_growth", "base_sf_dir": src, "scales": {}}
+    try:
+        for k in (10, 30):
+            dst = tempfile.mkdtemp(prefix=f"msfdp_growth{k}_")
+            try:
+                replicate(spark, src, dst, k)
+                row: dict = {}
+                for name in names:
+                    QUERIES[name].fn(spark, dst).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    reps = []
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        QUERIES[name].fn(spark, dst).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        reps.append(time.perf_counter() - t0)
+                    row[name] = round(min(reps), 3)
+                docs = load_table(spark, dst, "documents")
+                sig = _dd.minhash_signatures(
+                    docs, num_hashes=_ld.NUM_HASHES, keep_all_docs=False
+                )
+                pairs = _dd.lsh_candidate_pairs(
+                    sig, num_hashes=_ld.NUM_HASHES, band_size=_ld.BAND_SIZE
+                )
+                comp = QUERIES["dedup_cluster_sizes"].fn(spark, dst)
+                stats = comp.agg(
+                    F.sum(
+                        F.col("cluster_size") * F.col("n_clusters")
+                    ).alias("n_docs"),
+                    F.sum("n_clusters").alias("n_components"),
+                    F.max("cluster_size").alias("max_cluster"),
+                ).collect()[0]
+                row["n_docs"] = int(stats["n_docs"])
+                row["n_candidate_pairs"] = pairs.count()
+                row["n_components"] = int(stats["n_components"])
+                row["max_cluster"] = int(stats["max_cluster"])
+                row["n_vectors"] = load_table(spark, dst, "embeddings").count()
+                out["scales"][str(k)] = row
+            finally:
+                shutil.rmtree(dst, ignore_errors=True)
+    finally:
+        spark.stop()
+    ten, thirty = out["scales"]["10"], out["scales"]["30"]
+    out["ratios_30_over_10"] = {
+        key: round(thirty[key] / ten[key], 2)
+        for key in thirty
+        if isinstance(ten.get(key), (int, float)) and ten[key]
+    }
+    return out
+
+
 def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     k = int(os.environ.get("SPARK_GRAFT_SCALE_K", "10"))
@@ -526,4 +609,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "dedup_growth":
+        print(json.dumps(dedup_growth()))
+    else:
+        main()
