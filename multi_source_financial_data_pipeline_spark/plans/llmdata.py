@@ -2436,8 +2436,9 @@ FROM m
 
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup diagnostic a curation run reports first: how big are the
-    near-dup components? (size, n_clusters) over the verified transitive
-    components, INCLUDING size-1 (unique docs) — Σ size·n_clusters = n_docs
+    near-dup components? (cluster_size, n_clusters) over the verified
+    transitive components, INCLUDING size-1 (unique docs) —
+    Σ cluster_size·n_clusters = n_docs
     is the audit identity. Two tiny groupBys over the component labels; the
     expensive part is the shared LSH→verify→components subtree
     `neardup_verified` already pays."""
