@@ -560,6 +560,50 @@ def dedup_growth() -> dict:
     return out
 
 
+def growth(names: list[str], ks: tuple[int, ...] = (10, 30)) -> dict:
+    """Generic growth-exponent probe (`scale_probe.py growth q1,q2,...`):
+    time the named registered queries at each replica scale and report
+    per-query ratios against the volume ratio — the generalization of
+    `dedup_growth` for any family whose 10×→30× exponent needs evidence
+    (gram-level text aggregates, bar folds, the quadratic-exact
+    contrast leg). A timing ratio at the volume ratio is linear; below
+    it, fixed costs still amortize; above it, a super-linear term is
+    bending and needs a named cause."""
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("msfdp-growth")
+    spark.sparkContext.setLogLevel("WARN")
+    out: dict = {"metric": "growth", "base_sf_dir": src, "scales": {}}
+    try:
+        for k in ks:
+            dst = tempfile.mkdtemp(prefix=f"msfdp_g{k}_")
+            try:
+                replicate(spark, src, dst, k)
+                row: dict = {}
+                for name in names:
+                    QUERIES[name].fn(spark, dst).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    reps = []
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        QUERIES[name].fn(spark, dst).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        reps.append(time.perf_counter() - t0)
+                    row[name] = round(min(reps), 3)
+                out["scales"][str(k)] = row
+            finally:
+                shutil.rmtree(dst, ignore_errors=True)
+    finally:
+        spark.stop()
+    lo, hi = out["scales"][str(ks[0])], out["scales"][str(ks[-1])]
+    out["volume_ratio"] = round(ks[-1] / ks[0], 2)
+    out["time_ratios"] = {
+        n: round(hi[n] / lo[n], 2) for n in names if lo.get(n)
+    }
+    return out
+
+
 def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     k = int(os.environ.get("SPARK_GRAFT_SCALE_K", "10"))
@@ -611,5 +655,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "dedup_growth":
         print(json.dumps(dedup_growth()))
+    elif len(sys.argv) > 2 and sys.argv[1] == "growth":
+        print(json.dumps(growth(sys.argv[2].split(","))))
     else:
         main()
