@@ -1490,8 +1490,10 @@ def q_stream_bars_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     reprocessing history (the incremental semantics the batch
     `resample_bars` row_number pair cannot have under streaming's
     no-arbitrary-window rule). high/low/n_events ride the same state.
-    After the availableNow drain the final bar state is the same bar
-    table `resample_bars` derives, so the grouped-map fold runs
+    After the availableNow drain the final bar state carries the same
+    (key, bar, close) triples `resample_bars` derives (sum_value is the
+    one column not maintained — the fold consumes only the closes), so
+    the grouped-map fold runs
     unchanged on the closes (tiebreak=None — bar_ts unique per key) and
     the ORACLE IS BYTE-IDENTICAL to rsi_bars_4h's: same bars (epoch-
     aligned 14400 s windows under the pinned UTC session), same
