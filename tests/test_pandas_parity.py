@@ -418,6 +418,33 @@ def test_fold_family_optional_tiebreak_matches_tiebreak_form(spark):
         assert with_tb == without, fn.__name__
 
 
+def test_resample_bars_exact_sum_survives_wide_values(spark):
+    """r11 ADVICE regression pin: exact_sum previously cast through
+    DECIMAL(12,2), so |v| >= 1e10 became NULL under Spark's non-ANSI CAST
+    and silently dropped out of sum_value while the DuckDB oracle's
+    identical CAST raised. DECIMAL(18,2) must carry them exactly."""
+    import datetime
+
+    from multi_source_financial_data_pipeline_spark.operators.timeseries import resample_bars
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 20_000_000_000.25, 1),
+        (1, t0 + datetime.timedelta(minutes=5), -1.25, 2),
+        (1, t0 + datetime.timedelta(minutes=10), 3.5, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+    out = resample_bars(df, "user_id", "ts", "value", 3600, ("event_id",)).collect()
+    assert len(out) == 1
+    bar = out[0]
+    assert bar["n_events"] == 3
+    assert bar["sum_value"] == 20_000_000_002.5  # exact, nothing NULLed out
+    assert bar["open_value"] == 20_000_000_000.25
+    assert bar["close_value"] == 3.5
+
+
 def test_resample_bars_matches_pandas_ohlc_and_second_width_path(spark):
     """`resample_bars` parity with pandas ``resample(rule).ohlc()`` on an
     irregular series, and the integer-seconds path: a 3600-second width
