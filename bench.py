@@ -2,7 +2,9 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec | null, "unit": "sec",
 "queries": {name: median_sec}, "min": {name: min_sec}, "reps": N,
-"errors": {name: msg}, "sf": ...}.
+"errors": {name: msg}, "sf": ..., "window": {...} | null} — "window" is
+the record's own noise context: the median/quartile per-query ratio vs the
+pinned BENCH_COMPARISON.json (see window_vs_comparison).
 
 Noise defense (r05 lesson: a busy shared host made a 1.3x round-over-round
 delta unattributable): each query is timed REPS times AFTER an untimed warm
@@ -275,6 +277,45 @@ def _run(name: str, sf_dir: str, spark) -> None:
     QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
 
+def window_vs_comparison(
+    medians: dict[str, float], sf: float
+) -> dict[str, object] | None:
+    """Self-describing window factor (VERDICT r12 item 2): the per-query
+    ratio distribution of THIS record against the pinned
+    ``BENCH_COMPARISON.json``, embedded in the record itself so any future
+    reader can separate a uniform host-window shift (median moves, spread
+    tight) from a real per-query regression (one name escapes the p25–p75
+    band) without reconstructing the comparison from git history. The
+    MEDIAN ratio is the window estimate — it is robust to a few genuinely
+    changed plans; the quartiles carry the noise width. Returns None when
+    no comparison record exists or the scale factors differ (cross-SF
+    ratios measure data volume, not the host window)."""
+    path = os.path.join(_REPO_DIR, "BENCH_COMPARISON.json")
+    try:
+        with open(path) as fh:
+            comp = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    if comp.get("sf") != sf:
+        return None
+    base = comp.get("queries") or {}
+    ratios = sorted(
+        medians[n] / base[n] for n in medians if base.get(n)
+    )
+    if len(ratios) < 8:  # too few shared names for a distribution
+        return None
+    k = len(ratios)
+    return {
+        "comparison_record": comp.get("record_id", "BENCH_COMPARISON.json"),
+        "shared_queries": k,
+        "median_ratio": round(statistics.median(ratios), 3),
+        "p25_ratio": round(ratios[k // 4], 3),
+        "p75_ratio": round(ratios[(3 * k) // 4], 3),
+        "min_ratio": round(ratios[0], 3),
+        "max_ratio": round(ratios[-1], 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -336,6 +377,9 @@ def main() -> None:
         "reps": reps,
         "errors": errors,
         "sf": sf,
+        # window context rides IN the record (r12 verdict item 2): median
+        # per-query ratio vs the pinned comparison record + quartiles
+        "window": window_vs_comparison(medians, sf),
     }
     print(json.dumps(payload, separators=(",", ":")))
     # the driver archives only the TAIL of this process's output (r06's

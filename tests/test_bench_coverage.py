@@ -54,3 +54,31 @@ def test_exemption_representatives_exist_and_are_covered():
                 f"{name}'s exemption references {ref}, which has no bench "
                 f"decision"
             )
+
+
+def test_window_vs_comparison_self_describing():
+    """The bench record embeds its own window context (r12 verdict item 2):
+    the median/quartile per-query ratio vs the pinned BENCH_COMPARISON.json.
+    Replays the computation against the pinned record itself (ratio 1.0
+    everywhere) and checks the two refusal paths (SF mismatch, too few
+    shared names)."""
+    import json
+    import pathlib
+
+    from bench import window_vs_comparison
+
+    comp = json.loads(
+        (pathlib.Path(__file__).resolve().parents[1] / "BENCH_COMPARISON.json")
+        .read_text()
+    )
+    assert comp["queries"] and comp["sf"] == 0.1 and comp["record_id"]
+    w = window_vs_comparison(dict(comp["queries"]), comp["sf"])
+    assert w is not None
+    assert w["shared_queries"] == len(comp["queries"])
+    assert w["median_ratio"] == w["p25_ratio"] == w["p75_ratio"] == 1.0
+    assert w["comparison_record"] == comp["record_id"]
+    # cross-SF ratios measure data volume, not the host window → refused
+    assert window_vs_comparison(dict(comp["queries"]), 0.01) is None
+    # a handful of shared names is not a distribution → refused
+    few = dict(list(comp["queries"].items())[:4])
+    assert window_vs_comparison(few, comp["sf"]) is None
