@@ -49,7 +49,30 @@ def _check_group_rows(n: int, key_value: object, max_rows: int) -> None:
             "one key's full history per task — pre-aggregate the series "
             "to bars first (operators.timeseries.resample_bars, any "
             "calendar unit or N-second width; its (key, bar) partitioning "
-            "is skew-immune), then fold the bar close_value series"
+            "is skew-immune), then fold the bar close_value series with "
+            "tiebreak=None (bar_ts is unique per (key, bar) by "
+            "construction, which is exactly the precondition tiebreak=None "
+            "asserts)"
+        )
+
+
+def _check_unique_order(pdf: "pd.DataFrame", col: str, key_value: object) -> None:
+    """``tiebreak=None`` (and ``wilder_last``'s ``order_col``) asserts the
+    sort column is unique within the key. That precondition is ENFORCED
+    here, not trusted (r12 ADVICE): ``pandas.sort_values`` is an unstable
+    quicksort, so a duplicate would silently make the fold order — and
+    therefore the fold result — nondeterministic across runs instead of
+    raising. O(n) per group: one hash-based ``nunique`` against ``len``."""
+    n_unique = pdf[col].nunique(dropna=False)
+    if n_unique != len(pdf):
+        raise ValueError(
+            f"grouped-map fold: key {key_value!r} has "
+            f"{len(pdf) - n_unique} duplicate {col!r} values; "
+            "tiebreak=None asserts the order column is unique per key "
+            "(true by construction for bar series — "
+            "timeseries.resample_bars emits one row per (key, bar)); "
+            "raw event series must pass a unique tiebreak column "
+            "(e.g. event_id) instead"
         )
 
 
@@ -58,7 +81,8 @@ def _order_cols(ts_col: str, tiebreak: str | None) -> list[str]:
     ``ts_col`` is already unique per key (true by construction for bar
     series — `timeseries.resample_bars` emits one row per (key, bar)),
     so bar-fed callers don't pass a semantically meaningless filler
-    column just to fill the slot."""
+    column just to fill the slot. The declaration is enforced per group
+    by ``_check_unique_order`` inside every fold."""
     return [ts_col] if tiebreak is None else [ts_col, tiebreak]
 
 
@@ -110,6 +134,8 @@ def ewma_last(
         import pandas as pd
 
         _check_group_rows(len(pdf), pdf[key].iloc[0], max_rows)
+        if tiebreak is None:
+            _check_unique_order(pdf, ts_col, pdf[key].iloc[0])
         s = pdf.sort_values(order)[value_col].to_numpy()
         y = float(s[0])
         for x in s[1:]:
@@ -158,6 +184,8 @@ def cusum_last(
         import pandas as pd
 
         _check_group_rows(len(pdf), pdf[key].iloc[0], max_rows)
+        if tiebreak is None:
+            _check_unique_order(pdf, ts_col, pdf[key].iloc[0])
         s = pdf.sort_values(order)[value_col].to_numpy()
         total = 0.0
         for x in s:
@@ -230,6 +258,8 @@ def macd_last(
         import pandas as pd
 
         _check_group_rows(len(pdf), pdf[key].iloc[0], max_rows)
+        if tiebreak is None:
+            _check_unique_order(pdf, ts_col, pdf[key].iloc[0])
         s = pdf.sort_values(order)[value_col].to_numpy()
         e_f = float(s[0])
         e_s = float(s[0])
@@ -296,6 +326,8 @@ def rsi_wilder_last(
         import pandas as pd
 
         _check_group_rows(len(pdf), pdf[key].iloc[0], max_rows)
+        if tiebreak is None:
+            _check_unique_order(pdf, ts_col, pdf[key].iloc[0])
         s = pdf.sort_values(order)[value_col].to_numpy()
         diffs = [float(s[i]) - float(s[i - 1]) for i in range(1, len(s))]
         out = {"key": [pdf[key].iloc[0]], "n_rows": [len(s)]}
@@ -346,7 +378,8 @@ def wilder_last(
     """Final Wilder-smoothed value per key: mean of the first n values,
     then acc ← (acc·(n−1) + x)/n per later value — the ATR/ADX smoothing
     recursion (EWMA, α = 1/n, mean seed). NULL until n values exist.
-    `order_col` must be unique per key (e.g. the bar day)."""
+    `order_col` must be unique per key (e.g. the bar day) — enforced per
+    group by `_check_unique_order`, same contract as `tiebreak=None`."""
     hi = float(n - 1)
     lo = float(n)
 
@@ -354,6 +387,7 @@ def wilder_last(
         import pandas as pd
 
         _check_group_rows(len(pdf), pdf[key].iloc[0], max_rows)
+        _check_unique_order(pdf, order_col, pdf[key].iloc[0])
         s = pdf.sort_values(order_col)[value_col].to_numpy()
         out = {"key": [pdf[key].iloc[0]], "n_rows": [len(s)]}
         if len(s) < n:

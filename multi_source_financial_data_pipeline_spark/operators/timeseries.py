@@ -266,9 +266,14 @@ def resample_bars(
 
     ``exact_sum=True`` sums through DECIMAL(18,2) (bit-exact across
     engines for 2-dp inputs, the registry's oracle discipline; 18,2
-    rather than 12,2 so |value| up to 1e16 casts losslessly instead of
-    becoming NULL under Spark's non-ANSI CAST while the oracle raises);
-    False keeps a plain double sum (cheaper, order-dependent rounding).
+    rather than 12,2 so |value| up to 1e16 casts losslessly). A value
+    beyond that range FAILS LOUDLY on both engines (r12 ADVICE): the
+    cast is ``try_cast`` plus an explicit ``raise_error`` on a non-null
+    input that didn't fit, so the overflow contract no longer depends on
+    the session's ``spark.sql.ansi.enabled`` — under ``ansi=false`` a
+    plain CAST would return NULL and silently drop the row from
+    ``sum_value`` while the DuckDB oracle raises. ``exact_sum=False``
+    keeps a plain double sum (cheaper, order-dependent rounding).
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if isinstance(interval, int):
@@ -303,11 +308,25 @@ def resample_bars(
         F.row_number().over(w_desc).alias("__rn_d"),
     )
     v = F.col(value_col)
-    sum_expr = (
-        F.sum(v.cast("decimal(18,2)")).cast("double")
-        if exact_sum
-        else F.sum(v)
-    )
+    if exact_sum:
+        dec = v.try_cast("decimal(18,2)")
+        # loud overflow independent of spark.sql.ansi.enabled: a non-null
+        # value whose try_cast came back NULL is out of DECIMAL(18,2) range
+        checked = F.when(
+            v.isNotNull() & dec.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "resample_bars exact_sum: value out of "
+                        "DECIMAL(18,2) range: "
+                    ),
+                    v.cast("string"),
+                )
+            ).cast("decimal(18,2)"),
+        ).otherwise(dec)
+        sum_expr = F.sum(checked).cast("double")
+    else:
+        sum_expr = F.sum(v)
     return tagged.groupBy(*keys, bar_col).agg(
         F.max(F.when(F.col("__rn_a") == 1, v)).alias("open_value"),
         F.max(v).alias("high_value"),

@@ -652,10 +652,33 @@ def main() -> None:
         spark.stop()
 
 
-if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "dedup_growth":
-        print(json.dumps(dedup_growth()))
-    elif len(sys.argv) > 2 and sys.argv[1] == "growth":
-        print(json.dumps(growth(sys.argv[2].split(","))))
-    else:
+def _dispatch(argv: list[str]) -> int:
+    """Explicit CLI dispatch (r12 ADVICE): a malformed invocation errors
+    with usage instead of silently falling through to the ~20-min full
+    default probe (``growth`` with no query list did exactly that)."""
+    if len(argv) == 1:
         main()
+        return 0
+    cmd = argv[1]
+    if cmd == "dedup_growth":
+        print(json.dumps(dedup_growth()))
+        return 0
+    if cmd == "growth":
+        names = argv[2].split(",") if len(argv) > 2 else []
+        names = [n for n in names if n.strip()]
+        if not names:
+            sys.stderr.write(
+                "usage: scale_probe.py growth <query[,query...]>\n"
+            )
+            return 2
+        print(json.dumps(growth(names)))
+        return 0
+    sys.stderr.write(
+        f"unknown subcommand {cmd!r}; usage: scale_probe.py "
+        "[dedup_growth | growth <query[,query...]>]\n"
+    )
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(_dispatch(sys.argv))

@@ -418,6 +418,35 @@ def test_fold_family_optional_tiebreak_matches_tiebreak_form(spark):
         assert with_tb == without, fn.__name__
 
 
+def test_fold_tiebreak_none_rejects_duplicate_ts(spark):
+    """r12 ADVICE regression pin: `tiebreak=None` asserts ts is unique per
+    key; pandas sort_values is an unstable quicksort, so a duplicate would
+    silently make the fold result nondeterministic. The precondition is now
+    ENFORCED — a duplicated ts under tiebreak=None raises with the
+    contract spelled out, on every family member (wilder_last's order_col
+    carries the same contract unconditionally)."""
+    import pytest
+
+    from multi_source_financial_data_pipeline_spark.operators import grouped
+
+    rows = [(1, float(i), i, 100.0 + i * 0.5) for i in range(40)]
+    rows[7] = (1, rows[6][1], 99, 101.0)  # duplicate ts within the key
+    df = spark.createDataFrame(
+        rows, "user_id long, day double, event_id long, value double"
+    )
+    for fn in (grouped.ewma_last, grouped.cusum_last, grouped.macd_last,
+               grouped.rsi_wilder_last):
+        with pytest.raises(Exception) as ei:
+            fn(df, "user_id", "day", None, "value").collect()
+        msg = str(ei.value)
+        assert "duplicate" in msg and "tiebreak=None" in msg, fn.__name__
+        # the 2-column-sort form remains the sanctioned path for raw events
+        fn(df, "user_id", "day", "event_id", "value").collect()
+    with pytest.raises(Exception) as ei:
+        grouped.wilder_last(df, "user_id", "day", "value").collect()
+    assert "duplicate" in str(ei.value)
+
+
 def test_resample_bars_exact_sum_survives_wide_values(spark):
     """r11 ADVICE regression pin: exact_sum previously cast through
     DECIMAL(12,2), so |v| >= 1e10 became NULL under Spark's non-ANSI CAST
@@ -443,6 +472,37 @@ def test_resample_bars_exact_sum_survives_wide_values(spark):
     assert bar["sum_value"] == 20_000_000_002.5  # exact, nothing NULLed out
     assert bar["open_value"] == 20_000_000_000.25
     assert bar["close_value"] == 3.5
+
+
+def test_resample_bars_exact_sum_overflow_fails_loudly(spark):
+    """r12 ADVICE regression pin: a value beyond DECIMAL(18,2) must FAIL
+    on the Spark side (matching the DuckDB oracle, which raises on the
+    same CAST) regardless of spark.sql.ansi.enabled — under ansi=false a
+    plain CAST would NULL and silently drop the row from sum_value. The
+    operator now try_casts and raises its own contract error."""
+    import datetime
+
+    import pytest
+
+    from multi_source_financial_data_pipeline_spark.operators.timeseries import resample_bars
+
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, 1e17, 1)],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for ansi in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+            with pytest.raises(Exception) as ei:
+                resample_bars(
+                    df, "user_id", "ts", "value", 3600, ("event_id",)
+                ).collect()
+            msg = str(ei.value)
+            assert "exact_sum" in msg and "DECIMAL(18,2) range" in msg, ansi
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
 def test_resample_bars_matches_pandas_ohlc_and_second_width_path(spark):
