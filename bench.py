@@ -214,6 +214,7 @@ EXEMPT: dict[str, str] = {
     "stream_media_features": "latency-bound: trigger waits; codec cost benched via media_real_decode",
     "stream_scd2_closed": "latency-bound: trigger waits; sibling of stream_static_anti; batch twin scd2_intervals exempted below as sibling of benched gap_fill_ffill",
     "stream_bars_rsi": "latency-bound: trigger waits; bit-identical batch twin rsi_bars_4h is benched",
+    "stream_bars_ohlc_wm": "latency-bound: trigger waits; closed-bar subset of benched bars_4h (same derivation + watermark cutoff)",
     # -- fixed-overhead report/catalog utilities ---------------------------
     "validation_counts": "fixed-overhead: per-column null/predicate counts on the 4-ticker frame",
     "series_summary": "fixed-overhead: per-series stats on the macro registry",

@@ -1483,33 +1483,33 @@ def q_stream_bars_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold, as one registered pipeline.
 
     The bars are maintained BY THE STREAM: a tumbling event-time window
-    aggregate where open/close are min/max over ``struct(ts, event_id,
-    value)`` — mergeable and commutative, so streaming state is a
-    constant handful of scalars per (user, bar) no matter how many raw
-    ticks arrive, and each micro-batch UPDATES the open bar instead of
-    reprocessing history (the incremental semantics the batch
-    `resample_bars` row_number pair cannot have under streaming's
-    no-arbitrary-window rule). high/low/n_events ride the same state.
-    After the availableNow drain the final bar state carries the same
-    (key, bar, close) triples `resample_bars` derives (sum_value is the
-    one column not maintained — the fold consumes only the closes), so
-    the grouped-map fold runs
+    aggregate whose close is a max over ``struct(ts, event_id, value)``
+    — mergeable and commutative, so streaming state is one struct per
+    (user, bar) no matter how many raw ticks arrive, and each
+    micro-batch UPDATES the open bar instead of reprocessing history
+    (the incremental semantics the batch `resample_bars` row_number
+    pair cannot have under streaming's no-arbitrary-window rule). The
+    state is EXACTLY what the downstream fold consumes (r12 ADVICE:
+    the earlier version also maintained open/high/low/n_events that
+    nothing read — state paid per key with no consumer); the
+    full-OHLC maintenance lives in `q_stream_bars_ohlc_wm`, whose
+    output projects every maintained column. After the availableNow
+    drain the final bar state carries the same (key, bar, close)
+    triples `resample_bars` derives, so the grouped-map fold runs
     unchanged on the closes (tiebreak=None — bar_ts unique per key) and
     the ORACLE IS BYTE-IDENTICAL to rsi_bars_4h's: same bars (epoch-
     aligned 14400 s windows under the pinned UTC session), same
     mean-seeded Wilder fold. At scale: state O(#users × #open bars)
-    with a watermark in continuous deployment; the drain-then-fold
-    cadence here mirrors the reference's cron re-run semantics."""
+    with a watermark in continuous deployment — `q_stream_bars_ohlc_wm`
+    is that deployment shape, with eviction pinned by test; the
+    drain-then-fold cadence here mirrors the reference's cron re-run
+    semantics."""
     name = f"stream_bars_{next(_qname)}"
     with _event_stream(spark, sf_dir) as stream:
         bars = stream.groupBy(
             F.window("ts", "4 hours"), F.col("user_id")
         ).agg(
-            F.min(F.struct("ts", "event_id", "value")).alias("__open"),
             F.max(F.struct("ts", "event_id", "value")).alias("__close"),
-            F.max("value").alias("high_value"),
-            F.min("value").alias("low_value"),
-            F.count(F.lit(1)).alias("n_events"),
         )
         query = (
             bars.writeStream.format("memory")
@@ -1537,6 +1537,101 @@ def q_stream_bars_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- streaming: watermarked OHLC bars with state eviction ---------------------
+
+def q_stream_bars_ohlc_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS-deployment shape of the streaming bar pipeline
+    (VERDICT r12 item 4): watermarked tumbling 4-hour OHLC bars in APPEND
+    mode, so a bar is emitted EXACTLY ONCE — when the watermark passes its
+    window end — and its state row is EVICTED at that moment. State is
+    therefore O(#users × #bars inside the watermark horizon) forever,
+    not O(history): the property `q_stream_bars_rsi`'s docstring could
+    only claim, made executable (and pinned batch-by-batch in
+    tests/test_streaming_eviction.py: zero double emissions, state rows
+    == bars seen − bars emitted after every micro-batch).
+
+    Every maintained aggregate is projected (r12 ADVICE): open/close are
+    mergeable min/max over ``struct(ts, event_id, value)`` — the same
+    (ts, event_id) order `resample_bars`' row_number pair uses — plus
+    high/low/n_events/exact sum_value, so the emitted rows are exactly
+    `plans/financial.q_bars_4h`'s rows restricted to CLOSED bars. The
+    oracle encodes the cutoff rule: after an availableNow drain the
+    final watermark is max(event time) − delay (ms-truncated, the
+    planner's arithmetic), and a bar is emitted iff its window END ≤
+    that watermark — measured empirically including the tie case
+    (end == watermark IS emitted), same discipline as
+    `q_stream_left_interval_join`'s null-emission cutoff."""
+    name = f"stream_bars_wm_{next(_qname)}"
+    with _event_stream(spark, sf_dir) as stream:
+        bars = (
+            stream.withWatermark("ts", STREAM_WM_DELAY)
+            .groupBy(F.window("ts", "4 hours"), F.col("user_id"))
+            .agg(
+                F.min(F.struct("ts", "event_id", "value")).alias("__open"),
+                F.max(F.struct("ts", "event_id", "value")).alias("__close"),
+                F.max("value").alias("high_value"),
+                F.min("value").alias("low_value"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+        out = bars.select(
+            "user_id",
+            F.col("window.start").cast("long").alias("bar_epoch"),
+            F.col("__open.value").alias("open_value"),
+            "high_value",
+            "low_value",
+            F.col("__close.value").alias("close_value"),
+            "n_events",
+            "sum_value",
+        )
+        query = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name)
+
+
+#: bars_4h's exact bar derivation + the watermark cutoff: a bar is emitted
+#: iff its end ≤ final watermark = max(ts) − delay. The comparison is done
+#: in integer MILLISECONDS because that is the planner's own arithmetic
+#: (event-time stats track ms; bar ends are whole seconds, so the ms form
+#: only matters when max(ts) − delay lands exactly on a bar boundary —
+#: the tie the probe showed IS emitted).
+SQL_STREAM_BARS_OHLC_WM = """
+WITH w AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 14400) AS BIGINT) * 14400 AS bar_epoch,
+         value,
+         row_number() OVER (
+           PARTITION BY user_id, floor(epoch(ts) / 14400)
+           ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (
+           PARTITION BY user_id, floor(epoch(ts) / 14400)
+           ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+), b AS (
+  SELECT user_id, bar_epoch,
+         max(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+         max(value) AS high_value,
+         min(value) AS low_value,
+         max(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM w GROUP BY user_id, bar_epoch
+), wm AS (
+  SELECT epoch_ms(max(ts)) - 86400000 AS wm_ms FROM events
+)
+SELECT b.* FROM b, wm WHERE (b.bar_epoch + 14400) * 1000 <= wm.wm_ms
+"""
+
+
 SPECS = {
     "stream_interval_join": QuerySpec(
         q_stream_interval_join,
@@ -1561,10 +1656,16 @@ SPECS = {
         # byte-identical oracle to rsi_bars_4h: the stream maintains the
         # SAME epoch-aligned 4h bars incrementally, then the same fold runs
         SQL_RSI_BARS_4H,
-        "live rsi_bars_4h: incremental 4h OHLC bars as streaming window "
-        "state (min/max struct open/close), Wilder fold on the drained "
-        "bar closes",
+        "live rsi_bars_4h: incremental 4h close bars as streaming window "
+        "state (max-struct close), Wilder fold on the drained bar closes",
         ("streaming", "grouped-map"),
+    ),
+    "stream_bars_ohlc_wm": QuerySpec(
+        q_stream_bars_ohlc_wm,
+        SQL_STREAM_BARS_OHLC_WM,
+        "watermarked 4h OHLC bars, append mode: each closed bar emitted "
+        "exactly once + state evicted; oracle encodes the watermark cutoff",
+        ("streaming", "window"),
     ),
     "media_features": QuerySpec(
         q_media_features,

@@ -100,6 +100,17 @@ def test_gate_window_fronts_never_checked_then_oldest():
         # (r11 ADVICE) — oracle text changed, so the fresh r11 row proves
         # the old formulation
         "bars_4h",
+        # r13: the exact_sum loud-overflow guard (try_cast + raise_error)
+        # changed the bar plans, and the fold uniqueness enforcement
+        # changed every grouped-map fold's serialized UDF, AFTER their
+        # fresh r12 rows; stream_bars_rsi additionally slimmed its
+        # streaming state to the consumed close struct (r12 ADVICE)
+        "rsi_bars_4h",
+        "stream_bars_rsi",
+        "ewma_last",
+        "macd_last",
+        "rsi_14_wilder",
+        "atr_14_wilder",
     }
     # a name satisfies the front-load contract if it was EVER recorded —
     # once checked, it may legitimately re-enter any later window because
