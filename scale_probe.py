@@ -132,7 +132,9 @@ PROBE_QUERIES = [
 ]
 
 
-def replicate(spark, src_dir: str, dst_dir: str, k: int) -> None:
+def replicate(
+    spark, src_dir: str, dst_dir: str, k: int, tables=None
+) -> None:
     """K× replica with PERTURBED payloads (r06 VERDICT item 5): a purely
     key-shifted clone fills every LSH bucket / IVF cell with exact copies,
     inflating dedup pair counts quadratically and faking recall ~1.0 — an
@@ -144,8 +146,12 @@ def replicate(spark, src_dir: str, dst_dir: str, k: int) -> None:
       intact (the organic 10× story: bigger corpus, same dup rate);
     - embeddings.embedding: circular shift by i positions — a permutation
       is orthogonal, so every within-replica cosine is preserved exactly
-      while replicas land in different quantizer cells."""
-    for name in TABLE_NAMES:
+      while replicas land in different quantizer cells.
+
+    ``tables`` limits the replica to a subset of TABLE_NAMES (e.g.
+    ``("events",)`` for the streaming-state growth probe, which doesn't
+    need the document/embedding perturbation work)."""
+    for name in tables if tables is not None else TABLE_NAMES:
         df = load_table(spark, src_dir, name)
         shift = SHIFT_COLS.get(name)
         if shift:
@@ -604,6 +610,181 @@ def growth(names: list[str], ks: tuple[int, ...] = (10, 30)) -> dict:
     return out
 
 
+def _stream_state_probe(spark, sf_dir: str) -> dict:
+    """Drain three streaming-state shapes over this replica's events and
+    report, per shape: drain wall-clock, FINAL state-store rows, and total
+    emitted rows (summed sink numOutputRows across the drain's progress
+    events — noop sink, so nothing accumulates on the driver). The three
+    shapes bracket how state can scale with volume when replicas add
+    USERS over the same time span:
+
+    - ``sliding_counts`` (2h/1h sliding windows × event_type, complete
+      mode): state tracks (window, type) KEYS — constant in k;
+    - ``bars_wm`` (watermarked 4h OHLC bars per user, append mode, the
+      `stream_bars_ohlc_wm` shape): final state = OPEN bars only ∝ users;
+    - ``interval_join`` (view→purchase within 1 h per user, both sides
+      watermarked 1 day, the `stream_interval_join` shape): buffered
+      state ∝ events inside horizon+delay ∝ volume.
+
+    Mirrors the registered queries' plans exactly but instruments state
+    via the progress API, which the registered fns (correctly) don't
+    expose."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    def drain(build, mode: str) -> dict:
+        stream = spark.readStream.schema(schema).parquet(path)
+        t0 = time.perf_counter()
+        q = (
+            build(stream)
+            .writeStream.format("noop")
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = round(time.perf_counter() - t0, 3)
+        progresses = q.recentProgress
+        batch_rows = [
+            int(p["sink"]["numOutputRows"])
+            for p in progresses
+            if int(p["sink"]["numOutputRows"]) > 0
+        ]
+        # append emits each row once -> sum; complete re-emits the full
+        # result every batch -> the final batch IS the result size
+        emitted = (
+            (batch_rows[-1] if batch_rows else 0)
+            if mode == "complete"
+            else sum(batch_rows)
+        )
+        state_rows = sum(
+            op["numRowsTotal"] for op in progresses[-1]["stateOperators"]
+        ) if progresses else None
+        return {"sec": wall, "state_rows": state_rows, "emitted": emitted}
+
+    try:
+        out = {}
+        out["sliding_counts"] = drain(
+            lambda s: s.groupBy(
+                F.window("ts", "2 hours", "1 hour"), "event_type"
+            ).count(),
+            "complete",
+        )
+        out["bars_wm"] = drain(
+            lambda s: s.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "4 hours"), "user_id")
+            .agg(
+                F.min(F.struct("ts", "event_id", "value")).alias("__open"),
+                F.max(F.struct("ts", "event_id", "value")).alias("__close"),
+                F.max("value").alias("high_value"),
+                F.min("value").alias("low_value"),
+                F.count(F.lit(1)).alias("n_events"),
+            ),
+            "append",
+        )
+
+        def ijoin(s):
+            views = (
+                s.filter(F.col("event_type") == "view")
+                .select(
+                    F.col("event_id").alias("view_id"),
+                    F.col("user_id").alias("v_user"),
+                    F.col("ts").alias("view_ts"),
+                )
+                .withWatermark("view_ts", "1 day")
+            )
+            purchases = (
+                s.filter(F.col("event_type") == "purchase")
+                .select(
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("user_id").alias("p_user"),
+                    F.col("ts").alias("purchase_ts"),
+                )
+                .withWatermark("purchase_ts", "1 day")
+            )
+            return views.join(
+                purchases,
+                (F.col("v_user") == F.col("p_user"))
+                & (F.col("purchase_ts") >= F.col("view_ts"))
+                & (
+                    F.col("purchase_ts")
+                    <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")
+                ),
+            ).select("view_id", "purchase_id")
+
+        out["interval_join"] = drain(ijoin, "append")
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def stream_media_growth(ks: tuple[int, ...] = (10, 30)) -> dict:
+    """Third growth-exponent family (VERDICT r12 item 5): streaming state
+    and media decode, 10× → 30×. Streaming runs over perturbed event
+    replicas (users × k, same 30-day span) with state instrumented via
+    the progress API; media scales the REAL stdlib codecs' corpus
+    (BMP/WAV via `media_real_scaled`, the full T.81 JPEG entropy pipeline
+    via the same pattern) so a hidden per-row Python cost would surface
+    as a super-linear wall ratio."""
+    from multi_source_financial_data_pipeline_spark.operators import multimodal
+    from multi_source_financial_data_pipeline_spark.plans import mmstream
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("msfdp-sm-growth")
+    spark.sparkContext.setLogLevel("WARN")
+    out: dict = {"metric": "stream_media_growth", "base_sf_dir": src, "scales": {}}
+
+    def jpeg_scaled(k: int) -> dict:
+        n = mmstream.N_REAL_MEDIA * k
+
+        def run():
+            media = multimodal.synthetic_jpeg_media(
+                spark, n=n, seed=mmstream.REAL_MEDIA_SEED
+            )
+            multimodal.media_channel_stats(media).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        run()  # warm
+        t0 = time.perf_counter()
+        run()
+        return {"n_media": n, "sec": round(time.perf_counter() - t0, 3)}
+
+    try:
+        for k in ks:
+            dst = tempfile.mkdtemp(prefix=f"msfdp_smg{k}_")
+            try:
+                replicate(spark, src, dst, k, tables=("events",))
+                row: dict = {"streaming": _stream_state_probe(spark, dst)}
+                row["media_real_decode"] = media_real_scaled(spark, k)
+                row["media_jpeg_channel_stats"] = jpeg_scaled(k)
+                out["scales"][str(k)] = row
+            finally:
+                shutil.rmtree(dst, ignore_errors=True)
+    finally:
+        spark.stop()
+    lo, hi = out["scales"][str(ks[0])], out["scales"][str(ks[-1])]
+    out["volume_ratio"] = round(ks[-1] / ks[0], 2)
+    ratios: dict = {}
+    for shape, vals in lo["streaming"].items():
+        hv = hi["streaming"][shape]
+        ratios[shape] = {
+            "sec": round(hv["sec"] / vals["sec"], 2),
+            "state_rows": round(hv["state_rows"] / vals["state_rows"], 2)
+            if vals["state_rows"]
+            else None,
+            "emitted": round(hv["emitted"] / vals["emitted"], 2)
+            if vals["emitted"]
+            else None,
+        }
+    for m in ("media_real_decode", "media_jpeg_channel_stats"):
+        ratios[m] = {"sec": round(hi[m]["sec"] / lo[m]["sec"], 2)}
+    out["ratios_30_over_10"] = ratios
+    return out
+
+
 def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     k = int(os.environ.get("SPARK_GRAFT_SCALE_K", "10"))
@@ -663,6 +844,9 @@ def _dispatch(argv: list[str]) -> int:
     if cmd == "dedup_growth":
         print(json.dumps(dedup_growth()))
         return 0
+    if cmd == "stream_media_growth":
+        print(json.dumps(stream_media_growth()))
+        return 0
     if cmd == "growth":
         names = argv[2].split(",") if len(argv) > 2 else []
         names = [n for n in names if n.strip()]
@@ -675,7 +859,7 @@ def _dispatch(argv: list[str]) -> int:
         return 0
     sys.stderr.write(
         f"unknown subcommand {cmd!r}; usage: scale_probe.py "
-        "[dedup_growth | growth <query[,query...]>]\n"
+        "[dedup_growth | stream_media_growth | growth <query[,query...]>]\n"
     )
     return 2
 
