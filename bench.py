@@ -124,6 +124,9 @@ HEADLINE = [
     "dsir_weights",
     "sq8_recall",
     "kmv_distinct",
+    # round-13: product quantization — per-subspace Lloyd training + the
+    # broadcast-LUT ADC code scan, a plan shape nothing else exercises
+    "pq_recall",
     "macd_last",
     "bucketed_revenue",
     "source_kl",

@@ -132,6 +132,195 @@ def kmeans_refine(
     )
 
 
+def pq_train_encode(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization codebooks + codes (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    splits into ``m`` contiguous subspaces of ``dim/m`` components; each
+    subspace trains its OWN ``k``-centroid Lloyd codebook (`iters`
+    unrolled iterations from the deterministic first-``k``-vectors seed,
+    the `kmeans_refine` convention), and a vector's code is its nearest
+    sub-centroid per subspace — ``m`` small ints (here 8 × 4 bits) in
+    place of ``dim`` doubles, the compression that makes billion-vector
+    ANN storable.
+
+    Returns ``(cents, codes)``: ``(s, cell, cv)`` codebook rows (m·k of
+    them — tiny, broadcastable) and ``(vec_id, s, cell)`` code rows.
+
+    Scale shape: ALL subspaces train in ONE pipeline per iteration — the
+    (vec_id, s) explode carries the same total bytes as the corpus (m
+    rows of dim/m each), assignment is a broadcast join against the m·k
+    sub-centroid frame ranked per (vec_id, s), the update is one
+    (s, cell, pos) hash aggregate over KMEANS_Q-quantized components
+    (associative BIGINT sums — order-proof means, the same cross-engine
+    determinism contract as `kmeans_refine`). Nothing is pairwise in the
+    corpus; m multiplies nothing but the broadcast's row count."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
+    )
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> slice(v, s * {sub} + 1, {sub}))"
+            )
+        ).alias("s", "sv"),
+    )
+    cents = subs.filter(F.col("vec_id") < k).select(
+        "s", F.col("vec_id").cast("int").alias("cell"), F.col("sv").alias("cv")
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        a = subs.join(F.broadcast(cents_df), "s").select(
+            "vec_id",
+            "s",
+            "sv",
+            "cell",
+            F.round(sq_dist(F.col("sv"), F.col("cv")), 6).alias("d"),
+        )
+        w = Window.partitionBy("vec_id", "s").orderBy(
+            F.col("d").asc(), F.col("cell").asc()
+        )
+        return (
+            a.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        comp = assigned.select(
+            "s", "cell", F.posexplode("sv").alias("pos", "x")
+        ).select(
+            "s",
+            "cell",
+            "pos",
+            F.round(F.col("x") * KMEANS_Q, 0).cast("long").alias("qx"),
+        )
+        sums = comp.groupBy("s", "cell", "pos").agg(
+            F.sum("qx").alias("sq"), F.count(F.lit(1)).alias("n")
+        )
+        mean = (
+            F.col("sq").cast("double") / (F.col("n") * F.lit(float(KMEANS_Q)))
+        ).alias("mn")
+        cents = sums.groupBy("s", "cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), mean))),
+                lambda st: st.mn,
+            ).alias("cv")
+        )
+    codes = assign(cents).select("vec_id", "s", "cell")
+    return cents, codes
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    k_codebook: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the actual PQ
+    SERVING plan: the scan touches only the ``(vec_id, s, cell)`` code
+    rows, never a reconstructed vector. Per query, two lookup tables are
+    precomputed against the m·k sub-centroids (sub-dot of the query's
+    subvector with each centroid; each centroid's sub-norm) and broadcast;
+    a candidate's cosine then assembles as
+
+        cos(q, recon(c)) = Σ_s LUT_dot[s, code] /
+                           sqrt(|q|² · Σ_s LUT_norm[s, code])
+
+    because the reconstruction is blockwise — the dot and the norm both
+    decompose over subspaces. Both Σ_s are ORDERED left folds over the
+    s-sorted partials (collect → array_sort → `aggregate`), so the float
+    sequence is engine-replayable (DuckDB `list_reduce` over
+    ``list(... ORDER BY s)``) — the same bit-exactness discipline as
+    every fold in this module; a plain `F.sum` would be
+    partition-order-dependent.
+
+    Scale: the per-query LUT is |q|·m·k rows (tiny, broadcast); the scan
+    is one broadcast join over the code table (m rows per vector, ints
+    only) + a (query, cand) hash aggregate of m partials. At 100 TB the
+    code table IS the index — 8 bytes a vector against 512 for the raw
+    doubles — and recall is measured by `plans/llmdata.q_pq_recall`."""
+    cents, codes = pq_train_encode(
+        embeddings, m=m, k=k_codebook, iters=iters, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    sub = dim // m
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        sq_norm(_as_double(vec_col)).alias("qn"),
+    )
+    qsub = q.select(
+        "query_id",
+        "qn",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> slice(qv, s * {sub} + 1, {sub}))"
+            )
+        ).alias("s", "qsv"),
+    )
+    dot_lut = qsub.join(F.broadcast(cents), "s").select(
+        "query_id", "qn", "s", "cell",
+        dot(F.col("qsv"), F.col("cv")).alias("dp"),
+    )
+    norm_lut = cents.select("s", "cell", sq_norm(F.col("cv")).alias("np"))
+    parts = (
+        codes.join(F.broadcast(dot_lut), ["s", "cell"])
+        .join(F.broadcast(norm_lut), ["s", "cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+
+    def _s_fold(value: str) -> Column:
+        return _fold_sum(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("s"), F.col(value)))),
+                lambda st: st[value],
+            )
+        )
+
+    folded = parts.groupBy("query_id", "vec_id").agg(
+        F.max("qn").alias("qn"),
+        _s_fold("dp").alias("dps"),
+        _s_fold("np").alias("nps"),
+    )
+    cos = F.col("dps") / F.nullif(
+        F.sqrt(F.col("qn") * F.col("nps")), F.lit(0.0)
+    )
+    scored = folded.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.round(cos, 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,

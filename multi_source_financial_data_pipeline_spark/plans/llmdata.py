@@ -53,8 +53,10 @@ def _sql_minhash(j: int) -> str:
 EMB_DIM = 64
 
 
-def _sql_dot(a: str, b: str) -> str:
-    terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, EMB_DIM + 1))
+def _sql_dot(a: str, b: str, width: int | None = None) -> str:
+    terms = " + ".join(
+        f"{a}[{i}] * {b}[{i}]" for i in range(1, (width or EMB_DIM) + 1)
+    )
     return f"(0.0 + {terms})"
 
 
@@ -2049,10 +2051,10 @@ KM_K = 16
 KM_ITERS = 2
 
 
-def _sql_sqd(a: str, b: str) -> str:
+def _sql_sqd(a: str, b: str, width: int | None = None) -> str:
     terms = " + ".join(
         f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
-        for i in range(1, EMB_DIM + 1)
+        for i in range(1, (width or EMB_DIM) + 1)
     )
     return f"(0.0 + {terms})"
 
@@ -3165,6 +3167,160 @@ FROM per_q
 """
 
 
+# --- product quantization: ADC recall ----------------------------------------
+
+PQ_M = 8       # subspaces: 64 dims -> 8 blocks of 8
+PQ_K = 16      # centroids per subspace: a code is 8 x 4 bits
+PQ_ITERS = 2   # unrolled Lloyd iterations per subspace (KM_ITERS twin)
+_PQ_SUB = EMB_DIM // PQ_M
+
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k cost of PRODUCT quantization (Jégou et al. 2011), the
+    third and most aggressive compression on the PERF.md reduction
+    frontier after SQ8 (`q_sq8_recall`) and sign-LSH: 64 doubles → 8
+    nibble codes (128× smaller than raw, 64× smaller than SQ8), searched
+    by asymmetric distance over per-query lookup tables — the scan never
+    touches a reconstructed vector (`operators/similarity.pq_adc_topk`).
+    Ground truth is the exact brute-force top-k; the harness tail (hit
+    semi-join, per-query hit counts, corpus-level recall + min) is
+    byte-the-same shape as `q_sq8_recall` so the three strategies read
+    off one another directly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = similarity.pq_adc_topk(
+        emb, queries, m=PQ_M, k_codebook=PQ_K, iters=PQ_ITERS,
+        dim=EMB_DIM, k=TOPK,
+    ).select("query_id", "cand_id")
+    brute = q_ann_topk(spark, sf_dir).select("query_id", "cand_id")
+    hits = brute.join(approx, ["query_id", "cand_id"], "left_semi")
+    qset = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    per_q = qset.join(
+        hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+        "query_id",
+        "left",
+    ).select("query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (
+            F.sum("n_hits").cast("double")
+            / (F.count(F.lit(1)) * TOPK).cast("double")
+        ).alias("recall_at_k"),
+        (F.min("n_hits").cast("double") / F.lit(float(TOPK))).alias("min_recall"),
+    )
+
+
+def _sql_pq_assign(name: str, cents: str) -> str:
+    """Per-(vector, subspace) nearest sub-centroid — `_sql_km_assign`
+    generalized to the (s)-partitioned codebook and sub-width distance."""
+    return f"""{name} AS (
+  SELECT vec_id, s, sv, cell FROM (
+    SELECT vec_id, s, sv, cell,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d ASC, cell ASC) AS rn
+    FROM (SELECT es.vec_id, es.s, es.sv, c.cell,
+                 round({_sql_sqd('es.sv', 'c.cv', _PQ_SUB)}, 6) AS d
+          FROM es JOIN {cents} c ON es.s = c.s)
+  ) WHERE rn = 1
+)"""
+
+
+def _sql_pq_update(name: str, assigned: str) -> str:
+    return f"""{name}_u AS (
+  SELECT s, cell, pos,
+         CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS BIGINT) AS sq,
+         count(*) AS n
+  FROM (SELECT s, cell, pos, sv[pos] AS x
+        FROM (SELECT s, cell, sv, unnest(generate_series(1, {_PQ_SUB})) AS pos
+              FROM {assigned}))
+  GROUP BY s, cell, pos
+), {name} AS (
+  SELECT s, cell, list(CAST(sq AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS cv
+  FROM {name}_u GROUP BY s, cell
+)"""
+
+
+#: the ADC identity the oracle replays: cos(q, recon(c)) decomposes into
+#: s-ordered left folds of sub-dot / sub-norm LUT partials (list_reduce
+#: over list(.. ORDER BY s) — seedless, and 0.0 + x₀ round-trips to x₀
+#: bitwise, so it equals the Spark aggregate fold exactly).
+SQL_PQ_RECALL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+es AS (
+  SELECT vec_id, s,
+         list_slice(v, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS sv
+  FROM e, generate_series(0, {PQ_M - 1}) t(s)
+),
+c0 AS (SELECT s, CAST(vec_id AS INTEGER) AS cell, sv AS cv FROM es
+       WHERE vec_id < {PQ_K}),
+{_sql_pq_assign('pa1', 'c0')},
+{_sql_pq_update('pc1', 'pa1')},
+{_sql_pq_assign('pa2', 'pc1')},
+{_sql_pq_update('pc2', 'pa2')},
+{_sql_pq_assign('pa3', 'pc2')},
+q AS (SELECT vec_id AS query_id, v AS qv, {_sql_dot('v', 'v')} AS qn
+      FROM e WHERE vec_id < {N_QUERIES}),
+qs AS (
+  SELECT query_id, qn, s,
+         list_slice(qv, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS qsv
+  FROM q, generate_series(0, {PQ_M - 1}) t(s)
+),
+dlut AS (
+  SELECT qs.query_id, qs.qn, qs.s, c.cell,
+         {_sql_dot('qsv', 'c.cv', _PQ_SUB)} AS dp
+  FROM qs JOIN pc2 c ON qs.s = c.s
+),
+nlut AS (SELECT s, cell, {_sql_dot('cv', 'cv', _PQ_SUB)} AS np FROM pc2),
+parts AS (
+  SELECT d.query_id, a.vec_id AS cand_id, d.qn, a.s, d.dp, n.np
+  FROM pa3 a
+  JOIN dlut d ON d.s = a.s AND d.cell = a.cell
+  JOIN nlut n ON n.s = a.s AND n.cell = a.cell
+  WHERE a.vec_id != d.query_id
+),
+folded AS (
+  SELECT query_id, cand_id, max(qn) AS qn,
+         list_reduce(list(dp ORDER BY s), (acc, x) -> acc + x) AS dps,
+         list_reduce(list(np ORDER BY s), (acc, x) -> acc + x) AS nps
+  FROM parts GROUP BY query_id, cand_id
+),
+scored AS (
+  SELECT query_id, cand_id,
+         round(dps / nullif(sqrt(qn * nps), 0), 6) AS cos_sim
+  FROM folded
+),
+approx AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, cand_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= {TOPK}
+),
+brute AS (SELECT query_id, cand_id FROM ({SQL_ANN_TOPK})),
+joined AS (
+  SELECT b.query_id FROM brute b
+  JOIN approx a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+),
+qset AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {N_QUERIES}),
+per_q AS (
+  SELECT qset.query_id, count(j.query_id) AS n_hits
+  FROM qset LEFT JOIN joined j ON j.query_id = qset.query_id
+  GROUP BY qset.query_id
+)
+SELECT count(*) AS n_queries,
+       CAST(sum(n_hits) AS DOUBLE) / CAST(count(*) * {TOPK} AS DOUBLE)
+         AS recall_at_k,
+       CAST(min(n_hits) AS DOUBLE) / {TOPK}.0 AS min_recall
+FROM per_q
+"""
+
+
 SPECS = {
     "token_stats": QuerySpec(
         q_token_stats, SQL_TOKEN_STATS, "per-doc token counting + type-token ratio", ("text",)
@@ -3526,6 +3682,13 @@ SPECS = {
         SQL_SQ8_RECALL,
         "recall@k after int8 scalar quantization vs exact top-k (the "
         "compressed-embeddings deployment question, measured)",
+        ("similarity", "agg"),
+    ),
+    "pq_recall": QuerySpec(
+        q_pq_recall,
+        SQL_PQ_RECALL,
+        "recall@k of product quantization (8x4-bit codes, 128x smaller): "
+        "per-subspace Lloyd codebooks + asymmetric-distance LUT scan",
         ("similarity", "agg"),
     ),
 }

@@ -66,6 +66,60 @@ def test_sq8_recall_high_on_unit_corpus(spark, sf_dir):
     assert r.recall_at_k >= 0.9, r.to_dict()
 
 
+def test_pq_identity_when_every_vector_is_a_seed(spark):
+    """PQ's exactness limit, as an executable invariant: with one
+    subspace and as many codebook entries as vectors, every vector IS a
+    Lloyd seed whose cell contains exactly itself (its own distance is 0
+    and vectors are distinct), so centroids never move, reconstruction is
+    the identity, and ADC top-k must equal brute-force top-k EXACTLY —
+    recall 1.0 by construction, not by luck. Any drift here means the
+    codebook training or LUT assembly reordered an operation."""
+    from multi_source_financial_data_pipeline_spark.operators import similarity
+
+    n, dim = 12, 8
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) - 5.0 + 0.125 * i for d in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 4").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    adc = similarity.pq_adc_topk(
+        emb, queries, m=1, k_codebook=n, iters=2, dim=dim, k=3
+    )
+    brute = similarity.brute_force_topk(emb, queries, k=3)
+    got = {(r["query_id"], r["rank"]): r["cand_id"] for r in adc.collect()}
+    want = {(r["query_id"], r["rank"]): r["cand_id"] for r in brute.collect()}
+    assert got == want
+
+
+def test_pq_codes_shape_and_recall_bounds(spark, sf_dir):
+    """Structural contract of the production configuration: every vector
+    gets exactly PQ_M codes, every code addresses a live codebook entry
+    (cell < PQ_K), and corpus recall stays a valid (0, 1] fraction with
+    min_recall ≤ recall_at_k."""
+    from multi_source_financial_data_pipeline_spark.operators import similarity
+    from multi_source_financial_data_pipeline_spark.plans.llmdata import (
+        EMB_DIM, PQ_ITERS, PQ_K, PQ_M,
+    )
+    from multi_source_financial_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, codes = similarity.pq_train_encode(
+        emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS, dim=EMB_DIM
+    )
+    n = emb.count()
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert len(per_vec) == n and all(r["count"] == PQ_M for r in per_vec)
+    assert codes.filter(
+        (codes.cell < 0) | (codes.cell >= PQ_K) | (codes.s >= PQ_M)
+    ).count() == 0
+    r = _run(spark, sf_dir, "pq_recall").iloc[0]
+    assert 0.0 < r.recall_at_k <= 1.0
+    assert 0.0 <= r.min_recall <= r.recall_at_k
+
+
 def test_kmv_within_textbook_error(spark, sf_dir):
     from multi_source_financial_data_pipeline_spark.plans.eventstream import KMV_K
 
