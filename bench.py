@@ -125,8 +125,10 @@ HEADLINE = [
     "sq8_recall",
     "kmv_distinct",
     # round-13: product quantization — per-subspace Lloyd training + the
-    # broadcast-LUT ADC code scan, a plan shape nothing else exercises
+    # broadcast-LUT ADC code scan, a plan shape nothing else exercises —
+    # and its IVF composition (coarse probe prunes the code scan)
     "pq_recall",
+    "ivfpq_recall",
     "macd_last",
     "bucketed_revenue",
     "source_kl",

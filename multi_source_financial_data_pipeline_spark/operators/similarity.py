@@ -289,6 +289,13 @@ def pq_adc_topk(
         .join(F.broadcast(norm_lut), ["s", "cell"])
         .filter(F.col("vec_id") != F.col("query_id"))
     )
+    return _adc_fold_rank(parts, k)
+
+
+def _adc_fold_rank(parts: DataFrame, k: int) -> DataFrame:
+    """Shared ADC tail: fold the (query, cand) LUT partials in s order
+    (engine-replayable left folds — see `pq_adc_topk`), assemble the
+    cosine, rank top-k per query with the module's id tiebreak."""
 
     def _s_fold(value: str) -> Column:
         return _fold_sum(
@@ -319,6 +326,90 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")
     )
+
+
+def ivfpq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    k_codebook: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    nlist: int = 16,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ: the composition billion-vector indexes actually deploy
+    (FAISS IVFPQ / ScaNN) — a coarse IVF quantizer prunes the scan to
+    each query's `nprobe` nearest cells, and INSIDE the probed cells the
+    candidates are scored by PQ asymmetric distance over code rows, so
+    the scan is both a ~nprobe/nlist FRACTION of the corpus and touches
+    only 4-bit codes. Codebooks here quantize the raw vectors (the
+    residual-encoding refinement — PQ over `v − cell_center` — would
+    need per-cell LUTs, nlist× the LUT rows; raw-vector codes keep the
+    global LUT and are what this corpus' recall cost measures).
+
+    With ``nprobe == nlist`` the cell restriction vanishes and this is
+    EXACTLY `pq_adc_topk` (pinned by test) — the coarse level only ever
+    removes candidates, which is the designed trade.
+
+    Plan: codes join their vector's IVF cell (linear), the tiny
+    (query × nprobe) probe table broadcasts onto it — at scale the code
+    table would be WRITTEN partitioned by ivf_cell, turning that join
+    into dynamic partition pruning (the `build_ivf_index` pattern) —
+    then the shared ADC fold ranks inside the pruned pair space."""
+    cents, codes = pq_train_encode(
+        embeddings, m=m, k=k_codebook, iters=iters, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = codes.withColumnRenamed("cell", "code")
+    cents = cents.withColumnRenamed("cell", "code")
+    sub = dim // m
+    cells = ivf_assign(embeddings, nlist, id_col, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("cell").alias("ivf_cell")
+    )
+    seed_row = ivf_seed_row(embeddings, nlist, id_col, vec_col)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        sq_norm(_as_double(vec_col)).alias("qn"),
+    )
+    probes = (
+        q.join(F.broadcast(seed_row))
+        .select(
+            "query_id",
+            F.explode(
+                F.slice(_best_cells(F.col("qv"), F.col("qn")), 1, nprobe)
+            ).alias("p"),
+        )
+        .select("query_id", F.col("p")["cell"].alias("ivf_cell"))
+    )
+    qsub = q.select(
+        "query_id",
+        "qn",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> slice(qv, s * {sub} + 1, {sub}))"
+            )
+        ).alias("s", "qsv"),
+    )
+    dot_lut = qsub.join(F.broadcast(cents), "s").select(
+        "query_id", "qn", "s", "code",
+        dot(F.col("qsv"), F.col("cv")).alias("dp"),
+    )
+    norm_lut = cents.select("s", "code", sq_norm(F.col("cv")).alias("np"))
+    parts = (
+        codes.join(cells, "vec_id")
+        .join(F.broadcast(probes), "ivf_cell")
+        .join(F.broadcast(dot_lut), ["query_id", "s", "code"])
+        .join(F.broadcast(norm_lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    return _adc_fold_rank(parts, k)
 
 
 def brute_force_topk(

@@ -3321,6 +3321,129 @@ FROM per_q
 """
 
 
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF-PQ COMPOSITION (the FAISS-IVFPQ/ScaNN
+    deployment shape): the coarse quantizer prunes each query's scan to
+    `IVF_NPROBE`/`IVF_NLIST` of the corpus, PQ asymmetric distance
+    scores the surviving code rows. Read against `q_pq_recall` (same
+    codes, full scan) this measures what the pruning costs ON TOP of
+    the quantization — the last point on the PERF.md reduction
+    frontier. Same harness tail as `q_sq8_recall`/`q_pq_recall`."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = similarity.ivfpq_adc_topk(
+        emb, queries, m=PQ_M, k_codebook=PQ_K, iters=PQ_ITERS,
+        dim=EMB_DIM, nlist=IVF_NLIST, nprobe=IVF_NPROBE, k=TOPK,
+    ).select("query_id", "cand_id")
+    brute = q_ann_topk(spark, sf_dir).select("query_id", "cand_id")
+    hits = brute.join(approx, ["query_id", "cand_id"], "left_semi")
+    qset = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    per_q = qset.join(
+        hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+        "query_id",
+        "left",
+    ).select("query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (
+            F.sum("n_hits").cast("double")
+            / (F.count(F.lit(1)) * TOPK).cast("double")
+        ).alias("recall_at_k"),
+        (F.min("n_hits").cast("double") / F.lit(float(TOPK))).alias("min_recall"),
+    )
+
+
+#: `_sql_ivf_common` (coarse assignment + probes, the ann_topk_ivf
+#: machinery) composed with the PQ codebook/code CTEs (SQL_PQ_RECALL's
+#: machinery, `pqq` renamed so the IVF chain's internal `q` alias can't
+#: collide) — the parts join simply adds the cell-membership predicate.
+SQL_IVFPQ_RECALL = f"""
+{_sql_ivf_common()},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+es AS (
+  SELECT vec_id, s,
+         list_slice(v, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS sv
+  FROM e, generate_series(0, {PQ_M - 1}) t(s)
+),
+c0 AS (SELECT s, CAST(vec_id AS INTEGER) AS cell, sv AS cv FROM es
+       WHERE vec_id < {PQ_K}),
+{_sql_pq_assign('pa1', 'c0')},
+{_sql_pq_update('pc1', 'pa1')},
+{_sql_pq_assign('pa2', 'pc1')},
+{_sql_pq_update('pc2', 'pa2')},
+{_sql_pq_assign('pa3', 'pc2')},
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT qe.vec_id AS query_id, s.seed_id AS cell,
+           {_SQL_IVF_RANK.format(part="qe.vec_id", cos=_sql_scalar_cos("qe.x", "s.s", "qe.nrm", "s.snrm"))} AS rn
+    FROM ew qe CROSS JOIN seeds s WHERE qe.vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+pqq AS (SELECT vec_id AS query_id, v AS qv, {_sql_dot('v', 'v')} AS qn
+        FROM e WHERE vec_id < {N_QUERIES}),
+qsl AS (
+  SELECT query_id, qn, s,
+         list_slice(qv, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS qsv
+  FROM pqq, generate_series(0, {PQ_M - 1}) t(s)
+),
+dlut AS (
+  SELECT qsl.query_id, qsl.qn, qsl.s, c.cell,
+         {_sql_dot('qsv', 'c.cv', _PQ_SUB)} AS dp
+  FROM qsl JOIN pc2 c ON qsl.s = c.s
+),
+nlut AS (SELECT s, cell, {_sql_dot('cv', 'cv', _PQ_SUB)} AS np FROM pc2),
+parts AS (
+  SELECT d.query_id, a.vec_id AS cand_id, d.qn, a.s, d.dp, n.np
+  FROM pa3 a
+  JOIN assign0 ia ON ia.vec_id = a.vec_id
+  JOIN dlut d ON d.s = a.s AND d.cell = a.cell
+  JOIN nlut n ON n.s = a.s AND n.cell = a.cell
+  JOIN probes pr ON pr.query_id = d.query_id AND pr.cell = ia.cell
+  WHERE a.vec_id != d.query_id
+),
+folded AS (
+  SELECT query_id, cand_id, max(qn) AS qn,
+         list_reduce(list(dp ORDER BY s), (acc, x) -> acc + x) AS dps,
+         list_reduce(list(np ORDER BY s), (acc, x) -> acc + x) AS nps
+  FROM parts GROUP BY query_id, cand_id
+),
+adc AS (
+  SELECT query_id, cand_id,
+         round(dps / nullif(sqrt(qn * nps), 0), 6) AS cos_sim
+  FROM folded
+),
+approx AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, cand_id ASC) AS rk
+    FROM adc
+  ) WHERE rk <= {TOPK}
+),
+brute AS (SELECT query_id, cand_id FROM ({SQL_ANN_TOPK})),
+joined AS (
+  SELECT b.query_id FROM brute b
+  JOIN approx a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+),
+qset AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {N_QUERIES}),
+per_q AS (
+  SELECT qset.query_id, count(j.query_id) AS n_hits
+  FROM qset LEFT JOIN joined j ON j.query_id = qset.query_id
+  GROUP BY qset.query_id
+)
+SELECT count(*) AS n_queries,
+       CAST(sum(n_hits) AS DOUBLE) / CAST(count(*) * {TOPK} AS DOUBLE)
+         AS recall_at_k,
+       CAST(min(n_hits) AS DOUBLE) / {TOPK}.0 AS min_recall
+FROM per_q
+"""
+
+
 SPECS = {
     "token_stats": QuerySpec(
         q_token_stats, SQL_TOKEN_STATS, "per-doc token counting + type-token ratio", ("text",)
@@ -3689,6 +3812,13 @@ SPECS = {
         SQL_PQ_RECALL,
         "recall@k of product quantization (8x4-bit codes, 128x smaller): "
         "per-subspace Lloyd codebooks + asymmetric-distance LUT scan",
+        ("similarity", "agg"),
+    ),
+    "ivfpq_recall": QuerySpec(
+        q_ivfpq_recall,
+        SQL_IVFPQ_RECALL,
+        "recall@k of IVF-PQ (the FAISS-IVFPQ deployment composition): "
+        "coarse-cell probe prunes the scan, PQ ADC scores the code rows",
         ("similarity", "agg"),
     ),
 }

@@ -48,7 +48,7 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #:      any checker memory pressure costs the fewest verdicts;
 #:   4. backfill to 50 with 10 of the oldest (r10-latest) rows: the
 #:      financial/report family whose oracles are the cheapest.
-#: Round-14 rotation backlog: pq_recall LEADS (registered r13 AFTER this
+#: Round-14 rotation backlog: pq_recall and ivfpq_recall LEAD (registered r13 AFTER this
 #: window was sized, so it waits exactly as the r05 additions waited for
 #: r06 — never driver-checked until then), then the 36 remaining
 #: r10-latest rows (after weekly_bars and the 10 backfilled here), then

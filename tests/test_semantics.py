@@ -94,6 +94,59 @@ def test_pq_identity_when_every_vector_is_a_seed(spark):
     assert got == want
 
 
+def test_ivfpq_full_probe_equals_pq(spark):
+    """With nprobe == nlist the coarse level restricts nothing, so IVF-PQ
+    must produce EXACTLY pq_adc_topk's ranking — the composition's
+    correctness reduces to the probe predicate, and this pins that the
+    predicate (not some scoring drift) is the only difference."""
+    from multi_source_financial_data_pipeline_spark.operators import similarity
+
+    n, dim = 40, 8
+    rows = [
+        (i, [float((i * 13 + d * 5) % 17) - 8.0 + 0.0625 * i for d in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 5").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    kw = dict(m=2, k_codebook=8, iters=2, dim=dim, k=4)
+    full = similarity.ivfpq_adc_topk(
+        emb, queries, nlist=6, nprobe=6, **kw
+    )
+    pq = similarity.pq_adc_topk(emb, queries, **kw)
+    got = {(r["query_id"], r["rank"]): (r["cand_id"], r["cos_sim"]) for r in full.collect()}
+    want = {(r["query_id"], r["rank"]): (r["cand_id"], r["cos_sim"]) for r in pq.collect()}
+    assert got == want
+    # and a REAL probe (nprobe < nlist) only ever returns candidates from
+    # the query's probed cells
+    pruned = similarity.ivfpq_adc_topk(emb, queries, nlist=6, nprobe=2, **kw)
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_assign(emb, nlist=6).collect()
+    }
+    from pyspark.sql import functions as F
+
+    seed_row = similarity.ivf_seed_row(emb, nlist=6)
+    q = queries.select(
+        F.col("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    ).withColumn("qn", similarity.sq_norm(F.col("qv")))
+    probes = {
+        (r["query_id"], r["p"]["cell"])
+        for r in q.join(F.broadcast(seed_row))
+        .select(
+            "query_id",
+            F.explode(
+                F.slice(similarity._best_cells(F.col("qv"), F.col("qn")), 1, 2)
+            ).alias("p"),
+        )
+        .collect()
+    }
+    for r in pruned.collect():
+        assert (r["query_id"], cells[r["cand_id"]]) in probes
+
+
 def test_pq_codes_shape_and_recall_bounds(spark, sf_dir):
     """Structural contract of the production configuration: every vector
     gets exactly PQ_M codes, every code addresses a live codebook entry
@@ -118,6 +171,9 @@ def test_pq_codes_shape_and_recall_bounds(spark, sf_dir):
     r = _run(spark, sf_dir, "pq_recall").iloc[0]
     assert 0.0 < r.recall_at_k <= 1.0
     assert 0.0 <= r.min_recall <= r.recall_at_k
+    rc = _run(spark, sf_dir, "ivfpq_recall").iloc[0]
+    assert 0.0 < rc.recall_at_k <= 1.0
+    assert 0.0 <= rc.min_recall <= rc.recall_at_k
 
 
 def test_kmv_within_textbook_error(spark, sf_dir):
