@@ -226,6 +226,29 @@ def timeseries_features(
     return out
 
 
+def checked_decimal(v: Column, context: str, dtype: str = "decimal(18,2)") -> Column:
+    """``v`` cast to ``dtype`` with a LOUD overflow, independent of the
+    session's ``spark.sql.ansi.enabled`` (r12 ADVICE): the cast is
+    ``try_cast`` plus an explicit ``raise_error`` when a non-null input
+    came back NULL (i.e. out of range). Under ``ansi=false`` a plain CAST
+    would return NULL and silently drop the row from downstream exact
+    sums while the DuckDB oracle raises on the identical CAST — the
+    engine/oracle divergence this expression exists to forbid. Shared by
+    `resample_bars` and the streaming bar aggregation
+    (`plans/mmstream.q_stream_bars_ohlc_wm` — ``raise_error`` is legal
+    inside streaming aggregates), so the two bar paths cannot drift."""
+    dec = v.try_cast(dtype)
+    return F.when(
+        v.isNotNull() & dec.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{context}: value out of {dtype.upper()} range: "),
+                v.cast("string"),
+            )
+        ).cast(dtype),
+    ).otherwise(dec)
+
+
 def resample_bars(
     df: DataFrame,
     key_cols: str | Sequence[str],
@@ -309,22 +332,9 @@ def resample_bars(
     )
     v = F.col(value_col)
     if exact_sum:
-        dec = v.try_cast("decimal(18,2)")
-        # loud overflow independent of spark.sql.ansi.enabled: a non-null
-        # value whose try_cast came back NULL is out of DECIMAL(18,2) range
-        checked = F.when(
-            v.isNotNull() & dec.isNull(),
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "resample_bars exact_sum: value out of "
-                        "DECIMAL(18,2) range: "
-                    ),
-                    v.cast("string"),
-                )
-            ).cast("decimal(18,2)"),
-        ).otherwise(dec)
-        sum_expr = F.sum(checked).cast("double")
+        sum_expr = F.sum(checked_decimal(v, "resample_bars exact_sum")).cast(
+            "double"
+        )
     else:
         sum_expr = F.sum(v)
     return tagged.groupBy(*keys, bar_col).agg(

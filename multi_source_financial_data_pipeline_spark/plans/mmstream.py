@@ -23,7 +23,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-from multi_source_financial_data_pipeline_spark.operators import grouped, multimodal, similarity
+from multi_source_financial_data_pipeline_spark.operators import grouped, multimodal, similarity, timeseries
 from multi_source_financial_data_pipeline_spark.plans.llmdata import (
     COS_THRESHOLD,
     N_QUERIES,
@@ -1572,7 +1572,14 @@ def q_stream_bars_ohlc_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("value").alias("high_value"),
                 F.min("value").alias("low_value"),
                 F.count(F.lit(1)).alias("n_events"),
-                F.sum(F.col("value").cast("decimal(18,2)"))
+                # the SAME checked decimal as resample_bars (r13 ADVICE): a
+                # quiet cast here would NULL-drop out-of-range values from
+                # sum_value under ansi=false while the oracle raises
+                F.sum(
+                    timeseries.checked_decimal(
+                        F.col("value"), "stream_bars_ohlc_wm sum_value"
+                    )
+                )
                 .cast("double")
                 .alias("sum_value"),
             )

@@ -25,92 +25,84 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 
 
 #: The driver's correctness gate records exactly the FIRST 50 dict-order
-#: entries each round (observed in r01-r12), so this list rotates the
+#: entries each round (observed in r01-r13), so this list rotates the
 #: checked window across rounds to get every query a fresh green row on
-#: record. Round-13 window (executes VERDICT r12 item 1: retire the whole
-#: r08/r09 staleness backlog, so after this round no registered query's
-#: latest driver row is older than r10). In order:
-#:   1. the one query registered this round and therefore NEVER
-#:      driver-checked: stream_bars_ohlc_wm (the watermarked append-mode
-#:      bar pipeline, VERDICT r12 item 4 — new queries lead the window);
-#:   2. the 8 queries whose PHYSICAL PLAN changed in r13 after their
-#:      latest green row — results verified oracle-exact locally, but
-#:      the driver evidence is one plan behind: the exact_sum loud
-#:      overflow guard (bars_4h, weekly_bars, rsi_bars_4h), the fold
-#:      uniqueness enforcement (ewma/macd/rsi_14/atr_14 Wilder folds +
-#:      both bar-fed folds), and the stream_bars_rsi state slimming
-#:      (r12 ADVICE: close-only struct, unused OHLC aggregates dropped);
-#:   3. the 31-name r08/r09 backlog exactly as pre-wired by the r12
-#:      docstring: the 9 r08-latest rows (atr_14, obv, stochastic_osc,
-#:      gap_fill_interp, equi_depth_bins_ntile, the three md5-stub media
-#:      variants, cluster_best_doc) and the 22 r09-latest rows —
-#:      light-oracle-first with the heavy media/document scans LAST so
-#:      any checker memory pressure costs the fewest verdicts;
-#:   4. backfill to 50 with 10 of the oldest (r10-latest) rows: the
-#:      financial/report family whose oracles are the cheapest.
-#: Round-14 rotation backlog: pq_recall and ivfpq_recall LEAD (registered r13 AFTER this
-#: window was sized, so it waits exactly as the r05 additions waited for
-#: r06 — never driver-checked until then), then the 36 remaining
-#: r10-latest rows (after weekly_bars and the 10 backfilled here), then
-#: r11 rows as they age — under the 50-slot capacity, per the standing
-#: rule (registry growth must not outpace the gate).
+#: record. Round-14 window (executes VERDICT r13 item 1). In order:
+#:   1. the ONLY two registered queries with no driver CORRECTNESS row
+#:      ever: pq_recall and ivfpq_recall (registered r13 AFTER that
+#:      window was sized, so they waited exactly as the r05 additions
+#:      waited for r06 — never-checked names lead the window);
+#:   2. the full 36-name r10-latest staleness backlog — cheap TPC-H and
+#:      event/financial oracles first, then the document/ANN family,
+#:      with the three heavy real-codec media scans LAST so any checker
+#:      memory pressure costs the fewest verdicts;
+#:   3. backfill to 50 with the 12 cheapest-oracle r11-latest rows
+#:      (financial/connector/stream-counts family).
+#: Round-15 rotation backlog (pre-wired): any query registered in r14
+#: and therefore never driver-checked LEADS (the build-once PQ-probe
+#: family: ann_topk_pq_probe, pq256_recall), then stream_bars_ohlc_wm
+#: (reformulated_ok: its sum_value moved onto the shared checked-decimal
+#: overflow guard in r14, after its r13 green row — r13 ADVICE), then
+#: the remaining 37 r11-latest rows — ~40 names, under the 50-slot
+#: capacity, per the standing rule (registry growth must not outpace
+#: the gate); backfill the final slots with the oldest r12-latest rows.
 _GATE_PRIORITY = (
-    # -- 1. never driver-checked: the r13 registration ---------------------
-    "stream_bars_ohlc_wm",
-    # -- 2. physical plan changed in r13 after their latest green row ------
-    "stream_bars_rsi",
-    "rsi_bars_4h",
-    "bars_4h",
-    "weekly_bars",
-    "ewma_last",
-    "macd_last",
-    "rsi_14_wilder",
-    "atr_14_wilder",
-    # -- 3a. r08-latest backfill (light) ------------------------------------
-    "atr_14",
-    "obv",
-    "stochastic_osc",
-    "gap_fill_interp",
-    "equi_depth_bins_ntile",
-    # -- 3b. r09-latest backfill (light oracles first) ----------------------
-    "table_stats",
-    "database_stats",
-    "series_summary",
-    "global_summary",
-    "return_correlation",
-    "vol_outliers",
-    "trailing_7d_sum",
-    "value_percentiles_by_type",
-    "topn_orders_per_customer",
-    "weighted_sample_k",
-    "sample_k_per_group",
-    "range_join_nearby",
-    "user_setops",
-    "zorder_locality",
-    "scd2_intervals",
-    "cms_heavy_hitters",
-    "stream_scd2_closed",
-    # -- 4. r10-latest backfill to 50 (cheapest oracles) --------------------
-    "ts_features",
-    "validation_counts",
-    "dedup_keep_last",
-    "zscore_outliers",
-    "missing_bdays",
-    "cross_source_compare",
-    "discrepancy_flags",
-    "first_request_wins",
-    "ledger_latest_status",
-    "max_drawdown",
-    # -- 3c. heavy media/document scans last (r08 stubs, r09 real codecs) ---
-    "media_features",
-    "media_frames",
-    "media_resize",
-    "media_real_decode",
-    "media_real_resize",
-    "media_real_frames",
-    "media_png_channel_stats",
-    "stream_media_features",
-    "cluster_best_doc",
+    # -- 1. never driver-checked: the r13 post-sizing registrations --------
+    "pq_recall",
+    "ivfpq_recall",
+    # -- 2a. r10-latest backfill: TPC-H (cheapest oracles) ------------------
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_shipping_volume",
+    "q10_returned_revenue",
+    "q12_ship_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    # -- 2b. r10-latest backfill: event/financial (light) -------------------
+    "asof_join",
+    "sessionize",
+    "skewed_event_rollup",
+    "funnel_conversion",
+    "connector_stream_ticks",
+    "mad_outliers",
+    "cusum_drift",
+    "mixture_resample",
+    # -- 3. r11-latest backfill to 50 (cheapest oracles) --------------------
+    "quality_score",
+    "export_shape",
+    "connector_vwap",
+    "bollinger_bands",
+    "rsi_14",
+    "time_bucket_hourly",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "stream_hourly_counts",
+    "stream_dedup_count",
+    # -- 2c. r10-latest backfill: document/ANN scans ------------------------
+    "token_stats",
+    "unigram_prob",
+    "dup_span_stats",
+    "minhash_lsh_pairs",
+    "neardup_verified",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "doc_winnow",
+    "ann_topk",
+    "embedding_neardup",
+    "lsh_bucket",
+    "lsh_neardup_pairs",
+    "ann_topk_ivf_probe",
+    "ann_recall_ivf",
+    "ann_recall_lsh",
+    # -- 2d. heavy real-codec media scans last -------------------------------
+    "media_jpeg_channel_stats",
+    "media_mp4_metadata",
+    "media_ogg_stats",
 )
 
 

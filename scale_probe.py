@@ -768,16 +768,20 @@ def stream_media_growth(ks: tuple[int, ...] = (10, 30)) -> dict:
     lo, hi = out["scales"][str(ks[0])], out["scales"][str(ks[-1])]
     out["volume_ratio"] = round(ks[-1] / ks[0], 2)
     ratios: dict = {}
+
+    def _ratio(num, den):
+        # r13 ADVICE: guard BOTH sides — a drain with no progress events
+        # leaves the high-scale value None, and a degenerate 0.0 wall would
+        # ZeroDivisionError; either way the record must survive with a
+        # None ratio, not die after every expensive drain completed
+        return round(num / den, 2) if num and den else None
+
     for shape, vals in lo["streaming"].items():
         hv = hi["streaming"][shape]
         ratios[shape] = {
-            "sec": round(hv["sec"] / vals["sec"], 2),
-            "state_rows": round(hv["state_rows"] / vals["state_rows"], 2)
-            if vals["state_rows"]
-            else None,
-            "emitted": round(hv["emitted"] / vals["emitted"], 2)
-            if vals["emitted"]
-            else None,
+            "sec": _ratio(hv["sec"], vals["sec"]),
+            "state_rows": _ratio(hv["state_rows"], vals["state_rows"]),
+            "emitted": _ratio(hv["emitted"], vals["emitted"]),
         }
     for m in ("media_real_decode", "media_jpeg_channel_stats"):
         ratios[m] = {"sec": round(hi[m]["sec"] / lo[m]["sec"], 2)}

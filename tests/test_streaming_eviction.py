@@ -169,3 +169,52 @@ def test_registered_wm_query_subsets_bars_4h(spark):
     wm = {tuple(r) for r in QUERIES["stream_bars_ohlc_wm"].fn(spark, sf_dir).collect()}
     full = {tuple(r) for r in QUERIES["bars_4h"].fn(spark, sf_dir).collect()}
     assert wm < full
+
+
+def test_streaming_checked_decimal_overflow_fails_loudly(spark, tmp_path):
+    """r13 ADVICE regression pin: `stream_bars_ohlc_wm`'s sum_value now
+    shares `resample_bars`' checked DECIMAL(18,2) expression, so an
+    out-of-range value FAILS the micro-batch (matching the DuckDB oracle,
+    which raises on the same CAST) instead of silently becoming NULL and
+    dropping from sum_value under ansi=false — raise_error is exercised
+    INSIDE a streaming aggregate here, the exact context the fix targets."""
+    import datetime
+
+    from multi_source_financial_data_pipeline_spark.operators.timeseries import checked_decimal
+    from multi_source_financial_data_pipeline_spark.session import pin_utc
+
+    pin_utc(spark)
+    t0 = datetime.datetime(2024, 1, 1)
+    landing = str(tmp_path / "landing_ovf")
+    (tmp_path / "landing_ovf").mkdir()
+    df = spark.createDataFrame(
+        [(1, 1, t0, 1e17)],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    df.coalesce(1).write.mode("append").parquet(landing)
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        stream = spark.readStream.schema(df.schema).parquet(landing)
+        bars = (
+            stream.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "4 hours"), F.col("user_id"))
+            .agg(
+                F.sum(checked_decimal(F.col("value"), "stream ovf pin"))
+                .cast("double")
+                .alias("sum_value")
+            )
+        )
+        query = (
+            bars.writeStream.format("memory")
+            .queryName("ovf_pin")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception) as ei:
+            query.awaitTermination()
+        msg = str(ei.value)
+        assert "stream ovf pin" in msg and "DECIMAL(18,2) range" in msg
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
