@@ -129,6 +129,10 @@ HEADLINE = [
     # and its IVF composition (coarse probe prunes the code scan)
     "pq_recall",
     "ivfpq_recall",
+    # round-14: the build/probe split — serving cost of the materialized
+    # IVF-PQ index (broadcast codebook LUTs + partition-pruned code scan,
+    # training amortized into the one-time build, not this row)
+    "ann_topk_pq_probe",
     "macd_last",
     "bucketed_revenue",
     "source_kl",
@@ -240,6 +244,7 @@ EXEMPT: dict[str, str] = {
     "mixture_weights": "subplan: weights stage inside mixture_resample",
     "doc_winnow": "subplan: winnowing fingerprints inside dup_span_stats family; same explode+agg shape as ngram_novelty",
     "dup_span_stats": "sibling: exploded-span agg + skew-safe count join, same shape as chunk_boilerplate (benched)",
+    "pq256_recall": "sibling: identical plan to benched pq_recall, only the sub-codebook budget moves (k=256); its train+serve cost at 2k/20k vectors is measured in PERF.md's reduction frontier",
     "ann_recall_ivf": "subplan: re-runs benched ann_topk + ann_topk_ivf to compare",
     "ann_recall_lsh": "subplan: re-runs benched ann_topk + ann_topk_lsh legs",
     "ann_topk_lsh": "sibling: bucketed cosine top-k, same shape as ann_topk_ivf",

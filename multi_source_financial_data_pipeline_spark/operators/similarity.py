@@ -258,7 +258,13 @@ def pq_adc_topk(
     is one broadcast join over the code table (m rows per vector, ints
     only) + a (query, cand) hash aggregate of m partials. At 100 TB the
     code table IS the index — 8 bytes a vector against 512 for the raw
-    doubles — and recall is measured by `plans/llmdata.q_pq_recall`."""
+    doubles — and recall is measured by `plans/llmdata.q_pq_recall`.
+
+    NOTE: this function trains codebooks INLINE (`pq_train_encode` runs
+    per call) — the recall-HARNESS configuration, where training cost is
+    part of what's measured. The deployment shape is the build/probe
+    split: `build_pq_index` persists codebooks + codes once and
+    `pq_topk_probe` serves with no Lloyd iteration."""
     cents, codes = pq_train_encode(
         embeddings, m=m, k=k_codebook, iters=iters, dim=dim,
         id_col=id_col, vec_col=vec_col,
@@ -358,9 +364,11 @@ def ivfpq_adc_topk(
 
     Plan: codes join their vector's IVF cell (linear), the tiny
     (query × nprobe) probe table broadcasts onto it — at scale the code
-    table would be WRITTEN partitioned by ivf_cell, turning that join
-    into dynamic partition pruning (the `build_ivf_index` pattern) —
-    then the shared ADC fold ranks inside the pruned pair space."""
+    table is WRITTEN partitioned by ivf_cell, turning that join into
+    dynamic partition pruning: `build_pq_index` + `pq_topk_probe` is
+    that deployment split (no inline training, pruned code scan); THIS
+    function keeps training inline as the recall-harness configuration,
+    where the train+encode cost is part of what's measured."""
     cents, codes = pq_train_encode(
         embeddings, m=m, k=k_codebook, iters=iters, dim=dim,
         id_col=id_col, vec_col=vec_col,
@@ -1113,3 +1121,126 @@ def ivf_topk_probe(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")
     )
+
+
+def build_pq_index(
+    spark,
+    embeddings: DataFrame,
+    index_dir: str,
+    m: int = 8,
+    k_codebook: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index under ``index_dir`` — the FAISS-IVFPQ
+    deployment shape (`build_ivf_index`'s pattern applied to codes): ALL
+    training happens HERE, once, and the probe never re-runs a Lloyd
+    iteration or touches a raw corpus vector.
+
+    - ``codebooks/``: the m·k sub-centroid rows ``(s, code, cv)`` — tiny,
+      read + broadcast at probe time to build the per-query LUTs;
+    - ``codes/``: the ``(vec_id, s, code)`` code rows written
+      ``partitionBy(ivf_cell)`` — the on-disk inverted CODE lists, so a
+      probe's cell equi-join is dynamic-partition-pruned to ~nprobe/nlist
+      of the files (the promise `ivfpq_adc_topk`'s docstring makes, made
+      physical);
+    - ``quantizer/``: the 1-row coarse-quantizer seeds.
+
+    At 100 TB the codes are the index — m bytes a vector against 8·dim
+    for the raw doubles — and this build is the one corpus-scale job;
+    serving cost is measured by `plans/llmdata.q_ann_topk_pq_probe`."""
+    import os
+
+    cents, codes = pq_train_encode(
+        embeddings, m=m, k=k_codebook, iters=iters, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cells = ivf_assign(embeddings, nlist, id_col, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("cell").alias("ivf_cell")
+    )
+    (
+        codes.withColumnRenamed("cell", "code")
+        .join(cells, "vec_id")
+        .write.partitionBy("ivf_cell")
+        .mode("overwrite")
+        .parquet(os.path.join(index_dir, "codes"))
+    )
+    cents.withColumnRenamed("cell", "code").write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codebooks")
+    )
+    ivf_seed_row(embeddings, nlist, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "quantizer"))
+
+
+def pq_topk_probe(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k against a materialized IVF-PQ index — the PQ SERVING
+    plan, split from training (same semantics and same results as
+    `ivfpq_adc_topk` with the same m/k/iters/nlist/nprobe — pinned by a
+    shared oracle and an exact-equality test). The probe does exactly two
+    things: builds the per-query LUTs against the broadcast ``codebooks/``
+    frame (m·k rows), and scans ``codes/`` — the coarse quantizer is a
+    1-row broadcast, the probes⋈codes equi join on the ``ivf_cell``
+    partition column is dynamic-partition-pruned to the probed cells'
+    files, and NO Lloyd iteration runs (pinned by test: training
+    monkeypatched to raise, probe still answers). Subspace geometry
+    (m, sub-width) is read off the codebooks themselves — index metadata,
+    one tiny collect — so the caller can't desynchronize it from the
+    build."""
+    import os
+
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    cents = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    seed_row = spark.read.parquet(os.path.join(index_dir, "quantizer"))
+    meta = cents.agg(
+        (F.max("s") + 1).alias("m"), F.max(F.size("cv")).alias("sub")
+    ).collect()[0]
+    m, sub = int(meta["m"]), int(meta["sub"])
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        sq_norm(_as_double(vec_col)).alias("qn"),
+    )
+    probes = (
+        q.join(F.broadcast(seed_row))
+        .select(
+            "query_id",
+            F.explode(
+                F.slice(_best_cells(F.col("qv"), F.col("qn")), 1, nprobe)
+            ).alias("p"),
+        )
+        .select("query_id", F.col("p")["cell"].alias("ivf_cell"))
+    )
+    qsub = q.select(
+        "query_id",
+        "qn",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> slice(qv, s * {sub} + 1, {sub}))"
+            )
+        ).alias("s", "qsv"),
+    )
+    dot_lut = qsub.join(F.broadcast(cents), "s").select(
+        "query_id", "qn", "s", "code",
+        dot(F.col("qsv"), F.col("cv")).alias("dp"),
+    )
+    norm_lut = cents.select("s", "code", sq_norm(F.col("cv")).alias("np"))
+    parts = (
+        codes.join(F.broadcast(probes), "ivf_cell")
+        .join(F.broadcast(dot_lut), ["query_id", "s", "code"])
+        .join(F.broadcast(norm_lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    return _adc_fold_rank(parts, k)

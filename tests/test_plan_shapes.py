@@ -1244,3 +1244,30 @@ def test_grouped_map_max_group_share_audit(spark, sf_dir):
         f"grouped-map child inputs the audit could not measure: {unmeasurable}"
     )
     assert all(k[0] in QUERIES for k in _HOT_SHARE_OK)
+
+
+def test_pq_index_probe_prunes_cell_partitions_and_runs_no_training(
+    spark, sf_dir, monkeypatch
+):
+    """The materialized IVF-PQ probe (r13 VERDICT item 2) must (a) read
+    codes/ with dynamic partition pruning driven by the probe side — the
+    scan's PartitionFilters carry a `dynamicpruning` subquery on
+    `ivf_cell`, so only ~nprobe/nlist of the code files are opened — and
+    (b) run NO Lloyd iteration: with training monkeypatched to raise, the
+    probe must still answer (the index is pre-built, so any training call
+    in the serving path would detonate)."""
+    from multi_source_financial_data_pipeline_spark.operators import similarity
+    from multi_source_financial_data_pipeline_spark.plans import llmdata
+
+    index_dir = llmdata._ensure_pq_index(spark, sf_dir)
+
+    def _no_training(*a, **k):
+        raise AssertionError("pq_train_encode invoked in the serving path")
+
+    monkeypatch.setattr(similarity, "pq_train_encode", _no_training)
+    df = QUERIES["ann_topk_pq_probe"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    assert "CartesianProduct" not in plan
+    assert df.count() > 0  # the probe executed end-to-end, training never ran
+    assert index_dir  # the build had already happened before the patch

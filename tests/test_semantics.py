@@ -440,3 +440,63 @@ def test_weighted_sample_key_defined_at_zero_hash():
         "SELECT round(ln((4294967295 + 1) / 4294967296.0) / 100.0, 15)"
     ).fetchone()[0]
     assert lo < 0 and hi == 0.0
+
+
+def test_pq_identity_at_full_budget_multi_subspace(spark):
+    """The exactness limit extended to the 8-bit-shaped config (r13
+    VERDICT item 3): with k_codebook == n the seed set IS the corpus in
+    EVERY subspace — each sub-vector is its own centroid, distances are
+    0, Lloyd never moves anything — so reconstruction is the identity for
+    ANY m and ADC top-k must equal brute force EXACTLY. This is the
+    m > 1 generalization of `test_pq_identity_when_every_vector_is_a_seed`
+    and the invariant that makes `pq256_recall`'s budget comparable to
+    `pq_recall`'s: only the budget moves, never the machinery."""
+    from multi_source_financial_data_pipeline_spark.operators import similarity
+
+    n, dim = 12, 8
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) - 5.0 + 0.125 * i for d in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 4").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    adc = similarity.pq_adc_topk(
+        emb, queries, m=4, k_codebook=n, iters=2, dim=dim, k=3
+    )
+    brute = similarity.brute_force_topk(emb, queries, k=3)
+    got = {(r["query_id"], r["rank"]): r["cand_id"] for r in adc.collect()}
+    want = {(r["query_id"], r["rank"]): r["cand_id"] for r in brute.collect()}
+    assert got == want
+
+
+def test_pq_probe_equals_inline_ivfpq(spark, tmp_path):
+    """`build_pq_index` + `pq_topk_probe` must reproduce
+    `ivfpq_adc_topk`'s EXACT rows at the same m/k/iters/nlist/nprobe —
+    the build/probe split moves training out of serving without moving a
+    single float: codebooks round-trip parquet bit-exactly, the probe's
+    LUT folds replay the same s-ordered arithmetic, and the coarse
+    pruning is the same cell predicate (served via dynamic partition
+    pruning instead of a runtime join against a recomputed assignment)."""
+    from multi_source_financial_data_pipeline_spark.operators import similarity
+
+    n, dim = 40, 8
+    rows = [
+        (i, [float((i * 13 + d * 5) % 17) - 8.0 + 0.0625 * i for d in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 5").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    kw = dict(m=2, k_codebook=8, iters=2, dim=dim)
+    index_dir = str(tmp_path / "pqidx")
+    similarity.build_pq_index(spark, emb, index_dir, nlist=6, **kw)
+    probe = similarity.pq_topk_probe(spark, index_dir, queries, k=4, nprobe=2)
+    inline = similarity.ivfpq_adc_topk(
+        emb, queries, nlist=6, nprobe=2, k=4, **kw
+    )
+    got = sorted(tuple(r) for r in probe.collect())
+    want = sorted(tuple(r) for r in inline.collect())
+    assert got == want
