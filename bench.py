@@ -133,6 +133,9 @@ HEADLINE = [
     # IVF-PQ index (broadcast codebook LUTs + partition-pruned code scan,
     # training amortized into the one-time build, not this row)
     "ann_topk_pq_probe",
+    # round-14: residual encoding (FAISS by_residual) — per-cell LUT
+    # assembly is a join shape the raw-vector IVF-PQ row doesn't have
+    "ivfpq_residual_recall",
     "macd_last",
     "bucketed_revenue",
     "source_kl",

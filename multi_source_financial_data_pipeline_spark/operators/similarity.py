@@ -420,6 +420,144 @@ def ivfpq_adc_topk(
     return _adc_fold_rank(parts, k)
 
 
+def ivfpq_residual_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    k_codebook: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    nlist: int = 16,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — FAISS IVFPQ's actual default
+    (``by_residual=true``): the sub-codebooks quantize ``r = v −
+    center(cell)`` instead of the raw vector, so all of the code budget
+    spends on the WITHIN-cell geometry the coarse quantizer can't see
+    (the cell center carries the coarse position for free). The cost is
+    per-CELL lookup tables: a candidate's reconstruction is
+    ``center(cell) + recon_r(codes)``, so
+
+        dot(q, recon)  = Σ_s [ dot(q_s, center_s)  +  dot(q_s, cv[s,code]) ]
+        |recon|²       = Σ_s |center_s + cv[s,code]|²
+
+    — the dot LUT splits into a (query × probed-cell × s) center part
+    (|q|·nprobe·m rows: only PROBED cells pay) plus the usual global
+    (query × s × code) residual part, and the norm LUT becomes
+    (cell × s × code) — nlist× the rows of the raw-vector variant,
+    still m·k·nlist ≈ thousands, broadcast. This is exactly the
+    "per-cell LUTs" trade `ivfpq_adc_topk`'s docstring names; the
+    measured recall lift it buys is `plans/llmdata.q_ivfpq_residual_recall`
+    on the PERF.md frontier.
+
+    Every float op is engine-replayable: the residual is an elementwise
+    subtract (`zip_with`), both Σ_s are the module's s-ordered left
+    folds, and the norm partial is the same left fold over
+    ``(center_i + cv_i)²`` that DuckDB's unrolled ``(0.0 + t₁ + …)``
+    emits. Training runs inline (the recall-HARNESS configuration, same
+    contract as `ivfpq_adc_topk`); a deployment would persist the
+    residual codebooks exactly as `build_pq_index` does raw ones."""
+    cells = ivf_assign(embeddings, nlist, id_col, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("cell").alias("ivf_cell")
+    )
+    ctrs = embeddings.filter(F.col(id_col) < nlist).select(
+        F.col(id_col).alias("ivf_cell"), _as_double(vec_col).alias("ctr")
+    )
+    res = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
+        )
+        .join(cells, "vec_id")
+        .join(F.broadcast(ctrs), "ivf_cell")
+        .select(
+            "vec_id", F.zip_with("v", "ctr", lambda x, y: x - y).alias("rv")
+        )
+    )
+    cents, codes = pq_train_encode(
+        res, m=m, k=k_codebook, iters=iters, dim=dim,
+        id_col="vec_id", vec_col="rv",
+    )
+    codes = codes.withColumnRenamed("cell", "code")
+    cents = cents.withColumnRenamed("cell", "code")
+    sub = dim // m
+    csub = ctrs.select(
+        "ivf_cell",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> slice(ctr, s * {sub} + 1, {sub}))"
+            )
+        ).alias("s", "csv"),
+    )
+    norm_lut = csub.join(cents, "s").select(
+        "ivf_cell",
+        "s",
+        "code",
+        sq_norm(F.zip_with(F.col("csv"), F.col("cv"), lambda x, y: x + y)).alias(
+            "np"
+        ),
+    )
+    seed_row = ivf_seed_row(embeddings, nlist, id_col, vec_col)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        sq_norm(_as_double(vec_col)).alias("qn"),
+    )
+    probes = (
+        q.join(F.broadcast(seed_row))
+        .select(
+            "query_id",
+            F.explode(
+                F.slice(_best_cells(F.col("qv"), F.col("qn")), 1, nprobe)
+            ).alias("p"),
+        )
+        .select("query_id", F.col("p")["cell"].alias("ivf_cell"))
+    )
+    qsub = q.select(
+        "query_id",
+        "qn",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> slice(qv, s * {sub} + 1, {sub}))"
+            )
+        ).alias("s", "qsv"),
+    )
+    dlut_res = qsub.join(F.broadcast(cents), "s").select(
+        "query_id", "qn", "s", "code",
+        dot(F.col("qsv"), F.col("cv")).alias("dpr"),
+    )
+    dlut_ctr = (
+        qsub.join(probes, "query_id")
+        .join(F.broadcast(csub), ["ivf_cell", "s"])
+        .select(
+            "query_id", "ivf_cell", "s",
+            dot(F.col("qsv"), F.col("csv")).alias("dpc"),
+        )
+    )
+    parts = (
+        codes.join(cells, "vec_id")
+        .join(F.broadcast(probes), "ivf_cell")
+        .join(F.broadcast(dlut_ctr), ["query_id", "ivf_cell", "s"])
+        .join(F.broadcast(dlut_res), ["query_id", "s", "code"])
+        .join(F.broadcast(norm_lut), ["ivf_cell", "s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "qn",
+            "s",
+            (F.col("dpc") + F.col("dpr")).alias("dp"),
+            "np",
+        )
+    )
+    return _adc_fold_rank(parts, k)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,

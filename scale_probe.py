@@ -789,6 +789,160 @@ def stream_media_growth(ks: tuple[int, ...] = (10, 30)) -> dict:
     return out
 
 
+def ann_serving_growth(ks: tuple[int, ...] = (10, 30)) -> dict:
+    """Fifth growth-exponent family (VERDICT r13 item 5): ANN SERVING.
+    The build/probe split's whole value claim is that serving cost scales
+    with the PROBED fraction of the corpus, not the corpus — this probe
+    measures that claim's three terms at 10× and 30× replica volume
+    (organic corpora: replicas are orthogonally rotated, so they fill
+    different quantizer cells):
+
+    - ``pq_probe_sec`` / ``ivf_probe_sec``: serving wall of the
+      materialized-index probes (`pq_topk_probe` / `ivf_topk_probe`) —
+      should grow ∝ volume AT MOST (the scan is the probed cells' files
+      only; the ADC variant touches code rows, 128× smaller);
+    - ``adc_candidates`` and ``candidate_fraction``: the structural
+      confinement term — Σ over (query, probed cell) of |cell|, read off
+      the index's own codes table + quantizer (not timed, exact). The
+      fraction vs ``nprobe/nlist`` IS the pruning claim, measured; a
+      fraction that grows with volume would mean probe skew (queries'
+      nearest cells outgrowing the mean) — name it, don't average it away;
+    - ``probed_cell_fraction``: distinct probed partition values over
+      live partition values — the dynamic-partition-pruning surface (the
+      plan test pins the mechanism; this measures its coverage);
+    - ``brute_sec``: the exact full scan at the same scale — the linear
+      yardstick the index must beat by roughly the candidate fraction;
+    - ``pq_build_sec`` / ``ivf_build_sec``: the one-time corpus-scale
+      build each probe amortizes (expected ∝ volume).
+    """
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("msfdp-ann-serving-growth")
+    spark.sparkContext.setLogLevel("WARN")
+    from multi_source_financial_data_pipeline_spark.operators import similarity
+    from multi_source_financial_data_pipeline_spark.plans import llmdata as _ld
+
+    out: dict = {
+        "metric": "ann_serving_growth",
+        "base_sf_dir": src,
+        "nlist": _ld.IVF_NLIST,
+        "nprobe": _ld.IVF_NPROBE,
+        "expected_fraction_nprobe_over_nlist": round(
+            _ld.IVF_NPROBE / _ld.IVF_NLIST, 4
+        ),
+        "scales": {},
+    }
+    try:
+        for k in ks:
+            dst = tempfile.mkdtemp(prefix=f"msfdp_ann{k}_")
+            pq_dir = os.path.join(dst, "_pq_index")
+            ivf_dir = os.path.join(dst, "_ivf_index")
+            try:
+                replicate(spark, src, dst, k, tables=("embeddings",))
+                emb = load_table(spark, dst, "embeddings")
+                n_vec = emb.count()
+                queries = emb.filter(F.col("vec_id") < _ld.N_QUERIES).select(
+                    F.col("vec_id").alias("query_id"), "embedding"
+                )
+                row: dict = {"n_vectors": n_vec}
+                t0 = time.perf_counter()
+                similarity.build_pq_index(
+                    spark, emb, pq_dir, m=_ld.PQ_M, k_codebook=_ld.PQ_K,
+                    iters=_ld.PQ_ITERS, dim=_ld.EMB_DIM, nlist=_ld.IVF_NLIST,
+                )
+                row["pq_build_sec"] = round(time.perf_counter() - t0, 3)
+                t0 = time.perf_counter()
+                similarity.build_ivf_index(
+                    spark, emb, ivf_dir, nlist=_ld.IVF_NLIST
+                )
+                row["ivf_build_sec"] = round(time.perf_counter() - t0, 3)
+
+                def timed(df_fn) -> float:
+                    df_fn().write.format("noop").mode("overwrite").save()
+                    reps = []
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        df_fn().write.format("noop").mode("overwrite").save()
+                        reps.append(time.perf_counter() - t0)
+                    return round(min(reps), 3)
+
+                row["pq_probe_sec"] = timed(
+                    lambda: similarity.pq_topk_probe(
+                        spark, pq_dir, queries, k=_ld.TOPK,
+                        nprobe=_ld.IVF_NPROBE,
+                    )
+                )
+                row["ivf_probe_sec"] = timed(
+                    lambda: similarity.ivf_topk_probe(
+                        spark, ivf_dir, queries, k=_ld.TOPK,
+                        nprobe=_ld.IVF_NPROBE,
+                    )
+                )
+                row["brute_sec"] = timed(
+                    lambda: similarity.brute_force_topk(
+                        emb, queries, k=_ld.TOPK
+                    )
+                )
+                # structural confinement: cell sizes off the index's own
+                # codes table, probe targets off its quantizer — exact
+                # counts, no timing in the path
+                codes = spark.read.parquet(os.path.join(pq_dir, "codes"))
+                cell_sizes = {
+                    int(r["ivf_cell"]): int(r["n"])
+                    for r in codes.groupBy("ivf_cell")
+                    .agg((F.count(F.lit(1)) / _ld.PQ_M).cast("long").alias("n"))
+                    .collect()
+                }
+                seed_row = spark.read.parquet(
+                    os.path.join(pq_dir, "quantizer")
+                )
+                q = queries.select(
+                    "query_id",
+                    F.col("embedding").cast("array<double>").alias("qv"),
+                ).withColumn("qn", similarity.sq_norm(F.col("qv")))
+                probes = (
+                    q.join(F.broadcast(seed_row))
+                    .select(
+                        "query_id",
+                        F.explode(
+                            F.slice(
+                                similarity._best_cells(
+                                    F.col("qv"), F.col("qn")
+                                ),
+                                1,
+                                _ld.IVF_NPROBE,
+                            )
+                        ).alias("p"),
+                    )
+                    .select("query_id", F.col("p")["cell"].alias("cell"))
+                    .collect()
+                )
+                cand = sum(
+                    cell_sizes.get(int(r["cell"]), 0) for r in probes
+                )
+                row["adc_candidates"] = cand
+                row["candidate_fraction"] = round(
+                    cand / (_ld.N_QUERIES * n_vec), 4
+                )
+                probed_cells = {int(r["cell"]) for r in probes}
+                row["probed_cell_fraction"] = round(
+                    len(probed_cells) / len(cell_sizes), 3
+                )
+                out["scales"][str(k)] = row
+            finally:
+                shutil.rmtree(dst, ignore_errors=True)
+    finally:
+        spark.stop()
+    lo = out["scales"][str(ks[0])]
+    hi = out["scales"][str(ks[-1])]
+    out["volume_ratio"] = round(ks[-1] / ks[0], 2)
+    out["ratios_30_over_10"] = {
+        key: round(hi[key] / lo[key], 2)
+        for key in hi
+        if isinstance(lo.get(key), (int, float)) and lo[key]
+    }
+    return out
+
+
 def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     k = int(os.environ.get("SPARK_GRAFT_SCALE_K", "10"))
@@ -851,6 +1005,9 @@ def _dispatch(argv: list[str]) -> int:
     if cmd == "stream_media_growth":
         print(json.dumps(stream_media_growth()))
         return 0
+    if cmd == "ann_serving_growth":
+        print(json.dumps(ann_serving_growth()))
+        return 0
     if cmd == "growth":
         names = argv[2].split(",") if len(argv) > 2 else []
         names = [n for n in names if n.strip()]
@@ -863,7 +1020,8 @@ def _dispatch(argv: list[str]) -> int:
         return 0
     sys.stderr.write(
         f"unknown subcommand {cmd!r}; usage: scale_probe.py "
-        "[dedup_growth | stream_media_growth | growth <query[,query...]>]\n"
+        "[dedup_growth | stream_media_growth | ann_serving_growth | "
+        "growth <query[,query...]>]\n"
     )
     return 2
 

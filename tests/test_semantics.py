@@ -471,6 +471,70 @@ def test_pq_identity_at_full_budget_multi_subspace(spark):
     assert got == want
 
 
+def test_ivfpq_residual_identity_at_full_budget(spark):
+    """The exactness limit extended to RESIDUAL encoding (r13 VERDICT
+    item 3): with k_codebook == n every residual r = v − center(cell) is
+    its own Lloyd seed in every subspace, so reconstruction is
+    center + r = v and — because the fixture values are dyadic rationals
+    whose products and sums are all exactly representable — the split
+    cosine assembly dot(q, center) + dot(q, r) equals the brute-force
+    dot(q, v) EXACTLY, with no rounding anywhere. Full probe
+    (nprobe == nlist) removes the pruning, so the result must equal
+    brute force exactly; any drift means the residual subtraction, the
+    per-cell LUT split, or the norm partial reordered a float op."""
+    from pyspark.sql import functions as F
+
+    from multi_source_financial_data_pipeline_spark.operators import similarity
+
+    n, dim = 40, 8
+    rows = [
+        (i, [float((i * 13 + d * 5) % 17) - 8.0 + 0.0625 * i for d in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 5").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    full = similarity.ivfpq_residual_adc_topk(
+        emb, queries, m=2, k_codebook=n, iters=2, dim=dim,
+        nlist=6, nprobe=6, k=4,
+    )
+    brute = similarity.brute_force_topk(emb, queries, k=4)
+    got = {(r["query_id"], r["rank"]): r["cand_id"] for r in full.collect()}
+    want = {(r["query_id"], r["rank"]): r["cand_id"] for r in brute.collect()}
+    assert got == want
+    # a REAL probe (nprobe < nlist) only ever returns candidates from the
+    # query's probed cells — the residual variant must keep the coarse
+    # confinement contract even though its LUTs are now per-cell
+    pruned = similarity.ivfpq_residual_adc_topk(
+        emb, queries, m=2, k_codebook=8, iters=2, dim=dim,
+        nlist=6, nprobe=2, k=4,
+    )
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_assign(emb, nlist=6).collect()
+    }
+    seed_row = similarity.ivf_seed_row(emb, nlist=6)
+    q = queries.select(
+        F.col("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    ).withColumn("qn", similarity.sq_norm(F.col("qv")))
+    probes = {
+        (r["query_id"], r["p"]["cell"])
+        for r in q.join(F.broadcast(seed_row))
+        .select(
+            "query_id",
+            F.explode(
+                F.slice(similarity._best_cells(F.col("qv"), F.col("qn")), 1, 2)
+            ).alias("p"),
+        )
+        .collect()
+    }
+    assert len(pruned.collect()) > 0
+    for r in pruned.collect():
+        assert (r["query_id"], cells[r["cand_id"]]) in probes
+
+
 def test_pq_probe_equals_inline_ivfpq(spark, tmp_path):
     """`build_pq_index` + `pq_topk_probe` must reproduce
     `ivfpq_adc_topk`'s EXACT rows at the same m/k/iters/nlist/nprobe —
