@@ -156,8 +156,10 @@ def pq_train_encode(
 
     Scale shape: ALL subspaces train in ONE pipeline per iteration — the
     (vec_id, s) explode carries the same total bytes as the corpus (m
-    rows of dim/m each), assignment is a broadcast join against the m·k
-    sub-centroid frame ranked per (vec_id, s), the update is one
+    rows of dim/m each), assignment is a MAP-ONLY argmin against the
+    broadcast per-subspace codebook array (no shuffle, no window — cost
+    n·m rows regardless of k; r14 fix of the k-proportional shuffle the
+    row_number formulation paid), the update is one
     (s, cell, pos) hash aggregate over KMEANS_Q-quantized components
     (associative BIGINT sums — order-proof means, the same cross-engine
     determinism contract as `kmeans_refine`). Nothing is pairwise in the
@@ -182,20 +184,33 @@ def pq_train_encode(
     )
 
     def assign(cents_df: DataFrame) -> DataFrame:
-        a = subs.join(F.broadcast(cents_df), "s").select(
+        # per-subspace codebook as ONE broadcast array row, argmin as a
+        # map-only array_sort over (d, cell) structs — the `ivf_assign`
+        # pattern. The r13 formulation exploded to n·m·k rows and ranked
+        # them with a row_number window (a full sort-shuffle, ×3 per run);
+        # at the 8-bit budget (k=256) that was 4.1M shuffled rows per
+        # assign and made codebook cost grow with k, not just n. Same
+        # rounded distance, same (d asc, cell asc) tiebreak, so the
+        # SELECTED cells — hence centroids, codes, and the DuckDB oracle
+        # replay — are identical; only the shuffle is gone.
+        percell = cents_df.groupBy("s").agg(
+            F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cs")
+        )
+        best = F.array_sort(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    F.round(sq_dist(F.col("sv"), c["cv"]), 6).alias("d"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        )[0]
+        return subs.join(F.broadcast(percell), "s").select(
             "vec_id",
             "s",
             "sv",
-            "cell",
-            F.round(sq_dist(F.col("sv"), F.col("cv")), 6).alias("d"),
-        )
-        w = Window.partitionBy("vec_id", "s").orderBy(
-            F.col("d").asc(), F.col("cell").asc()
-        )
-        return (
-            a.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            best["cell"].alias("cell"),
+            best["d"].alias("d"),
         )
 
     for _ in range(iters):

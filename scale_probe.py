@@ -844,12 +844,24 @@ def ann_serving_growth(ks: tuple[int, ...] = (10, 30)) -> dict:
                     F.col("vec_id").alias("query_id"), "embedding"
                 )
                 row: dict = {"n_vectors": n_vec}
+
+                def _gc() -> None:
+                    # same session hygiene as bench.py's rep boundaries: the
+                    # 30× build accumulates hundreds of dead broadcast/shuffle
+                    # refs, and without an explicit driver GC every timing
+                    # AFTER it measures ContextCleaner backlog, not the plan
+                    # (first cut of this probe: pq_probe read 12× at 3× volume
+                    # purely from this — 19.3 s after the build vs ~4 s clean)
+                    spark.sparkContext._jvm.System.gc()
+
+                _gc()
                 t0 = time.perf_counter()
                 similarity.build_pq_index(
                     spark, emb, pq_dir, m=_ld.PQ_M, k_codebook=_ld.PQ_K,
                     iters=_ld.PQ_ITERS, dim=_ld.EMB_DIM, nlist=_ld.IVF_NLIST,
                 )
                 row["pq_build_sec"] = round(time.perf_counter() - t0, 3)
+                _gc()
                 t0 = time.perf_counter()
                 similarity.build_ivf_index(
                     spark, emb, ivf_dir, nlist=_ld.IVF_NLIST
@@ -857,6 +869,7 @@ def ann_serving_growth(ks: tuple[int, ...] = (10, 30)) -> dict:
                 row["ivf_build_sec"] = round(time.perf_counter() - t0, 3)
 
                 def timed(df_fn) -> float:
+                    _gc()
                     df_fn().write.format("noop").mode("overwrite").save()
                     reps = []
                     for _ in range(2):
