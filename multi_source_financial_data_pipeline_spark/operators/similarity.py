@@ -68,9 +68,10 @@ def kmeans_refine(
     evaluation assignment: per surviving cell, member count, inertia
     (Σ rounded d², decimal-exact sum) and the refined centroid's norm.
 
-    Scale shape per iteration: assignment is a broadcast cross join against
-    the k-row centroid frame (map-only over the corpus — k·d doubles ship
-    to every executor), the update is ONE (cell, dim) hash aggregate over
+    Scale shape per iteration: assignment is a MAP-ONLY argmin against the
+    broadcast centroid array (k·d doubles ship to every executor; no
+    shuffle, no window — cost n rows regardless of k, the r14 rewrite
+    shared with `pq_train_encode`), the update is ONE (cell, dim) hash aggregate over
     quantized components (linear, map-side combined, associative BIGINT
     sums) folded back to k centroid rows. Nothing is ever pairwise in the
     corpus; at 100 TB you would persist the source once and reuse it across
@@ -84,19 +85,31 @@ def kmeans_refine(
     )
 
     def assign(cents_df: DataFrame) -> DataFrame:
-        a = e.crossJoin(F.broadcast(cents_df)).select(
+        # centroids as ONE broadcast array row, argmin as a map-only
+        # array_sort over (d, cell) structs — same r14 rewrite as
+        # `pq_train_encode`: the previous n·k-row crossJoin + row_number
+        # window was a full sort-shuffle per assign whose cost grew with
+        # k, which is exactly wrong once nlist grows with the corpus.
+        # Same rounded distance and (d asc, cell asc) tiebreak, so the
+        # selected cells — hence centroids, inertia, and the oracle's
+        # window-formulated replay — are identical.
+        percell = cents_df.agg(
+            F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cs")
+        )
+        best = F.array_sort(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    F.round(sq_dist(F.col("v"), c["cv"]), 6).alias("d"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        )[0]
+        return e.join(F.broadcast(percell)).select(
             "vec_id",
             "v",
-            "cell",
-            F.round(sq_dist(F.col("v"), F.col("cv")), 6).alias("d"),
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("d").asc(), F.col("cell").asc()
-        )
-        return (
-            a.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            best["cell"].alias("cell"),
+            best["d"].alias("d"),
         )
 
     for _ in range(iters):
