@@ -136,6 +136,11 @@ HEADLINE = [
     # round-14: residual encoding (FAISS by_residual) — per-cell LUT
     # assembly is a join shape the raw-vector IVF-PQ row doesn't have
     "ivfpq_residual_recall",
+    # round-14: Bloom-prefiltered decontamination (broadcast dense-word
+    # filter + codegen bit-test membership — a map-only shape no other
+    # sketch row has) and the full-outer CDC snapshot diff
+    "bloom_decontaminate",
+    "snapshot_delta",
     "macd_last",
     "bucketed_revenue",
     "source_kl",

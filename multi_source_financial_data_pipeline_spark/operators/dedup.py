@@ -413,3 +413,112 @@ def exact_dedup_groups(
         F.min(id_col).alias("keep_id"),
         F.count(F.lit(1)).alias("group_size"),
     )
+
+
+# --- Bloom filter: the broadcastable membership prefilter ---------------------
+
+#: word width for the dense filter array. 32 keeps every shifted mask far from
+#: the sign bit in BOTH engines (DuckDB's ``<<`` on BIGINT range-checks, and a
+#: 1<<63 mask would read as negative); the 2x array-length cost is noise at
+#: any sane m.
+BLOOM_WORD_BITS = 32
+
+
+def _bloom_h32(key: Column, salt: str) -> Column:
+    """32-bit md5-prefix hash, seeded by prefix — the same oracle-replayable
+    construction every sketch here uses (see module docstring)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def bloom_positions(
+    key: Column, m_bits: int, k: int, salt: str = "bloom"
+) -> list[Column]:
+    """The k bit positions of a key, via Kirsch-Mitzenmacher double hashing
+    (h1 + j*h2 mod m): two md5 hashes serve all k probes, so per-row cost is
+    2 hashes + k integer ops no matter how many probes the false-positive
+    budget demands. Returned as k PLAIN column expressions (no higher-order
+    functions) so build and probe both stay inside whole-stage codegen —
+    the lesson the r14 pq256 argmin paid for."""
+    h1 = _bloom_h32(key, f"{salt}1|")
+    h2 = _bloom_h32(key, f"{salt}2|")
+    return [(h1 + F.lit(j) * h2) % F.lit(m_bits) for j in range(k)]
+
+
+def _bloom_masks() -> Column:
+    return F.array(
+        *[F.lit(1 << b).cast("long") for b in range(BLOOM_WORD_BITS)]
+    )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k: int,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build an m-bit Bloom filter over a key column and densify it to ONE
+    row ``(bloom_words: array<long>)`` of m/32 words, ready to broadcast.
+
+    Scale shape: keys explode to k position rows (map-only), one mergeable
+    ``bit_or`` hash aggregate produces the set words, and a single-row
+    collect_list densifies — per-group and final state are both bounded by
+    m/32 (a CONSTANT chosen from the false-positive budget), never by the
+    key count. This is the summary that ships where the exact key set
+    cannot: 1e9 probe keys are tens of GB as a broadcast set, but ~14 bits
+    per key (fpr 1e-3) is ~1.8 GB — and m is sized to the PROBE side,
+    which in decontamination is the small, fixed benchmark suite."""
+    n_words = m_bits // BLOOM_WORD_BITS
+    masks = _bloom_masks()
+    pos = keys.select(
+        F.explode(
+            F.array(*bloom_positions(F.col(key_col), m_bits, k, salt))
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            (F.col("p") / BLOOM_WORD_BITS).cast("int").alias("widx"),
+            F.element_at(
+                masks, (F.col("p") % BLOOM_WORD_BITS).cast("int") + 1
+            ).alias("m"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(m)").alias("word"))
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("widx", "word"))
+        ).alias("__mp")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("__mp"), i), F.lit(0).cast("long")
+            ),
+        ).alias("bloom_words")
+    )
+
+
+def bloom_member(
+    key: Column,
+    words: Column,
+    m_bits: int,
+    k: int,
+    salt: str = "bloom",
+) -> Column:
+    """Membership test against a dense ``bloom_words`` array (crossJoin the
+    broadcast 1-row build first): AND of k codegen'd bit tests — PURE MAP
+    WORK, no join against the filter, no per-key shuffle. May return true
+    for a key never inserted (the measured false-positive price); never
+    false for an inserted one (every build bit is set before any probe
+    reads — pinned in tests)."""
+    masks = _bloom_masks()
+    out: Column | None = None
+    for p in bloom_positions(key, m_bits, k, salt):
+        word = F.element_at(words, (p / BLOOM_WORD_BITS).cast("int") + 1)
+        mask = F.element_at(masks, (p % BLOOM_WORD_BITS).cast("int") + 1)
+        test = word.bitwiseAND(mask) != 0
+        out = test if out is None else (out & test)
+    return out

@@ -15,6 +15,7 @@ from multi_source_financial_data_pipeline_spark.operators import (
     sampling,
     similarity,
     text,
+    validation,
 )
 from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 from multi_source_financial_data_pipeline_spark.sources import load_table
@@ -2021,6 +2022,206 @@ GROUP BY doc_id
 """
 
 
+# --- Bloom-prefiltered decontamination ----------------------------------------
+
+#: filter geometry: the probe side is the FIXED-cap eval set (~1.4k distinct
+#: 5-grams at every SF — measured), so m is a constant: 32768 bits = 1024
+#: 32-bit words = 4 KB dense array, k=4 → theoretical gram-level fpr
+#: (1-e^(-kn/m))^k ≈ 5e-4. m scales with the PROBE set only; corpus growth
+#: changes nothing on the build side.
+BLOOM_M_BITS = 32768
+BLOOM_K = 4
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination, with the filter's error contract
+    MEASURED against the exact join (`q_decontaminate`, same probe split).
+
+    Why the operator exists: `probe_overlap` ships the exact probe-gram SET
+    to the corpus side — fine while the eval suite is small, but a full
+    benchmark battery at 1e9 distinct grams is tens of GB and cannot
+    broadcast. The Bloom filter is the O(m)-state summary that CAN: built
+    with one map-side-combined ``bit_or`` aggregate over probe grams,
+    densified to ONE 4 KB array row (`dedup.bloom_build`), broadcast;
+    corpus-side membership is then PURE MAP WORK — 2 md5s + 4 codegen'd
+    bit tests per gram (`dedup.bloom_member`), no join against the filter,
+    no shuffle before the per-doc rollup. The price is false positives,
+    and this query reports it next to ground truth: per bloom-flagged doc,
+    the bloom-positive gram count, the exact shared-gram count, and
+    whether the doc is a pure false positive (wasted verify work in the
+    prefilter→exact-verify deployment). False negatives are impossible
+    (n_bloom_pos ≥ n_exact_pos row-wise — pinned in tests), so the
+    prefilter never loses a contaminated document."""
+    docs = _t(spark, sf_dir, "documents")
+    is_probe = (F.col("doc_id") % DECON_PROBE_MOD == 0) & (
+        F.col("doc_id") < DECON_PROBE_CAP
+    )
+    probe_grams = (
+        dedup.shingle_rows(docs.filter(is_probe), "doc_id", "text", DECON_NGRAM)
+        .select("s")
+        .distinct()
+    )
+    corpus_grams = dedup.shingle_rows(
+        docs.filter(~is_probe), "doc_id", "text", DECON_NGRAM
+    ).distinct()
+    bloom = dedup.bloom_build(probe_grams, "s", BLOOM_M_BITS, BLOOM_K)
+    probed = corpus_grams.crossJoin(F.broadcast(bloom)).select(
+        "doc_id",
+        dedup.bloom_member(
+            F.col("s"), F.col("bloom_words"), BLOOM_M_BITS, BLOOM_K
+        ).alias("hit"),
+    )
+    flagged = (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("hit").cast("long")).alias("n_bloom_pos"),
+        )
+        .filter(F.col("n_bloom_pos") > 0)
+    )
+    exact = (
+        corpus_grams.join(probe_grams, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n_exact"))
+    )
+    n_exact = F.coalesce(F.col("__n_exact"), F.lit(0).cast("long"))
+    return flagged.join(exact, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        "n_bloom_pos",
+        n_exact.alias("n_exact_pos"),
+        (n_exact == 0).alias("false_positive"),
+    )
+
+
+def _sql_bloom_h(col: str, seed: int) -> str:
+    return f"('0x' || substr(md5('bloom{seed}|' || {col}), 1, 8))::BIGINT"
+
+
+SQL_BLOOM_DECONTAMINATE = f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(toks) - {DECON_NGRAM - 1}),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS s
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+), probe AS (
+  SELECT DISTINCT s FROM g
+  WHERE doc_id % {DECON_PROBE_MOD} = 0 AND doc_id < {DECON_PROBE_CAP}
+), corpus AS (
+  SELECT doc_id, s FROM g
+  WHERE NOT (doc_id % {DECON_PROBE_MOD} = 0 AND doc_id < {DECON_PROBE_CAP})
+), bpos AS (
+  SELECT ({_sql_bloom_h('s', 1)} + j * {_sql_bloom_h('s', 2)}) % {BLOOM_M_BITS} AS p
+  FROM probe, unnest(generate_series(0, {BLOOM_K - 1})) t(j)
+), words AS (
+  SELECT p // 32 AS widx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS word
+  FROM bpos GROUP BY 1
+), hits AS (
+  SELECT doc_id,
+         bool_and((coalesce(w.word, 0)
+                   & (CAST(1 AS BIGINT) << CAST(c.p % 32 AS INTEGER))) <> 0) AS hit
+  FROM (
+    SELECT doc_id, s,
+           ({_sql_bloom_h('s', 1)} + j * {_sql_bloom_h('s', 2)}) % {BLOOM_M_BITS} AS p
+    FROM corpus, unnest(generate_series(0, {BLOOM_K - 1})) t(j)
+  ) c LEFT JOIN words w ON w.widx = c.p // 32
+  GROUP BY doc_id, s
+), flags AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_bloom_pos
+  FROM hits GROUP BY doc_id
+), exact AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM corpus JOIN probe USING (s) GROUP BY doc_id
+)
+SELECT f.doc_id, f.n_grams, f.n_bloom_pos,
+       CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact_pos,
+       coalesce(e.n_exact, 0) = 0 AS false_positive
+FROM flags f LEFT JOIN exact e USING (doc_id)
+WHERE f.n_bloom_pos > 0
+"""
+
+
+# --- snapshot delta: incremental-ingest corpus diff ---------------------------
+
+#: deterministic two-snapshot derivation from the one documents table: the
+#: md5-prefix doc hash (the same `hash_uniform` idiom every sampler uses)
+#: drops ~9% from the OLD snapshot (docs "added later"), ~8% from the NEW
+#: one ("removed"), and rewrites ~14% of NEW texts ("changed"). Pure row
+#: functions of doc_id — snapshot membership never depends on partitioning
+#: or engine.
+SNAP_OLD_MOD, SNAP_OLD_DROP = 11, 3
+SNAP_NEW_MOD, SNAP_NEW_DROP = 13, 5
+SNAP_EDIT_MOD, SNAP_EDIT_SEL = 7, 2
+
+
+def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest snapshot diff rolled up per (source, status):
+    added/removed/changed/unchanged doc counts plus an order-independent
+    ``bit_xor`` membership fingerprint of each group's doc hashes (the
+    shard_manifest idiom — a loader can verify WHICH docs moved, not just
+    how many, against constant per-group state).
+
+    Scale shape: `validation.snapshot_diff` shuffles only (key, md5 digest)
+    — never document payloads — through one full-outer hash join; the
+    rollup joins status back to the (doc_id, source) projection and
+    reduces to |sources| x 4 rows. This is the primitive that turns a
+    100 TB reprocess into an added+changed-only delta run."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    base = docs.select("doc_id", "source", "text", h.alias("__h"))
+    old = base.filter(F.col("__h") % SNAP_OLD_MOD != SNAP_OLD_DROP).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    new_text = F.when(
+        F.col("__h") % SNAP_EDIT_MOD == SNAP_EDIT_SEL,
+        F.concat(F.col("text"), F.lit(" __rev2")),
+    ).otherwise(F.col("text"))
+    new = base.filter(F.col("__h") % SNAP_NEW_MOD != SNAP_NEW_DROP).select(
+        "doc_id", F.md5(new_text).alias("fp")
+    )
+    st = validation.snapshot_diff(old, new, ["doc_id"], "fp")
+    return (
+        st.join(base.select("doc_id", "source", "__h"), "doc_id")
+        .groupBy("source", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("bit_xor(__h)").alias("xor_h"),
+        )
+    )
+
+
+SQL_SNAPSHOT_DELTA = f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents
+), old AS (
+  SELECT doc_id, md5(text) AS fp_old FROM base
+  WHERE h % {SNAP_OLD_MOD} <> {SNAP_OLD_DROP}
+), new_ AS (
+  SELECT doc_id,
+         md5(CASE WHEN h % {SNAP_EDIT_MOD} = {SNAP_EDIT_SEL}
+                  THEN text || ' __rev2' ELSE text END) AS fp_new
+  FROM base WHERE h % {SNAP_NEW_MOD} <> {SNAP_NEW_DROP}
+), st AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.fp_old = n.fp_new THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN new_ n ON o.doc_id = n.doc_id
+)
+SELECT b.source, s.status, CAST(count(*) AS BIGINT) AS n_docs,
+       bit_xor(b.h) AS xor_h
+FROM st s JOIN base b ON b.doc_id = s.doc_id
+GROUP BY 1, 2
+"""
+
+
 # --- sequence packing: per-shard concat-and-chunk ----------------------------
 
 SEQ_LEN = 512
@@ -3883,6 +4084,20 @@ SPECS = {
         SQL_DECONTAMINATE,
         "benchmark decontamination: 5-gram overlap vs a broadcast eval-probe set",
         ("text", "join"),
+    ),
+    "bloom_decontaminate": QuerySpec(
+        q_bloom_decontaminate,
+        SQL_BLOOM_DECONTAMINATE,
+        "Bloom-prefiltered decontamination: 4KB broadcast filter, map-only "
+        "membership, measured false-positive price vs the exact join",
+        ("text", "sketch", "bench"),
+    ),
+    "snapshot_delta": QuerySpec(
+        q_snapshot_delta,
+        SQL_SNAPSHOT_DELTA,
+        "CDC snapshot diff: added/removed/changed/unchanged rollup with "
+        "bit_xor membership fingerprints",
+        ("text", "join", "bench"),
     ),
     "curation_kept": QuerySpec(
         q_curation_kept,

@@ -1271,3 +1271,30 @@ def test_pq_index_probe_prunes_cell_partitions_and_runs_no_training(
     assert "CartesianProduct" not in plan
     assert df.count() > 0  # the probe executed end-to-end, training never ran
     assert index_dir  # the build had already happened before the patch
+
+
+def test_bloom_membership_is_map_only(spark, sf_dir):
+    """The whole point of the Bloom prefilter: membership must not JOIN
+    against the filter. The only nested-loop join in the plan is the 1-row
+    dense-filter broadcast (bounded by m/32 words — a constant from the
+    false-positive budget, never by probe-key count), the bit tests are
+    plain codegen'd expressions (no higher-order functions — `transform`/
+    `aggregate` evaluate interpreted), and no window touches the gram
+    stream."""
+    plan = _plan(spark, sf_dir, "bloom_decontaminate")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "Window" not in plan
+    assert "transform(" not in plan and "aggregate(" not in plan
+
+
+def test_snapshot_delta_shuffles_digests_not_payloads(spark, sf_dir):
+    """snapshot_diff must prune each side to (key, md5 digest) BEFORE the
+    full-outer join: the text payload may appear in scans/projections but
+    never in an exchange's output schema — at 100 TB the diff shuffles
+    32-char digests, not documents."""
+    df = QUERIES["snapshot_delta"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, f"payload in shuffle: {line}"
+    assert "FullOuter" in plan or "full_outer" in plan.lower()

@@ -564,3 +564,94 @@ def test_pq_probe_equals_inline_ivfpq(spark, tmp_path):
     got = sorted(tuple(r) for r in probe.collect())
     want = sorted(tuple(r) for r in inline.collect())
     assert got == want
+
+
+def test_bloom_no_false_negatives(spark):
+    """The Bloom guarantee: every inserted key probes positive — over a
+    key set that exercises many words of the filter — and the dense build
+    is exactly m/32 words of long type."""
+    from pyspark.sql import functions as F
+
+    from multi_source_financial_data_pipeline_spark.operators import dedup
+
+    m_bits, k = 4096, 4
+    keys = spark.range(300).select(
+        F.concat(F.lit("key-"), F.col("id").cast("string")).alias("s")
+    )
+    bloom = dedup.bloom_build(keys, "s", m_bits, k)
+    words = bloom.collect()[0]["bloom_words"]
+    assert len(words) == m_bits // dedup.BLOOM_WORD_BITS
+    assert all(isinstance(w, int) for w in words)
+    probed = (
+        keys.crossJoin(F.broadcast(bloom))
+        .select(
+            dedup.bloom_member(
+                F.col("s"), F.col("bloom_words"), m_bits, k
+            ).alias("hit")
+        )
+        .toPandas()
+    )
+    assert probed.hit.all(), "an inserted key probed negative"
+
+
+def test_bloom_decontaminate_contract(spark, sf_dir):
+    """The prefilter vs ground truth: (1) bloom hits dominate exact hits
+    row-wise (no false negative can hide inside a count), (2) every doc the
+    exact join flags is bloom-flagged WITH the identical shared-gram count,
+    (3) the false_positive marker is exactly n_exact_pos == 0, and (4) the
+    false-positive price is small at the chosen geometry (docs flagged on
+    pure collisions are a sliver of the corpus)."""
+    t = _run(spark, sf_dir, "bloom_decontaminate")
+    exact = _run(spark, sf_dir, "decontaminate_overlap")
+    assert len(t) > 0
+    assert (t.n_bloom_pos >= t.n_exact_pos).all()
+    assert (t.n_grams >= t.n_bloom_pos).all()
+    assert ((t.n_exact_pos == 0) == t.false_positive).all()
+    merged = exact.merge(t, on="doc_id", how="left")
+    assert merged.n_exact_pos.notna().all(), "exact-flagged doc missing"
+    assert (merged.n_shared_ngrams == merged.n_exact_pos).all()
+    corpus_docs = 500  # documents table floor at every SF
+    assert t.false_positive.sum() <= 0.05 * corpus_docs
+
+
+def test_snapshot_diff_statuses(spark):
+    """All four statuses from a hand-built pair of snapshots."""
+    from multi_source_financial_data_pipeline_spark.operators import validation
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "fp"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d")], ["k", "fp"]
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in validation.snapshot_diff(old, new, ["k"], "fp").collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_delta_partitions_the_corpus(spark, sf_dir):
+    """The per-(source, status) rollup must account for EVERY doc in the
+    union of both snapshots exactly once, and every status class must be
+    non-empty at this corpus (the derivation rates guarantee it)."""
+    t = _run(spark, sf_dir, "snapshot_delta")
+    import duckdb
+
+    from multi_source_financial_data_pipeline_spark.plans import llmdata
+
+    con = duckdb.connect()
+    union_n = con.sql(
+        f"""
+        WITH base AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+          FROM '{sf_dir}/documents.parquet'
+        )
+        SELECT count(*) FROM base
+        WHERE h % {llmdata.SNAP_OLD_MOD} <> {llmdata.SNAP_OLD_DROP}
+           OR h % {llmdata.SNAP_NEW_MOD} <> {llmdata.SNAP_NEW_DROP}
+        """
+    ).fetchone()[0]
+    assert t.n_docs.sum() == union_n
+    assert set(t.status) == {"added", "removed", "changed", "unchanged"}
