@@ -141,6 +141,10 @@ HEADLINE = [
     # sketch row has) and the full-outer CDC snapshot diff
     "bloom_decontaminate",
     "snapshot_delta",
+    # round-14: distributed BPE merge training — 8 unrolled vocab-scale
+    # pair-agg + argmax + greedy-merge iterations, a chained-lineage
+    # shape (ReusedExchange across steps) nothing else exercises
+    "bpe_merges",
     "macd_last",
     "bucketed_revenue",
     "source_kl",

@@ -2222,6 +2222,88 @@ GROUP BY 1, 2
 """
 
 
+# --- BPE merge training --------------------------------------------------------
+
+#: unrolled merge steps for the harness; a deployment trains ~30k with the
+#: same per-step plan (see operators/text.bpe_merge_steps docstring)
+BPE_N_MERGES = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training on the corpus's own vocabulary
+    (`text.bpe_merge_steps`): the learned merge table for the first
+    BPE_N_MERGES merges — per step, one pair hash aggregate over the
+    word-frequency vocab, a deterministic 1-row argmax, and an exact
+    greedy row-local merge. The corpus is scanned once; every iteration
+    is vocab-scale. Oracle: the identical algorithm unrolled as chained
+    DuckDB CTEs (generated below), bit-for-bit — integer counts and
+    lexicographic tiebreaks, nothing float."""
+    return text.bpe_merge_steps(
+        _t(spark, sf_dir, "documents"), BPE_N_MERGES
+    )
+
+
+def _sql_bpe_merges(n_merges: int) -> str:
+    """Generate the chained-CTE DuckDB replay of bpe_merge_steps: v0 is
+    the char-symbol vocabulary; per step s, p{s} counts adjacent pairs,
+    b{s} takes the deterministic argmax, v{s} applies the merge with the
+    same gaps-and-islands greedy selection the Spark side uses."""
+    parts = [
+        f"""WITH v0 AS (
+  SELECT list_append(regexp_extract_all(w, '.'), '</w>') AS syms,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents)
+  GROUP BY w
+)"""
+    ]
+    for s in range(1, n_merges + 1):
+        parts.append(
+            f""", p{s} AS (
+  SELECT lhs, rhs, CAST(sum(n) AS BIGINT) AS pair_count
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(syms) - 1), i -> syms[i])) AS lhs,
+           unnest(list_transform(generate_series(1, len(syms) - 1), i -> syms[i + 1])) AS rhs,
+           n
+    FROM v{s - 1}
+  )
+  GROUP BY 1, 2
+), b{s} AS (
+  SELECT CAST({s} AS INTEGER) AS step, lhs, rhs, pair_count
+  FROM p{s} ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
+), v{s} AS (
+  SELECT list_filter(
+           list_transform(generate_series(1, len(syms)), i ->
+             CASE WHEN list_contains(sel, i) THEN syms[i] || syms[i + 1]
+                  WHEN list_contains(sel, i - 1) THEN NULL
+                  ELSE syms[i] END),
+           x -> x IS NOT NULL) AS syms, n
+  FROM (
+    SELECT syms, n,
+           [cands[j] FOR j IN generate_series(1, len(cands))
+            IF (j - list_position(ckey, cands[j] - j)) % 2 = 0] AS sel
+    FROM (
+      SELECT syms, n, cands,
+             [cands[q] - q FOR q IN generate_series(1, len(cands))] AS ckey
+      FROM (
+        SELECT syms, n,
+               [i FOR i IN generate_series(1, len(syms) - 1)
+                IF syms[i] = b.lhs AND syms[i + 1] = b.rhs] AS cands
+        FROM v{s - 1}, b{s} b
+      )
+    )
+  )
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT step, lhs, rhs, lhs || rhs AS merged, pair_count FROM b{s}"
+        for s in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
+SQL_BPE_MERGES = _sql_bpe_merges(BPE_N_MERGES)
+
+
 # --- sequence packing: per-shard concat-and-chunk ----------------------------
 
 SEQ_LEN = 512
@@ -4110,6 +4192,13 @@ SPECS = {
         SQL_SUBWORD_STATS,
         "BPE-ish pretokenizer counts + fertility vs whitespace tokens",
         ("text",),
+    ),
+    "bpe_merges": QuerySpec(
+        q_bpe_merges,
+        SQL_BPE_MERGES,
+        "distributed BPE tokenizer training: first 8 learned merges from "
+        "vocab-scale pair aggregates + exact greedy row-local merge",
+        ("text", "bench"),
     ),
     "ivf_assign": QuerySpec(
         q_ivf_assign,

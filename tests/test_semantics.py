@@ -655,3 +655,91 @@ def test_snapshot_delta_partitions_the_corpus(spark, sf_dir):
     ).fetchone()[0]
     assert t.n_docs.sum() == union_n
     assert set(t.status) == {"added", "removed", "changed", "unchanged"}
+
+
+def test_bpe_greedy_merge_exact(spark):
+    """bpe_greedy_merge must equal textbook leftmost non-overlapping
+    greedy on every overlap class: heterogeneous chains (a b a b — all
+    merge), homogeneous runs (parity within the run), shadowed candidates,
+    and sub-2-symbol no-ops."""
+    from pyspark.sql import functions as F
+
+    from multi_source_financial_data_pipeline_spark.operators import text as t
+
+    cases = [
+        (["x", "a", "b", "a", "b", "x"], "a", "b", ["x", "ab", "ab", "x"]),
+        (["a", "b", "c", "a", "b"], "a", "b", ["ab", "c", "ab"]),
+        (["a", "a", "a"], "a", "a", ["aa", "a"]),
+        (["a", "a", "a", "a"], "a", "a", ["aa", "aa"]),
+        (["a", "a", "a", "a", "a"], "a", "a", ["aa", "aa", "a"]),
+        (["b", "a", "b", "a", "b"], "b", "a", ["ba", "ba", "b"]),
+        (["q"], "a", "b", ["q"]),
+        ([], "a", "b", []),
+        (["a", "b"], "a", "b", ["ab"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, syms, a, b) for i, (syms, a, b, _) in enumerate(cases)],
+        ["i", "syms", "a", "b"],
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i",
+            t.bpe_greedy_merge(
+                F.col("syms"), F.col("a"), F.col("b")
+            ).alias("m"),
+        ).collect()
+    }
+    for i, (_, _, _, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]} != {want}"
+
+
+def _reference_bpe(word_counts: dict[str, int], n_merges: int):
+    """Independent textbook BPE trainer (Sennrich 2016), pure Python."""
+    vocab = {tuple(w) + ("</w>",): c for w, c in word_counts.items()}
+    out = []
+    for step in range(1, n_merges + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        out.append((step, a, b, a + b, cnt))
+        nv = {}
+        for syms, c in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            key = tuple(merged)
+            nv[key] = nv.get(key, 0) + c
+        vocab = nv
+    return out
+
+
+def test_bpe_merges_match_reference_trainer(spark):
+    """bpe_merge_steps on a crafted corpus must reproduce the textbook
+    trainer's merge table exactly — counts, order, and tiebreaks (the
+    Sennrich low/lower/newest/widest example, which exercises suffix
+    merges through the </w> marker)."""
+    from multi_source_financial_data_pipeline_spark.operators import text as t
+
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    docs = spark.createDataFrame(
+        [(" ".join([w] * c),) for w, c in counts.items()], ["text"]
+    )
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in t.bpe_merge_steps(docs, 6).orderBy("step").collect()
+    ]
+    want = _reference_bpe(counts, 6)
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
