@@ -556,6 +556,17 @@ def bpe_merge_steps(
     purely on O(steps²) recomputed exchanges. A deployment training ~30k
     merges runs this same loop and persists the vocab every few hundred
     steps to cap lineage depth."""
+    rows, _ = _bpe_train(df, n_merges, text_col)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "step int, lhs string, rhs string, merged string, pair_count long"
+    )
+
+
+def _bpe_train(
+    df: DataFrame, n_merges: int, text_col: str
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """The shared train loop: returns (merge rows, final merged vocab)."""
     vocab = bpe_vocab(df, text_col)
     rows: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -590,13 +601,55 @@ def bpe_merge_steps(
             break
         lhs, rhs, cnt = best["lhs"], best["rhs"], best["pair_count"]
         rows.append((step, lhs, rhs, lhs + rhs, cnt))
+        # localCheckpoint truncates lineage EVERY step — without it the
+        # stacked merge projections are exponential in the OPTIMIZER:
+        # CollapseProject inlines each layer's full expression at every
+        # `syms` reference of the next (~10-30 refs/layer), and by 8
+        # layers Catalyst spins minutes on a 31-row vocab (measured; an
+        # explode over the stack multiplies it further). Non-eager, so
+        # materialization rides the next step's argmax job; content is
+        # deterministic, so collected merges and the oracle replay are
+        # unaffected. This is the same move the docstring prescribes for
+        # a 30k-merge deployment, applied at step granularity.
         vocab = vocab.select(
             bpe_greedy_merge(
                 F.col("syms"), F.lit(lhs), F.lit(rhs)
             ).alias("syms"),
             "n",
-        )
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        rows, "step int, lhs string, rhs string, merged string, pair_count long"
+        ).localCheckpoint(eager=False)
+    return rows, vocab
+
+
+def bpe_encode_stats(
+    df: DataFrame, n_merges: int, text_col: str = "text"
+) -> DataFrame:
+    """The trained tokenizer APPLIED: encode the vocabulary with the
+    n_merges learned merges and report the corpus-level effect in one
+    row — total words, total emitted subword tokens, distinct symbol
+    sequences (encoded vocab size), distinct subword types (the
+    tokenizer's effective vocabulary), and fertility (subwords per word,
+    weighted by word frequency — the compression the merges bought over
+    raw characters). Two 1-row aggregates over the final vocab (whole
+    rows + exploded symbols), broadcast-crossed; encoding itself is the
+    same literal-folded row-local merge chain training used."""
+    _, vocab = _bpe_train(df, n_merges, text_col)
+    totals = vocab.agg(
+        F.sum("n").alias("total_words"),
+        F.sum(F.col("n") * F.size(F.col("syms")))
+        .cast("long")
+        .alias("total_subwords"),
+        F.countDistinct(F.col("syms")).alias("vocab_size"),
+    )
+    types = vocab.select(
+        F.explode(F.col("syms")).alias("s")
+    ).agg(F.countDistinct(F.col("s")).alias("subword_types"))
+    return totals.crossJoin(F.broadcast(types)).select(
+        "total_words",
+        "total_subwords",
+        "vocab_size",
+        "subword_types",
+        (
+            F.col("total_subwords").cast("double")
+            / F.col("total_words").cast("double")
+        ).alias("fertility"),
     )

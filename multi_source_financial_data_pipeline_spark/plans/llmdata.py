@@ -2243,11 +2243,14 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_bpe_merges(n_merges: int) -> str:
-    """Generate the chained-CTE DuckDB replay of bpe_merge_steps: v0 is
-    the char-symbol vocabulary; per step s, p{s} counts adjacent pairs,
-    b{s} takes the deterministic argmax, v{s} applies the merge with the
-    same gaps-and-islands greedy selection the Spark side uses."""
+def _sql_bpe_chain(n_merges: int) -> str:
+    """Generate the chained-CTE DuckDB replay of the BPE train loop: v0
+    is the char-symbol vocabulary; per step s, p{s} counts adjacent
+    pairs, b{s} takes the deterministic argmax, v{s} applies the merge
+    with the same gaps-and-islands greedy selection the Spark side uses.
+    (Assumes every step finds a pair — true for any corpus with a word
+    of ≥2 symbols per remaining step; the Spark loop breaks early on a
+    fully-merged vocabulary, which these corpora never reach.)"""
     parts = [
         f"""WITH v0 AS (
   SELECT list_append(regexp_extract_all(w, '.'), '</w>') AS syms,
@@ -2294,14 +2297,44 @@ def _sql_bpe_merges(n_merges: int) -> str:
   )
 )"""
         )
+    return "".join(parts)
+
+
+def _sql_bpe_merges(n_merges: int) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT step, lhs, rhs, lhs || rhs AS merged, pair_count FROM b{s}"
         for s in range(1, n_merges + 1)
     )
-    return "".join(parts) + "\n" + union
+    return _sql_bpe_chain(n_merges) + "\n" + union
 
 
 SQL_BPE_MERGES = _sql_bpe_merges(BPE_N_MERGES)
+
+
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer applied (`text.bpe_encode_stats`): corpus
+    fertility and effective vocabulary after BPE_N_MERGES merges — the
+    measurement that says what the merge table BOUGHT (subwords/word
+    falls from the raw character count toward 1.0 as merges accumulate;
+    `subword_stats` reports the same fertility notion for the regex
+    pretokenizer this trainer replaces)."""
+    return text.bpe_encode_stats(
+        _t(spark, sf_dir, "documents"), BPE_N_MERGES
+    )
+
+
+SQL_BPE_ENCODE_STATS = (
+    _sql_bpe_chain(BPE_N_MERGES)
+    + f"""
+SELECT CAST(sum(n) AS BIGINT) AS total_words,
+       CAST(sum(n * len(syms)) AS BIGINT) AS total_subwords,
+       CAST(count(DISTINCT syms) AS BIGINT) AS vocab_size,
+       (SELECT CAST(count(DISTINCT s) AS BIGINT)
+        FROM (SELECT unnest(syms) AS s FROM v{BPE_N_MERGES})) AS subword_types,
+       CAST(sum(n * len(syms)) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS fertility
+FROM v{BPE_N_MERGES}
+"""
+)
 
 
 # --- sequence packing: per-shard concat-and-chunk ----------------------------
@@ -4199,6 +4232,13 @@ SPECS = {
         "distributed BPE tokenizer training: first 8 learned merges from "
         "vocab-scale pair aggregates + exact greedy row-local merge",
         ("text", "bench"),
+    ),
+    "bpe_encode_stats": QuerySpec(
+        q_bpe_encode_stats,
+        SQL_BPE_ENCODE_STATS,
+        "the trained BPE tokenizer applied: corpus fertility, encoded "
+        "vocab size, and effective subword vocabulary after 8 merges",
+        ("text",),
     ),
     "ivf_assign": QuerySpec(
         q_ivf_assign,

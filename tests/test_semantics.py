@@ -743,3 +743,27 @@ def test_bpe_merges_match_reference_trainer(spark):
     ]
     want = _reference_bpe(counts, 6)
     assert got == want, f"\ngot:  {got}\nwant: {want}"
+
+
+def test_bpe_encode_stats_accounting(spark, sf_dir):
+    """The applied tokenizer's books must balance: total_words equals the
+    corpus token count, fertility sits strictly between 1.0 (everything
+    merged) and the raw character fertility (nothing merged), and each of
+    the 8 merges can only have SHRUNK the stream — total_subwords is less
+    than raw chars + one </w> per word by at least the merge count."""
+    import duckdb
+
+    t = _run(spark, sf_dir, "bpe_encode_stats").iloc[0]
+    raw = duckdb.sql(
+        f"""
+        SELECT CAST(count(*) AS BIGINT) AS words,
+               CAST(sum(len(regexp_extract_all(w, '.')) + 1) AS BIGINT) AS raw_syms
+        FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
+              FROM read_parquet('{sf_dir}/documents.parquet'))
+        """
+    ).df().iloc[0]
+    assert t.total_words == raw.words
+    assert t.total_subwords < raw.raw_syms
+    assert 1.0 < t.fertility < raw.raw_syms / raw.words
+    assert t.subword_types > 0 and t.vocab_size > 0
+    assert t.fertility == t.total_subwords / t.total_words
