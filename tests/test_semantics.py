@@ -774,3 +774,76 @@ def test_bpe_encode_stats_accounting(spark, sf_dir):
     assert 1.0 < t.fertility < raw.raw_syms / raw.words
     assert t.subword_types > 0 and t.vocab_size > 0
     assert t.fertility == t.total_subwords / t.total_words
+
+
+def test_bpe_greedy_merge_exhaustive_small(spark):
+    """EXHAUSTIVE check of the gaps-and-islands closed form: every symbol
+    array up to length 7 over the alphabet {a,b} (254 arrays), against
+    both pair classes — homogeneous (a,a), where run parity is the hard
+    case, and heterogeneous (a,b), where candidates can never chain. The
+    reference is the imperative textbook merge (scan left to right, skip
+    past a merge). One DataFrame, one collect."""
+    from itertools import product
+
+    from pyspark.sql import functions as F
+
+    from multi_source_financial_data_pipeline_spark.operators import text as t
+
+    def ref_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    cases = []
+    for length in range(1, 8):
+        for combo in product("ab", repeat=length):
+            for pair in (("a", "a"), ("a", "b")):
+                cases.append((len(cases), list(combo), pair[0], pair[1]))
+    df = spark.createDataFrame(cases, ["i", "syms", "a", "b"])
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i",
+            t.bpe_greedy_merge(F.col("syms"), F.col("a"), F.col("b")).alias(
+                "m"
+            ),
+        ).collect()
+    }
+    for i, syms, a, b in cases:
+        want = ref_merge(syms, a, b)
+        assert got[i] == want, f"{syms} pair=({a},{b}): {got[i]} != {want}"
+
+
+def test_bloom_build_matches_reference_bits(spark):
+    """The dense word array must equal a bit-exact Python reference of the
+    same double-hashing construction over the same keys — pins the whole
+    hash/word/mask layout (an off-by-one in widx/bit silently halves the
+    filter's selectivity but still passes the no-false-negative test)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from multi_source_financial_data_pipeline_spark.operators import dedup
+
+    m_bits, k = 2048, 3
+    keys = [f"gram-{i}" for i in range(97)]
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    words = [0] * (m_bits // 32)
+    for key in keys:
+        h1, h2 = h32(f"bloom1|{key}"), h32(f"bloom2|{key}")
+        for j in range(k):
+            p = (h1 + j * h2) % m_bits
+            words[p // 32] |= 1 << (p % 32)
+
+    df = spark.createDataFrame([(s,) for s in keys], ["s"])
+    got = dedup.bloom_build(df, "s", m_bits, k).collect()[0]["bloom_words"]
+    assert got == words
