@@ -141,6 +141,9 @@ HEADLINE = [
     # sketch row has) and the full-outer CDC snapshot diff
     "bloom_decontaminate",
     "snapshot_delta",
+    # round-14: the delta-run dedup composition (existing-index fp probe
+    # + within-delta min-canonical, both hash joins on digests)
+    "incremental_dedup",
     # round-14: distributed BPE merge training — 8 unrolled vocab-scale
     # pair-agg + argmax + greedy-merge iterations, a chained-lineage
     # shape (ReusedExchange across steps) nothing else exercises

@@ -2222,6 +2222,101 @@ GROUP BY 1, 2
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delta-run composition snapshot_delta exists FOR: exact-dedup
+    only the docs the diff marked added/changed, against the fingerprint
+    index the carried-over (unchanged) corpus already has. Each delta doc
+    classifies as dup_of_existing (fp already in the index — skip),
+    dup_within_delta (fp new to the index but a lower-id delta doc owns
+    it — keep that one), or new_unique (extend the index); rolled up per
+    (source, class).
+
+    Scale shape: the existing-index probe is one fp equi join (delta side
+    is the small side by construction — a day's ingest vs the corpus —
+    and carries no broadcast hint for the same AQE reason as
+    probe_overlap); the within-delta canonical is a mergeable min(doc_id)
+    hash agg joined back, never a window. Only digests and ids shuffle.
+    At 100 TB this replaces re-deduping the corpus with work proportional
+    to the DELTA — the measured point of the whole snapshot family."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    base = docs.select("doc_id", "source", "text", h.alias("__h"))
+    new_text = F.when(
+        F.col("__h") % SNAP_EDIT_MOD == SNAP_EDIT_SEL,
+        F.concat(F.col("text"), F.lit(" __rev2")),
+    ).otherwise(F.col("text"))
+    old = base.filter(F.col("__h") % SNAP_OLD_MOD != SNAP_OLD_DROP).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    new = base.filter(F.col("__h") % SNAP_NEW_MOD != SNAP_NEW_DROP).select(
+        "doc_id", "source", F.md5(new_text).alias("fp")
+    )
+    st = validation.snapshot_diff(
+        old, new.select("doc_id", "fp"), ["doc_id"], "fp"
+    )
+    tagged = new.join(st, "doc_id")
+    delta = tagged.filter(F.col("status").isin("added", "changed"))
+    existing = (
+        tagged.filter(F.col("status") == "unchanged")
+        .select("fp")
+        .distinct()
+    )
+    canon = delta.groupBy("fp").agg(F.min("doc_id").alias("__min_id"))
+    hit = delta.join(
+        existing.withColumn("__in_index", F.lit(True)), "fp", "left"
+    ).join(canon, "fp")
+    cls = (
+        F.when(F.col("__in_index"), F.lit("dup_of_existing"))
+        .when(F.col("doc_id") > F.col("__min_id"), F.lit("dup_within_delta"))
+        .otherwise(F.lit("new_unique"))
+    )
+    return (
+        hit.select("source", cls.alias("dedup_class"))
+        .groupBy("source", "dedup_class")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents
+), old AS (
+  SELECT doc_id, md5(text) AS fp FROM base
+  WHERE h % {SNAP_OLD_MOD} <> {SNAP_OLD_DROP}
+), new_ AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN h % {SNAP_EDIT_MOD} = {SNAP_EDIT_SEL}
+                  THEN text || ' __rev2' ELSE text END) AS fp
+  FROM base WHERE h % {SNAP_NEW_MOD} <> {SNAP_NEW_DROP}
+), tagged AS (
+  SELECT n.doc_id, n.source, n.fp,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN o.fp = n.fp THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM new_ n LEFT JOIN old o ON o.doc_id = n.doc_id
+), delta AS (
+  SELECT * FROM tagged WHERE status IN ('added', 'changed')
+), existing AS (
+  SELECT DISTINCT fp FROM tagged WHERE status = 'unchanged'
+), canon AS (
+  SELECT fp, min(doc_id) AS min_id FROM delta GROUP BY fp
+)
+SELECT d.source,
+       CASE WHEN e.fp IS NOT NULL THEN 'dup_of_existing'
+            WHEN d.doc_id > c.min_id THEN 'dup_within_delta'
+            ELSE 'new_unique' END AS dedup_class,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM delta d
+LEFT JOIN existing e ON e.fp = d.fp
+JOIN canon c ON c.fp = d.fp
+GROUP BY 1, 2
+"""
+
+
 # --- BPE merge training --------------------------------------------------------
 
 #: unrolled merge steps for the harness; a deployment trains ~30k with the
@@ -4213,6 +4308,14 @@ SPECS = {
         "CDC snapshot diff: added/removed/changed/unchanged rollup with "
         "bit_xor membership fingerprints",
         ("text", "join", "bench"),
+    ),
+    "incremental_dedup": QuerySpec(
+        q_incremental_dedup,
+        SQL_INCREMENTAL_DEDUP,
+        "delta-run dedup: added/changed docs classified against the "
+        "carried-over corpus's fingerprint index — work proportional to "
+        "the delta, never the corpus",
+        ("text", "dedup", "bench"),
     ),
     "curation_kept": QuerySpec(
         q_curation_kept,

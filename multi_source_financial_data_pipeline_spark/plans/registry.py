@@ -42,11 +42,11 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #: and therefore never driver-checked LEADS (the build-once PQ-probe
 #: family plus the residual-encoding frontier point: ann_topk_pq_probe,
 #: pq256_recall, ivfpq_residual_recall, and the late-r14 additions
-#: bloom_decontaminate, snapshot_delta, bpe_merges, bpe_encode_stats),
-#: then stream_bars_ohlc_wm
+#: bloom_decontaminate, snapshot_delta, incremental_dedup, bpe_merges,
+#: bpe_encode_stats), then stream_bars_ohlc_wm
 #: (reformulated_ok: its sum_value moved onto the shared checked-decimal
 #: overflow guard in r14, after its r13 green row — r13 ADVICE), then
-#: the remaining 37 r11-latest rows — ~45 names, under the 50-slot
+#: the remaining 37 r11-latest rows — ~46 names, under the 50-slot
 #: capacity, per the standing rule (registry growth must not outpace
 #: the gate); backfill the final slots with the oldest r12-latest rows.
 _GATE_PRIORITY = (

