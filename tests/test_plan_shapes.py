@@ -1298,3 +1298,11 @@ def test_snapshot_delta_shuffles_digests_not_payloads(spark, sf_dir):
         if "Exchange" in line:
             assert "text#" not in line, f"payload in shuffle: {line}"
     assert "FullOuter" in plan or "full_outer" in plan.lower()
+    # the delta-dedup composition inherits the same contract: every
+    # exchange carries digests/ids only, and neither the index probe nor
+    # the min-canonical ever needs a window
+    plan = QUERIES["incremental_dedup"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, f"payload in shuffle: {line}"
+    assert "Window" not in plan
