@@ -571,3 +571,46 @@ def test_zorder_layout_prunes_2d_boxes(spark, sf_dir, tmp_path):
     z_usr, _ = touched(zpath, 20, 60, -(1 << 30), 1 << 30)
     l_usr, _ = touched(lpath, 20, 60, -(1 << 30), 1 << 30)
     assert l_usr < l_total and z_usr < z_total
+
+
+def test_bloom_filter_survives_storage_roundtrip(spark, tmp_path):
+    """The deployment shape: build the filter ONCE, persist it, ship it to
+    any later job — probing a parquet-roundtripped filter must flag
+    exactly the same keys as the in-memory build (pins array<long>
+    serialization and that membership depends only on the words, not on
+    build-session state)."""
+    from pyspark.sql import functions as F
+
+    from multi_source_financial_data_pipeline_spark.operators import dedup
+
+    m_bits, k = 4096, 4
+    keys = spark.range(200).select(
+        F.concat(F.lit("g"), F.col("id").cast("string")).alias("s")
+    )
+    bloom = dedup.bloom_build(keys, "s", m_bits, k)
+    path = str(tmp_path / "bloom")
+    bloom.write.mode("overwrite").parquet(path)
+    reloaded = spark.read.parquet(path)
+    probes = spark.range(400).select(
+        F.concat(F.lit("g"), F.col("id").cast("string")).alias("s")
+    )
+
+    def flags(b):
+        return {
+            r["s"]: r["hit"]
+            for r in probes.crossJoin(F.broadcast(b))
+            .select(
+                "s",
+                dedup.bloom_member(
+                    F.col("s"), F.col("bloom_words"), m_bits, k
+                ).alias("hit"),
+            )
+            .collect()
+        }
+
+    mem, disk = flags(bloom), flags(reloaded)
+    assert mem == disk
+    # inserted half all positive; uninserted half mostly negative
+    assert all(mem[f"g{i}"] for i in range(200))
+    fp = sum(mem[f"g{i}"] for i in range(200, 400))
+    assert fp < 40, f"implausible FP count {fp} for this geometry"
