@@ -25,87 +25,91 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 
 
 #: The driver's correctness gate records exactly the FIRST 50 dict-order
-#: entries each round (observed in r01-r13), so this list rotates the
+#: entries each round (observed in r01-r14), so this list rotates the
 #: checked window across rounds to get every query a fresh green row on
-#: record. Round-14 window (executes VERDICT r13 item 1). In order:
-#:   1. the ONLY two registered queries with no driver CORRECTNESS row
-#:      ever: pq_recall and ivfpq_recall (registered r13 AFTER that
-#:      window was sized, so they waited exactly as the r05 additions
-#:      waited for r06 — never-checked names lead the window);
-#:   2. the full 36-name r10-latest staleness backlog — cheap TPC-H and
-#:      event/financial oracles first, then the document/ANN family,
-#:      with the three heavy real-codec media scans LAST so any checker
-#:      memory pressure costs the fewest verdicts;
-#:   3. backfill to 50 with the 12 cheapest-oracle r11-latest rows
-#:      (financial/connector/stream-counts family).
-#: Round-15 rotation backlog (pre-wired): any query registered in r14
-#: and therefore never driver-checked LEADS (the build-once PQ-probe
-#: family plus the residual-encoding frontier point: ann_topk_pq_probe,
-#: pq256_recall, ivfpq_residual_recall, and the late-r14 additions
-#: bloom_decontaminate, snapshot_delta, incremental_dedup, bpe_merges,
-#: bpe_encode_stats), then stream_bars_ohlc_wm
-#: (reformulated_ok: its sum_value moved onto the shared checked-decimal
-#: overflow guard in r14, after its r13 green row — r13 ADVICE), then
-#: the remaining 37 r11-latest rows — ~46 names, under the 50-slot
-#: capacity, per the standing rule (registry growth must not outpace
-#: the gate); backfill the final slots with the oldest r12-latest rows.
+#: record. Round-15 window (executes VERDICT r14 item 1). In order:
+#:   1. the 8 queries registered in r14 AFTER that window was sized and
+#:      therefore never driver-checked — the ONLY registered names with
+#:      no CORRECTNESS row ever (the build-once PQ-probe family, the
+#:      production-budget/residual frontier points, and the late-r14
+#:      additions): never-checked names lead the window;
+#:   2. stream_bars_ohlc_wm (reformulated_ok: its sum_value moved onto
+#:      the shared checked-decimal overflow guard in r14, after its r13
+#:      green row — r13 ADVICE asked for a re-check);
+#:   3. the full 37-name r11-latest staleness backlog — cheap TPC-H and
+#:      connector/financial oracles first, then the streaming family,
+#:      then the document/ANN scans, with the heavy real-codec media
+#:      scan LAST so any checker memory pressure costs the fewest
+#:      verdicts;
+#:   4. backfill to 50 with 4 cheap-oracle r12-latest rows (including
+#:      dedup_cluster_sizes, this round's bench canary subject, so its
+#:      re-timing rides with a fresh correctness row).
+#: Round-16 rotation backlog (pre-wired): ann_topk_pq256_probe — the
+#: m=16×k=256 production-recall serving point registered THIS round
+#: (r15), after this window was sized, LEADS r16 per the standing
+#: never-checked-first rule; then the remaining 39 r12-latest rows
+#: (43 minus this window's 4 backfills) — 40 names, under capacity;
+#: backfill with the oldest r13-latest rows.
 _GATE_PRIORITY = (
-    # -- 1. never driver-checked: the r13 post-sizing registrations --------
-    "pq_recall",
-    "ivfpq_recall",
-    # -- 2a. r10-latest backfill: TPC-H (cheapest oracles) ------------------
-    "q1_pricing_summary",
-    "q3_top_revenue",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_shipping_volume",
-    "q10_returned_revenue",
-    "q12_ship_priority",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    # -- 2b. r10-latest backfill: event/financial (light) -------------------
-    "asof_join",
-    "sessionize",
-    "skewed_event_rollup",
-    "funnel_conversion",
-    "connector_stream_ticks",
-    "mad_outliers",
-    "cusum_drift",
-    "mixture_resample",
-    # -- 3. r11-latest backfill to 50 (cheapest oracles) --------------------
-    "quality_score",
-    "export_shape",
-    "connector_vwap",
-    "bollinger_bands",
-    "rsi_14",
-    "time_bucket_hourly",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "stream_hourly_counts",
-    "stream_dedup_count",
-    # -- 2c. r10-latest backfill: document/ANN scans ------------------------
-    "token_stats",
-    "unigram_prob",
-    "dup_span_stats",
-    "minhash_lsh_pairs",
-    "neardup_verified",
-    "ngram_jaccard_pairs",
-    "simhash",
-    "doc_winnow",
-    "ann_topk",
-    "embedding_neardup",
-    "lsh_bucket",
-    "lsh_neardup_pairs",
-    "ann_topk_ivf_probe",
-    "ann_recall_ivf",
-    "ann_recall_lsh",
-    # -- 2d. heavy real-codec media scans last -------------------------------
-    "media_jpeg_channel_stats",
-    "media_mp4_metadata",
-    "media_ogg_stats",
+    # -- 1. never driver-checked: the r14 post-sizing registrations --------
+    "ann_topk_pq_probe",
+    "pq256_recall",
+    "ivfpq_residual_recall",
+    "bloom_decontaminate",
+    "snapshot_delta",
+    "incremental_dedup",
+    "bpe_merges",
+    "bpe_encode_stats",
+    # -- 2. reformulated since its last green row (r13 ADVICE follow-up) ----
+    "stream_bars_ohlc_wm",
+    # -- 3a. r11-latest backlog: TPC-H (cheapest oracles) -------------------
+    "q8_market_share",
+    "q9_profit",
+    "q13_order_distribution",
+    "q16_part_supplier",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q21_late_suppliers",
+    "q22_dormant_customers",
+    # -- 3b. r11-latest backlog: connector/financial/event ------------------
+    "connector_ohlcv",
+    "connector_crossval",
+    "connector_macro",
+    "connector_macro_summary",
+    "asof_tolerance",
+    "event_pivot",
+    "json_props_stats",
+    "type_cooccurrence",
+    # -- 3c. r11-latest backlog: streaming family ----------------------------
+    "stream_enriched_counts",
+    "stream_interval_join",
+    "stream_left_interval_join",
+    "stream_running_totals",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    # -- 3d. r11-latest backlog: document/text scans -------------------------
+    "exact_dedup",
+    "doc_fingerprint",
+    "doc_length_quantiles",
+    "doc_quality",
+    "doc_scrub",
+    "lang_id",
+    "token_diversity",
+    "token_len_histogram",
+    "vocab_topk",
+    "bigram_prob",
+    "quality_filter_funnel",
+    # -- 3e. r11-latest backlog: ANN/minhash ----------------------------------
+    "ivf_assign",
+    "minhash_signatures",
+    "minhash_accuracy",
+    # -- 4. r12-latest backfill to 50 (cheap oracles + bench-canary subject) --
+    "dup_stats",
+    "bucketed_revenue",
+    "event_rollup_day",
+    "dedup_cluster_sizes",
+    # -- 3f. heavy real-codec media scan last ---------------------------------
+    "media_real_channel_stats",
 )
 
 
