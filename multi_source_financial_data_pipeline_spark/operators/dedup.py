@@ -443,7 +443,25 @@ def bloom_positions(
     the lesson the r14 pq256 argmin paid for."""
     h1 = _bloom_h32(key, f"{salt}1|")
     h2 = _bloom_h32(key, f"{salt}2|")
+    _check_bloom_geometry(m_bits, k)
     return [(h1 + F.lit(j) * h2) % F.lit(m_bits) for j in range(k)]
+
+
+def _check_bloom_geometry(m_bits: int, k: int) -> None:
+    """Reject filter geometries that would silently break the
+    no-false-negative guarantee (r14 ADVICE): if ``m_bits`` is not a
+    multiple of the word width, positions in the final partial word map to
+    ``widx >= m_bits // 32`` — dropped from the dense array on build, NULL
+    from ``element_at`` on probe — i.e. inserted keys can probe false.
+    All shipped call sites use powers of two; this guard turns the latent
+    misuse into an immediate error."""
+    if m_bits <= 0 or m_bits % BLOOM_WORD_BITS != 0:
+        raise ValueError(
+            f"m_bits must be a positive multiple of {BLOOM_WORD_BITS}, "
+            f"got {m_bits}"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
 
 
 def _bloom_masks() -> Column:

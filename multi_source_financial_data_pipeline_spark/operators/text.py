@@ -491,9 +491,15 @@ def bpe_greedy_merge(symbols: Column, left: Column, right: Column) -> Column:
     VOCAB rows over per-word arrays (tens of symbols), not on the corpus —
     and only on the sliver of words that CONTAIN the pair: a codegen'd
     delimiter-joined string containment test short-circuits the ~99% of
-    vocab rows a given merge never touches (the delimiter \\x1f cannot
-    occur inside a symbol: symbols come from whitespace-split text and
-    concatenations thereof)."""
+    vocab rows a given merge never touches. The delimiter \\x1f CAN occur
+    inside a symbol (U+001F is not regex \\s whitespace, so it survives
+    whitespace tokenization — r14 ADVICE corrected the earlier claim);
+    a collision only ever WIDENS the prefilter (a false-positive
+    containment falls through to the exact candidate scan below, which
+    compares whole symbols and merges nothing), so results stay correct.
+    Any refactor must preserve that direction: the containment test may
+    only ever admit extra rows, never be relied on to prove a pair
+    occurs."""
     sep = "\x1f"
     joined = F.concat(F.lit(sep), F.concat_ws(sep, symbols), F.lit(sep))
     needle = F.concat(F.lit(sep), left, F.lit(sep), right, F.lit(sep))
@@ -609,8 +615,12 @@ def _bpe_train(
         # explode over the stack multiplies it further). Non-eager, so
         # materialization rides the next step's argmax job; content is
         # deterministic, so collected merges and the oracle replay are
-        # unaffected. This is the same move the docstring prescribes for
-        # a 30k-merge deployment, applied at step granularity.
+        # unaffected. Reliability caveat (r14 ADVICE): localCheckpoint
+        # blocks live only on executors, so a lost executor plus the
+        # truncated lineage makes the job unrecoverable. Fine on
+        # local[n]; a ~30k-merge cluster deployment should truncate via
+        # reliable checkpoint() or periodic persisted-parquet snapshots
+        # of the vocab instead.
         vocab = vocab.select(
             bpe_greedy_merge(
                 F.col("syms"), F.lit(lhs), F.lit(rhs)

@@ -151,7 +151,16 @@ def snapshot_diff(
     is ONE key-partitioned full-outer hash join, map-side prunable, no
     windows, no driver state. This is the incremental-ingest primitive: at
     100 TB you diff yesterday's manifest against today's and reprocess
-    only 'added' + 'changed' keys instead of the corpus."""
+    only 'added' + 'changed' keys instead of the corpus.
+
+    PRECONDITION (r14 ADVICE): the key must be UNIQUE within each
+    snapshot — duplicate keys fan out through the full-outer join and
+    yield one status row per matched (old, new) pair, silently inflating
+    downstream rollups. Callers with non-unique keys must pre-aggregate
+    to one fingerprint per key first (e.g. a canonical min/xor of the
+    row digests); this operator deliberately does not, so a snapshot
+    that is SUPPOSED to be keyed uniquely surfaces its duplication in
+    the row counts instead of being papered over."""
     keys = list(key)
     o = old.select(*keys, F.col(fingerprint).alias("__fp_old"))
     n = new.select(*keys, F.col(fingerprint).alias("__fp_new"))

@@ -594,6 +594,32 @@ def test_bloom_no_false_negatives(spark):
     assert probed.hit.all(), "an inserted key probed negative"
 
 
+def test_bloom_rejects_broken_geometry(spark):
+    """r14 ADVICE: a non-word-multiple m_bits would drop positions in the
+    final partial word from the dense array (probe reads NULL → false
+    negative). The guard must refuse such geometries up front, at build
+    AND at probe, instead of silently violating the no-false-negative
+    guarantee."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from multi_source_financial_data_pipeline_spark.operators import dedup
+
+    keys = spark.range(4).select(F.col("id").cast("string").alias("s"))
+    for m_bits, k in ((100, 4), (0, 4), (-32, 4), (4096, 0)):
+        with pytest.raises(ValueError):
+            dedup.bloom_build(keys, "s", m_bits, k)
+        with pytest.raises(ValueError):
+            dedup.bloom_member(
+                F.col("s"), F.array(F.lit(0).cast("long")), m_bits, k
+            )
+    # the boundary that IS legal: one word exactly
+    assert (
+        dedup.bloom_build(keys, "s", dedup.BLOOM_WORD_BITS, 1)
+        .collect()[0]["bloom_words"]
+    )
+
+
 def test_bloom_decontaminate_contract(spark, sf_dir):
     """The prefilter vs ground truth: (1) bloom hits dominate exact hits
     row-wise (no false negative can hide inside a count), (2) every doc the
