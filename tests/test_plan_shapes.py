@@ -571,6 +571,82 @@ def test_ivf_topk_probe_join_is_hash_not_cartesian(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 2
 
 
+def test_pq_probe_lut_broadcast_is_batch_conditional(spark, sf_dir):
+    """r14 VERDICT item 3: the ADC probes' query-proportional frames
+    (probes, dot LUT) must be broadcast ONLY while the batch provably fits
+    the broadcast budget — never unconditionally pinned.
+
+    (a) At bench batch sizes (10 queries ≪ cap) the hint must be PRESENT:
+    the serving plan keeps its zero-corpus-exchange shape — 3 broadcast
+    joins (probes, dot LUT, norm LUT), dynamic partition pruning on the
+    codes scan, no sort-merge join, and exactly the fold-agg + window
+    exchanges (any third exchange means a corpus-side LUT shuffle crept
+    back in).
+
+    (b) With the broadcast budget disabled (the over-cap proxy: cap_q
+    drops to 0, exactly what a huge caller batch produces) the
+    query-proportional hints must VANISH — those joins degrade to shuffle
+    joins, only the constant-size codebook norm-LUT hint survives — and
+    the probe must still answer with identical rows."""
+    df = QUERIES["ann_topk_pq_probe"].fn(spark, sf_dir)
+    want = sorted(tuple(r) for r in df.collect())
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "dynamicpruning" in plan
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df2 = QUERIES["ann_topk_pq_probe"].fn(spark, sf_dir)
+        got = sorted(tuple(r) for r in df2.collect())
+        plan2 = df2._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+        # the surviving hints are exactly the two codebook-constant frames:
+        # cents (the per-query LUT build join on s) and the norm LUT
+        assert plan2.count("BroadcastHashJoin") == 2
+        assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_broadcast_threshold_parser():
+    """The batch-cap arithmetic rides on parsing the session threshold
+    string; pin the formats Spark actually emits."""
+    from multi_source_financial_data_pipeline_spark.operators.similarity import (
+        _broadcast_bytes_threshold,
+    )
+
+    class _FakeConf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, key, default=None):
+            return self._v if self._v is not None else default
+
+    class _FakeSpark:
+        def __init__(self, v):
+            self.conf = _FakeConf(v)
+
+    for raw, want in [
+        ("10485760", 10485760),
+        ("10MB", 10 << 20),
+        ("10mb", 10 << 20),
+        ("512k", 512 << 10),
+        ("1g", 1 << 30),
+        ("100b", 100),
+        ("-1", 0),
+        (None, 10 << 20),
+    ]:
+        assert _broadcast_bytes_threshold(_FakeSpark(raw)) == want, raw
+
+
 def test_bollinger_rsi_single_exchange(spark, sf_dir):
     """Both band/RSI plans stack every window frame on ONE user-key
     partitioning — a second exchange means the lag and rolling windows
