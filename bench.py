@@ -133,6 +133,11 @@ HEADLINE = [
     # IVF-PQ index (broadcast codebook LUTs + partition-pruned code scan,
     # training amortized into the one-time build, not this row)
     "ann_topk_pq_probe",
+    # round-15: the production-budget serving point (m=16 × 8-bit codes,
+    # the first frontier budget with recall@10 ≥ 0.8) — the row that
+    # proves serving stays ~1 s when the code budget is the useful one
+    # (r14 VERDICT item 2); LUT is 16× larger than the 4-bit row's
+    "ann_topk_pq256_probe",
     # round-14: residual encoding (FAISS by_residual) — per-cell LUT
     # assembly is a join shape the raw-vector IVF-PQ row doesn't have
     "ivfpq_residual_recall",

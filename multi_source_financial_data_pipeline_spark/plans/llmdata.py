@@ -1303,29 +1303,36 @@ def _ensure_ivf_index(
     )
 
 
-def _ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
+def _ensure_pq_index(
+    spark: SparkSession, sf_dir: str, m: int | None = None, k: int | None = None
+) -> str:
     """The IVF-PQ twin of `_ensure_ivf_index`: build-once codebooks +
     cell-partitioned codes under the same identity-markered cache, so the
-    serving query (`q_ann_topk_pq_probe`) pays training exactly once per
-    testdata tree and the probe itself never runs a Lloyd iteration."""
+    serving queries (`q_ann_topk_pq_probe`, `q_ann_topk_pq256_probe`) pay
+    training exactly once per (testdata tree, code budget) and the probe
+    itself never runs a Lloyd iteration. ``m``/``k`` select the budget:
+    the default is the 4-bit harness twin (m=8, k=16); the production
+    point passes m=16, k=256."""
     import os
 
+    m = PQ_M if m is None else m
+    k = PQ_K if k is None else k
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     ident = {"src": src, "mtime_ns": st.st_mtime_ns, "size": st.st_size,
-             "m": PQ_M, "k": PQ_K, "iters": PQ_ITERS, "nlist": IVF_NLIST,
+             "m": m, "k": k, "iters": PQ_ITERS, "nlist": IVF_NLIST,
              "kind": "pq"}
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     index_dir = os.path.join(
         _ivf_cache_root(),
-        f"{tag}_pq_m{PQ_M}k{PQ_K}i{PQ_ITERS}nlist{IVF_NLIST}",
+        f"{tag}_pq_m{m}k{k}i{PQ_ITERS}nlist{IVF_NLIST}",
     )
     return _ensure_index(
         index_dir,
         ident,
         lambda build_dir: similarity.build_pq_index(
-            spark, _t(spark, sf_dir, "embeddings"), build_dir, m=PQ_M,
-            k_codebook=PQ_K, iters=PQ_ITERS, dim=EMB_DIM, nlist=IVF_NLIST,
+            spark, _t(spark, sf_dir, "embeddings"), build_dir, m=m,
+            k_codebook=k, iters=PQ_ITERS, dim=EMB_DIM, nlist=IVF_NLIST,
         ),
     )
 
@@ -3619,6 +3626,7 @@ PQ_M = 8       # subspaces: 64 dims -> 8 blocks of 8
 PQ_K = 16      # centroids per subspace: a code is 8 x 4 bits
 PQ_ITERS = 2   # unrolled Lloyd iterations per subspace (KM_ITERS twin)
 PQ256_K = 256  # the production code budget: 8-bit sub-codebooks (FAISS IVFPQ's default nbits=8), VERDICT r13 item 3
+PQ256_M = 16   # subspaces at the production budget: 16 x 8-bit codes — the first budget the r14 frontier sweep shows reaching recall@10 >= 0.8 (VERDICT r14 item 2)
 _PQ_SUB = EMB_DIM // PQ_M
 
 
@@ -3681,7 +3689,7 @@ def _pq_recall_df(spark: SparkSession, sf_dir: str, k_codebook: int) -> DataFram
     )
 
 
-def _sql_pq_assign(name: str, cents: str) -> str:
+def _sql_pq_assign(name: str, cents: str, sub: int = _PQ_SUB) -> str:
     """Per-(vector, subspace) nearest sub-centroid — `_sql_km_assign`
     generalized to the (s)-partitioned codebook and sub-width distance."""
     return f"""{name} AS (
@@ -3690,19 +3698,19 @@ def _sql_pq_assign(name: str, cents: str) -> str:
            row_number() OVER (PARTITION BY vec_id, s
                               ORDER BY d ASC, cell ASC) AS rn
     FROM (SELECT es.vec_id, es.s, es.sv, c.cell,
-                 round({_sql_sqd('es.sv', 'c.cv', _PQ_SUB)}, 6) AS d
+                 round({_sql_sqd('es.sv', 'c.cv', sub)}, 6) AS d
           FROM es JOIN {cents} c ON es.s = c.s)
   ) WHERE rn = 1
 )"""
 
 
-def _sql_pq_update(name: str, assigned: str) -> str:
+def _sql_pq_update(name: str, assigned: str, sub: int = _PQ_SUB) -> str:
     return f"""{name}_u AS (
   SELECT s, cell, pos,
          CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS BIGINT) AS sq,
          count(*) AS n
   FROM (SELECT s, cell, pos, sv[pos] AS x
-        FROM (SELECT s, cell, sv, unnest(generate_series(1, {_PQ_SUB})) AS pos
+        FROM (SELECT s, cell, sv, unnest(generate_series(1, {sub})) AS pos
               FROM {assigned}))
   GROUP BY s, cell, pos
 ), {name} AS (
@@ -3859,25 +3867,53 @@ def q_ann_topk_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_pq256_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`q_ann_topk_pq_probe` at the PRODUCTION code budget (VERDICT r14
+    item 2): m=16 subspaces × k=256 (8-bit) sub-codebooks — the first
+    budget the r14 probe-sweep frontier shows reaching recall@10 ≥ 0.8
+    (32× compression: 16 bytes/vector vs 512 raw) — deployed as the
+    REGISTERED serving path rather than left as a sweep measurement.
+    Identical plan shape to the 4-bit probe: `build_pq_index` trains
+    once per (testdata tree, budget), the probe builds per-query LUTs
+    against the broadcast codebooks and runs a dynamic-partition-pruned
+    ADC scan of ~nprobe/nlist of the code files, NO Lloyd iteration
+    (same Lloyd-free monkeypatch pin). The probe reads the subspace
+    geometry off the index metadata, so the only thing this function
+    chooses is WHICH index to open."""
+    index_dir = _ensure_pq_index(spark, sf_dir, m=PQ256_M, k=PQ256_K)
+    queries = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.pq_topk_probe(
+        spark, index_dir, queries, k=TOPK, nprobe=IVF_NPROBE
+    )
+
+
 #: the shared IVF-PQ ADC CTE chain (coarse assignment + probes +
 #: codebooks/codes + the s-ordered ADC fold), ending at the scored
 #: `adc` relation — composed into the recall harness below and into
-#: the serving probe's top-k oracle (`SQL_ANN_TOPK_PQ_PROBE`).
-_SQL_IVFPQ_ADC = f"""
+#: the serving probes' top-k oracles (`SQL_ANN_TOPK_PQ_PROBE`,
+#: `SQL_ANN_TOPK_PQ256_PROBE`). A factory because the production-budget
+#: serving point (m=16, k=256) replays the same training at a different
+#: subspace geometry — only the slice width, subspace count and seed
+#: cutoff move (r14 VERDICT item 2).
+def _sql_ivfpq_adc(m: int = PQ_M, k_codebook: int = PQ_K) -> str:
+    sub = EMB_DIM // m
+    return f"""
 {_sql_ivf_common()},
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 es AS (
   SELECT vec_id, s,
-         list_slice(v, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS sv
-  FROM e, generate_series(0, {PQ_M - 1}) t(s)
+         list_slice(v, s * {sub} + 1, s * {sub} + {sub}) AS sv
+  FROM e, generate_series(0, {m - 1}) t(s)
 ),
 c0 AS (SELECT s, CAST(vec_id AS INTEGER) AS cell, sv AS cv FROM es
-       WHERE vec_id < {PQ_K}),
-{_sql_pq_assign('pa1', 'c0')},
-{_sql_pq_update('pc1', 'pa1')},
-{_sql_pq_assign('pa2', 'pc1')},
-{_sql_pq_update('pc2', 'pa2')},
-{_sql_pq_assign('pa3', 'pc2')},
+       WHERE vec_id < {k_codebook}),
+{_sql_pq_assign('pa1', 'c0', sub)},
+{_sql_pq_update('pc1', 'pa1', sub)},
+{_sql_pq_assign('pa2', 'pc1', sub)},
+{_sql_pq_update('pc2', 'pa2', sub)},
+{_sql_pq_assign('pa3', 'pc2', sub)},
 probes AS (
   SELECT query_id, cell FROM (
     SELECT qe.vec_id AS query_id, s.seed_id AS cell,
@@ -3889,15 +3925,15 @@ pqq AS (SELECT vec_id AS query_id, v AS qv, {_sql_dot('v', 'v')} AS qn
         FROM e WHERE vec_id < {N_QUERIES}),
 qsl AS (
   SELECT query_id, qn, s,
-         list_slice(qv, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS qsv
-  FROM pqq, generate_series(0, {PQ_M - 1}) t(s)
+         list_slice(qv, s * {sub} + 1, s * {sub} + {sub}) AS qsv
+  FROM pqq, generate_series(0, {m - 1}) t(s)
 ),
 dlut AS (
   SELECT qsl.query_id, qsl.qn, qsl.s, c.cell,
-         {_sql_dot('qsv', 'c.cv', _PQ_SUB)} AS dp
+         {_sql_dot('qsv', 'c.cv', sub)} AS dp
   FROM qsl JOIN pc2 c ON qsl.s = c.s
 ),
-nlut AS (SELECT s, cell, {_sql_dot('cv', 'cv', _PQ_SUB)} AS np FROM pc2),
+nlut AS (SELECT s, cell, {_sql_dot('cv', 'cv', sub)} AS np FROM pc2),
 parts AS (
   SELECT d.query_id, a.vec_id AS cand_id, d.qn, a.s, d.dp, n.np
   FROM pa3 a
@@ -3918,6 +3954,9 @@ adc AS (
          round(dps / nullif(sqrt(qn * nps), 0), 6) AS cos_sim
   FROM folded
 )"""
+
+
+_SQL_IVFPQ_ADC = _sql_ivfpq_adc()
 
 SQL_IVFPQ_RECALL = f"""{_SQL_IVFPQ_ADC},
 approx AS (
@@ -3949,6 +3988,15 @@ FROM per_q
 #: rows themselves — `q_ann_topk_pq_probe` must reproduce them from the
 #: MATERIALIZED index (training replayed here, served from parquet there).
 SQL_ANN_TOPK_PQ_PROBE = f"""{_SQL_IVFPQ_ADC}
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, cand_id ASC) AS INTEGER) AS rank
+  FROM adc
+) WHERE rank <= {TOPK}
+"""
+
+#: the production-budget serving oracle: the SAME chain at m=16, k=256.
+SQL_ANN_TOPK_PQ256_PROBE = f"""{_sql_ivfpq_adc(PQ256_M, PQ256_K)}
 SELECT query_id, cand_id, cos_sim, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                  ORDER BY cos_sim DESC, cand_id ASC) AS INTEGER) AS rank
@@ -4556,6 +4604,14 @@ SPECS = {
         "IVF-PQ serving probe against the build-once materialized index: "
         "broadcast codebook LUTs + dynamic-partition-pruned ADC code scan, "
         "no inline training",
+        ("similarity", "topk"),
+    ),
+    "ann_topk_pq256_probe": QuerySpec(
+        q_ann_topk_pq256_probe,
+        SQL_ANN_TOPK_PQ256_PROBE,
+        "IVF-PQ serving probe at the production budget (m=16 x 8-bit "
+        "codes, the first frontier point with recall@10 >= 0.8): same "
+        "build-once index + pruned ADC scan, no inline training",
         ("similarity", "topk"),
     ),
 }

@@ -1336,16 +1336,22 @@ def test_pq_index_probe_prunes_cell_partitions_and_runs_no_training(
     from multi_source_financial_data_pipeline_spark.plans import llmdata
 
     index_dir = llmdata._ensure_pq_index(spark, sf_dir)
+    llmdata._ensure_pq_index(
+        spark, sf_dir, m=llmdata.PQ256_M, k=llmdata.PQ256_K
+    )
 
     def _no_training(*a, **k):
         raise AssertionError("pq_train_encode invoked in the serving path")
 
     monkeypatch.setattr(similarity, "pq_train_encode", _no_training)
-    df = QUERIES["ann_topk_pq_probe"].fn(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan
-    assert "CartesianProduct" not in plan
-    assert df.count() > 0  # the probe executed end-to-end, training never ran
+    # both registered budgets serve through the same Lloyd-free plan:
+    # the 4-bit harness twin and the m=16×8-bit production point
+    for name in ("ann_topk_pq_probe", "ann_topk_pq256_probe"):
+        df = QUERIES[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert df.count() > 0, name  # probe ran end-to-end, no training
     assert index_dir  # the build had already happened before the patch
 
 
