@@ -56,6 +56,79 @@ def sq_dist(a: Column, b: Column) -> Column:
 KMEANS_Q = 1_000_000
 
 
+def _km_assign(e: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """One Lloyd assignment of ``e`` (vec_id, v) against ``cents_df``
+    (cell, cv): centroids as ONE broadcast array row, argmin as a map-only
+    array_sort over (d, cell) structs — same r14 rewrite as
+    `pq_train_encode`: the previous n·k-row crossJoin + row_number window
+    was a full sort-shuffle per assign whose cost grew with k, which is
+    exactly wrong once nlist grows with the corpus. Rounded distance and
+    (d asc, cell asc) tiebreak, so selections — hence centroids, inertia,
+    and the oracle's window-formulated replay — are deterministic."""
+    percell = cents_df.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cs")
+    )
+    best = F.array_sort(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                F.round(sq_dist(F.col("v"), c["cv"]), 6).alias("d"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )[0]
+    return e.join(F.broadcast(percell)).select(
+        "vec_id",
+        "v",
+        best["cell"].alias("cell"),
+        best["d"].alias("d"),
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The Lloyd loop of `kmeans_refine`, exposed as the refined
+    ``(cell, cv)`` centroid frame: deterministic seeds (the first ``k``
+    vectors by id — the ivf_seed convention), ``iters`` rounds of
+    map-only assignment (`_km_assign`) + one (cell, dim) hash-aggregate
+    update each. `kmeans_refine` composes this with a final evaluation
+    assignment for its stats row; the residual-IVF-PQ frontier probe
+    (`scale_probe.py residual_refined`, r14 VERDICT item 5) feeds it to
+    `ivfpq_residual_adc_topk(coarse_centers=...)` to measure what
+    Lloyd-refined cells buy residual encoding."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        assigned = _km_assign(e, cents)
+        comp = assigned.select(
+            "cell", F.posexplode("v").alias("pos", "x")
+        ).select(
+            "cell",
+            "pos",
+            F.round(F.col("x") * KMEANS_Q, 0).cast("long").alias("qx"),
+        )
+        sums = comp.groupBy("cell", "pos").agg(
+            F.sum("qx").alias("sq"), F.count(F.lit(1)).alias("n")
+        )
+        mean = (F.col("sq").cast("double") / (F.col("n") * F.lit(float(KMEANS_Q)))).alias("m")
+        cents = sums.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), mean))),
+                lambda s: s.m,
+            ).alias("cv")
+        )
+    return cents
+
+
 def kmeans_refine(
     embeddings: DataFrame,
     k: int = 16,
@@ -80,59 +153,8 @@ def kmeans_refine(
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
     )
-    cents = e.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
-    )
-
-    def assign(cents_df: DataFrame) -> DataFrame:
-        # centroids as ONE broadcast array row, argmin as a map-only
-        # array_sort over (d, cell) structs — same r14 rewrite as
-        # `pq_train_encode`: the previous n·k-row crossJoin + row_number
-        # window was a full sort-shuffle per assign whose cost grew with
-        # k, which is exactly wrong once nlist grows with the corpus.
-        # Same rounded distance and (d asc, cell asc) tiebreak, so the
-        # selected cells — hence centroids, inertia, and the oracle's
-        # window-formulated replay — are identical.
-        percell = cents_df.agg(
-            F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cs")
-        )
-        best = F.array_sort(
-            F.transform(
-                F.col("cs"),
-                lambda c: F.struct(
-                    F.round(sq_dist(F.col("v"), c["cv"]), 6).alias("d"),
-                    c["cell"].alias("cell"),
-                ),
-            )
-        )[0]
-        return e.join(F.broadcast(percell)).select(
-            "vec_id",
-            "v",
-            best["cell"].alias("cell"),
-            best["d"].alias("d"),
-        )
-
-    for _ in range(iters):
-        assigned = assign(cents)
-        comp = assigned.select(
-            "cell", F.posexplode("v").alias("pos", "x")
-        ).select(
-            "cell",
-            "pos",
-            F.round(F.col("x") * KMEANS_Q, 0).cast("long").alias("qx"),
-        )
-        sums = comp.groupBy("cell", "pos").agg(
-            F.sum("qx").alias("sq"), F.count(F.lit(1)).alias("n")
-        )
-        mean = (F.col("sq").cast("double") / (F.col("n") * F.lit(float(KMEANS_Q)))).alias("m")
-        cents = sums.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("pos"), mean))),
-                lambda s: s.m,
-            ).alias("cv")
-        )
-
-    final = assign(cents)
+    cents = kmeans_centroids(embeddings, k, iters, id_col, vec_col)
+    final = _km_assign(e, cents)
     out = final.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum(F.col("d").cast("decimal(20,6)")).cast("double").alias("inertia"),
@@ -532,6 +554,7 @@ def ivfpq_residual_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    coarse_centers: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding — FAISS IVFPQ's actual default
     (``by_residual=true``): the sub-codebooks quantize ``r = v −
@@ -551,7 +574,11 @@ def ivfpq_residual_adc_topk(
     still m·k·nlist ≈ thousands, broadcast. This is exactly the
     "per-cell LUTs" trade `ivfpq_adc_topk`'s docstring names; the
     measured recall lift it buys is `plans/llmdata.q_ivfpq_residual_recall`
-    on the PERF.md frontier.
+    on the PERF.md frontier. Measured rule (r15): by_residual REQUIRES a
+    refined coarse quantizer — over the default seed centers it collapses
+    recall 3–6× below raw-vector codes, while `kmeans_centroids`-refined
+    centers (via ``coarse_centers``) restore raw-vector parity exactly
+    (PERF.md 'residual encoding needs refined cells').
 
     Every float op is engine-replayable: the residual is an elementwise
     subtract (`zip_with`), both Σ_s are the module's s-ordered left
@@ -559,13 +586,32 @@ def ivfpq_residual_adc_topk(
     ``(center_i + cv_i)²`` that DuckDB's unrolled ``(0.0 + t₁ + …)``
     emits. Training runs inline (the recall-HARNESS configuration, same
     contract as `ivfpq_adc_topk`); a deployment would persist the
-    residual codebooks exactly as `build_pq_index` does raw ones."""
-    cells = ivf_assign(embeddings, nlist, id_col, vec_col).select(
-        F.col(id_col).alias("vec_id"), F.col("cell").alias("ivf_cell")
-    )
-    ctrs = embeddings.filter(F.col(id_col) < nlist).select(
-        F.col(id_col).alias("ivf_cell"), _as_double(vec_col).alias("ctr")
-    )
+    residual codebooks exactly as `build_pq_index` does raw ones.
+
+    ``coarse_centers`` (a (cell, cv) frame, e.g. `kmeans_centroids`)
+    substitutes Lloyd-refined centers for the default seed convention in
+    ALL THREE coarse roles at once — assignment, residual subtraction,
+    and query probing — keeping them consistent (the r14 frontier
+    attributed the residual recall collapse partly to unrefined seed
+    centers; `scale_probe.py residual_refined` measures that claim
+    through this seam)."""
+    if coarse_centers is not None:
+        centers_row = centers_seed_row(coarse_centers)
+        cells = ivf_assign(
+            embeddings, nlist, id_col, vec_col, centers_row=centers_row
+        ).select(F.col(id_col).alias("vec_id"), F.col("cell").alias("ivf_cell"))
+        ctrs = coarse_centers.select(
+            F.col("cell").cast("long").alias("ivf_cell"),
+            F.col("cv").alias("ctr"),
+        )
+    else:
+        centers_row = None
+        cells = ivf_assign(embeddings, nlist, id_col, vec_col).select(
+            F.col(id_col).alias("vec_id"), F.col("cell").alias("ivf_cell")
+        )
+        ctrs = embeddings.filter(F.col(id_col) < nlist).select(
+            F.col(id_col).alias("ivf_cell"), _as_double(vec_col).alias("ctr")
+        )
     res = (
         embeddings.select(
             F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
@@ -600,7 +646,11 @@ def ivfpq_residual_adc_topk(
             "np"
         ),
     )
-    seed_row = ivf_seed_row(embeddings, nlist, id_col, vec_col)
+    seed_row = (
+        centers_row
+        if centers_row is not None
+        else ivf_seed_row(embeddings, nlist, id_col, vec_col)
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(vec_col).alias("qv"),
@@ -1071,6 +1121,24 @@ def ivf_seed_row(
     )
 
 
+def centers_seed_row(
+    centers: DataFrame, cell_col: str = "cell", vec_col: str = "cv"
+) -> DataFrame:
+    """`ivf_seed_row`'s shape built from an ARBITRARY (cell, vector)
+    centroid frame (e.g. `kmeans_centroids` output) instead of the first
+    nlist corpus vectors — the seam that lets the coarse quantizer be
+    Lloyd-refined without touching any probe plan: the row is the same
+    sorted (seed_id, sv, sn) struct array every `_best_cells` consumer
+    already broadcasts."""
+    seeds = centers.select(
+        F.col(cell_col).cast("long").alias("seed_id"),
+        F.col(vec_col).alias("sv"),
+    ).withColumn("sn", sq_norm(F.col("sv")))
+    return seeds.agg(
+        F.sort_array(F.collect_list(F.struct("seed_id", "sv", "sn"))).alias("seeds")
+    )
+
+
 def _best_cells(vec: Column, vec_norm: Column) -> Column:
     """Array of (neg_sim, cell) structs vs every seed, sorted best-first.
     neg_sim = -round(cos, 6) so ascending struct order is (highest cosine,
@@ -1098,14 +1166,21 @@ def ivf_assign(
     nlist: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centers_row: DataFrame | None = None,
 ) -> DataFrame:
     """IVF inverted-list assignment: each vector goes to its nearest cell
     (argmax cosine over the broadcast quantizer). One linear pass, all
     JVM-side array expressions — at 100 TB this is the index build, and the
     output is what you'd `partitionBy(cell)` so probes touch only their
     cells' partitions. `cell_sim + 0.0` normalizes IEEE -0.0 so both engines
-    emit the same bits for a zero cosine."""
-    seed_row = ivf_seed_row(embeddings, nlist, id_col, vec_col)
+    emit the same bits for a zero cosine. ``centers_row`` substitutes a
+    pre-built quantizer row (`centers_seed_row`) for the default seed
+    convention — same plan, different centers."""
+    seed_row = (
+        centers_row
+        if centers_row is not None
+        else ivf_seed_row(embeddings, nlist, id_col, vec_col)
+    )
     e = embeddings.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
         "vn", sq_norm(F.col("v"))
     )

@@ -789,6 +789,70 @@ def stream_media_growth(ks: tuple[int, ...] = (10, 30)) -> dict:
     return out
 
 
+def residual_refined() -> dict:
+    """r14 VERDICT item 5 — test the residual-recall attribution. The r14
+    frontier attributed residual IVF-PQ's recall collapse (0.21/0.07 vs
+    0.42/0.31 raw at 500/2k vectors) to (a) unrefined seed centers (cells
+    as loose as the corpus, so residuals carry no dynamic-range win) and
+    (b) cosine-norm reconstruction error. This probe isolates (a):
+    `kmeans_centroids` Lloyd-refines the coarse quantizer and feeds it
+    through `ivfpq_residual_adc_topk(coarse_centers=...)` — the SAME
+    centers drive assignment, residual subtraction, and query probing —
+    at 2 and 8 Lloyd iterations, next to the seed baseline and the
+    raw-vector IVF-PQ row re-measured in the same window. If recall
+    recovers, the frontier guidance changes from 'by_residual hurts' to
+    'by_residual needs refined cells'."""
+    from multi_source_financial_data_pipeline_spark.operators import similarity
+    from multi_source_financial_data_pipeline_spark.plans import llmdata
+
+    spark = get_spark("msfdp-residual-refined")
+    spark.sparkContext.setLogLevel("WARN")
+    out: dict = {"metric": "residual_refined", "k": llmdata.TOPK}
+    kw = dict(
+        m=llmdata.PQ_M, k_codebook=llmdata.PQ_K, iters=llmdata.PQ_ITERS,
+        dim=llmdata.EMB_DIM, nlist=llmdata.IVF_NLIST,
+        nprobe=llmdata.IVF_NPROBE, k=llmdata.TOPK,
+    )
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < llmdata.N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r["query_id"], r["cand_id"])
+            for r in similarity.brute_force_topk(emb, queries, k=llmdata.TOPK)
+            .select("query_id", "cand_id")
+            .collect()
+        }
+
+        def recall(df) -> float:
+            got = {
+                (r["query_id"], r["cand_id"])
+                for r in df.select("query_id", "cand_id").collect()
+            }
+            return round(len(exact & got) / len(exact), 4)
+
+        row = {
+            "raw_ivfpq": recall(
+                similarity.ivfpq_adc_topk(emb, queries, **kw)
+            ),
+            "residual_seed_centers": recall(
+                similarity.ivfpq_residual_adc_topk(emb, queries, **kw)
+            ),
+        }
+        for iters in (2, 8):
+            refined = similarity.kmeans_centroids(
+                emb, k=llmdata.IVF_NLIST, iters=iters
+            ).localCheckpoint()  # train once; 3 consumers share the frame
+            row[f"residual_refined_iters{iters}"] = recall(
+                similarity.ivfpq_residual_adc_topk(
+                    emb, queries, coarse_centers=refined, **kw
+                )
+            )
+        out[os.path.basename(sf_dir.rstrip("/"))] = row
+    return out
+
+
 def ann_serving_growth(ks: tuple[int, ...] = (10, 30)) -> dict:
     """Fifth growth-exponent family (VERDICT r13 item 5): ANN SERVING.
     The build/probe split's whole value claim is that serving cost scales
@@ -1021,6 +1085,9 @@ def _dispatch(argv: list[str]) -> int:
     if cmd == "ann_serving_growth":
         print(json.dumps(ann_serving_growth()))
         return 0
+    if cmd == "residual_refined":
+        print(json.dumps(residual_refined()))
+        return 0
     if cmd == "growth":
         names = argv[2].split(",") if len(argv) > 2 else []
         names = [n for n in names if n.strip()]
@@ -1033,7 +1100,7 @@ def _dispatch(argv: list[str]) -> int:
         return 0
     sys.stderr.write(
         f"unknown subcommand {cmd!r}; usage: scale_probe.py "
-        "[dedup_growth | stream_media_growth | ann_serving_growth | "
+        "[dedup_growth | stream_media_growth | ann_serving_growth | residual_refined | "
         "growth <query[,query...]>]\n"
     )
     return 2

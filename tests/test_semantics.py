@@ -471,6 +471,52 @@ def test_pq_identity_at_full_budget_multi_subspace(spark):
     assert got == want
 
 
+def test_residual_coarse_centers_seam_is_identity_on_seeds(spark):
+    """The `coarse_centers` seam (r14 VERDICT item 5 plumbing): feeding
+    the DEFAULT centers — the first nlist corpus vectors, as a (cell, cv)
+    frame — through the explicit parameter must reproduce the default
+    path's rows EXACTLY (same assignment, same residuals, same probes).
+    Pins that the seam changes only WHICH centers are used, never how any
+    of the three coarse roles consumes them."""
+    from pyspark.sql import functions as F
+
+    from multi_source_financial_data_pipeline_spark.operators import similarity
+
+    n, dim, nlist = 40, 8, 6
+    rows = [
+        (i, [float((i * 11 + d * 7) % 19) - 9.0 + 0.03125 * i for d in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 5").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    seeds = emb.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    kw = dict(m=2, k_codebook=8, iters=2, dim=dim, nlist=nlist, nprobe=2, k=4)
+    default = similarity.ivfpq_residual_adc_topk(emb, queries, **kw)
+    via_seam = similarity.ivfpq_residual_adc_topk(
+        emb, queries, coarse_centers=seeds, **kw
+    )
+    got = sorted(tuple(r) for r in via_seam.collect())
+    want = sorted(tuple(r) for r in default.collect())
+    assert got == want
+    # and with REFINED centers the result is still a well-formed top-k
+    # (k rows per query, ranks 1..k) — recall movement is measured by
+    # scale_probe.py residual_refined, not asserted here
+    refined = similarity.kmeans_centroids(emb, k=nlist, iters=2)
+    out = similarity.ivfpq_residual_adc_topk(
+        emb, queries, coarse_centers=refined, **kw
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(sorted(v) == [1, 2, 3, 4] for v in per_q.values())
+
+
 def test_ivfpq_residual_identity_at_full_budget(spark):
     """The exactness limit extended to RESIDUAL encoding (r13 VERDICT
     item 3): with k_codebook == n every residual r = v − center(cell) is
