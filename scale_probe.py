@@ -789,6 +789,112 @@ def stream_media_growth(ks: tuple[int, ...] = (10, 30)) -> dict:
     return out
 
 
+def incremental_fixed_growth(ks: tuple[int, ...] = (10, 30)) -> dict:
+    """Sixth-family addendum (r14 VERDICT item 6): the registered
+    `incremental_dedup` derives BOTH probe sides from the same documents
+    table, so its measured 1.54× at 3× volume scales the delta along with
+    the corpus. The PRODUCTION shape is the opposite: a day's ingest is
+    ~constant while the carried index grows with the corpus — and the
+    index is PERSISTED (fp parquet written by yesterday's run), never
+    re-digested from corpus text. This probe measures that shape: the fp
+    index is materialized once per scale (untimed build, like
+    `build_pq_index`), the timed leg classifies the FIXED base-corpus
+    delta against it (fp equi join + min(doc_id) canonical + rollup —
+    the same classes as the registered query). Near-flat 10×→30× ratio =
+    the 'work ∝ delta' claim holds; anything tracking the 3× index
+    volume means the index scan leaks into the probe."""
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("msfdp-incremental-fixed")
+    spark.sparkContext.setLogLevel("WARN")
+    from multi_source_financial_data_pipeline_spark.operators import validation
+    from multi_source_financial_data_pipeline_spark.plans import llmdata as _ld
+
+    # the FIXED delta: the registered query's added/changed selection,
+    # built once from the BASE corpus (a day's ingest, constant size)
+    docs = load_table(spark, src, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    base = docs.select("doc_id", "source", "text", h.alias("__h"))
+    new_text = F.when(
+        F.col("__h") % _ld.SNAP_EDIT_MOD == _ld.SNAP_EDIT_SEL,
+        F.concat(F.col("text"), F.lit(" __rev2")),
+    ).otherwise(F.col("text"))
+    old = base.filter(
+        F.col("__h") % _ld.SNAP_OLD_MOD != _ld.SNAP_OLD_DROP
+    ).select("doc_id", F.md5("text").alias("fp"))
+    new = base.filter(
+        F.col("__h") % _ld.SNAP_NEW_MOD != _ld.SNAP_NEW_DROP
+    ).select("doc_id", "source", F.md5(new_text).alias("fp"))
+    st = validation.snapshot_diff(old, new.select("doc_id", "fp"), ["doc_id"], "fp")
+    delta = (
+        new.join(st, "doc_id")
+        .filter(F.col("status").isin("added", "changed"))
+        .select("doc_id", "source", "fp")
+        .localCheckpoint()  # freeze the delta: its derivation is not the probe
+    )
+    n_delta = delta.count()
+
+    out: dict = {"metric": "incremental_fixed_growth", "base_sf_dir": src,
+                 "n_delta_docs": n_delta, "scales": {}}
+    try:
+        for k in ks:
+            dst = tempfile.mkdtemp(prefix=f"msfdp_incfix{k}_")
+            idx_dir = tempfile.mkdtemp(prefix=f"msfdp_incfix_idx{k}_")
+            try:
+                replicate(spark, src, dst, k, tables=("documents",))
+                corpus = load_table(spark, dst, "documents")
+                # untimed index build: yesterday's run wrote these fps
+                corpus.select(F.md5("text").alias("fp")).distinct().write.mode(
+                    "overwrite"
+                ).parquet(idx_dir)
+                n_index = spark.read.parquet(idx_dir).count()
+
+                def probe():
+                    idx = spark.read.parquet(idx_dir).withColumn(
+                        "__in_index", F.lit(True)
+                    )
+                    canon = delta.groupBy("fp").agg(
+                        F.min("doc_id").alias("__min_id")
+                    )
+                    hit = delta.join(idx, "fp", "left").join(canon, "fp")
+                    cls = (
+                        F.when(F.col("__in_index"), F.lit("dup_of_existing"))
+                        .when(
+                            F.col("doc_id") > F.col("__min_id"),
+                            F.lit("dup_within_delta"),
+                        )
+                        .otherwise(F.lit("new_unique"))
+                    )
+                    return (
+                        hit.select("source", cls.alias("dedup_class"))
+                        .groupBy("source", "dedup_class")
+                        .agg(F.count(F.lit(1)).alias("n_docs"))
+                    )
+
+                probe().write.format("noop").mode("overwrite").save()
+                reps = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    probe().write.format("noop").mode("overwrite").save()
+                    reps.append(time.perf_counter() - t0)
+                out["scales"][str(k)] = {
+                    "probe_sec": round(min(reps), 3),
+                    "n_index_fps": n_index,
+                }
+            finally:
+                shutil.rmtree(dst, ignore_errors=True)
+                shutil.rmtree(idx_dir, ignore_errors=True)
+    finally:
+        spark.stop()
+    lo, hi = (out["scales"][str(k)] for k in ks)
+    out["ratios_30_over_10"] = {
+        "probe_sec": round(hi["probe_sec"] / lo["probe_sec"], 2),
+        "n_index_fps": round(hi["n_index_fps"] / lo["n_index_fps"], 2),
+    }
+    return out
+
+
 def residual_refined() -> dict:
     """r14 VERDICT item 5 — test the residual-recall attribution. The r14
     frontier attributed residual IVF-PQ's recall collapse (0.21/0.07 vs
@@ -1088,6 +1194,9 @@ def _dispatch(argv: list[str]) -> int:
     if cmd == "residual_refined":
         print(json.dumps(residual_refined()))
         return 0
+    if cmd == "incremental_fixed_growth":
+        print(json.dumps(incremental_fixed_growth()))
+        return 0
     if cmd == "growth":
         names = argv[2].split(",") if len(argv) > 2 else []
         names = [n for n in names if n.strip()]
@@ -1100,7 +1209,7 @@ def _dispatch(argv: list[str]) -> int:
         return 0
     sys.stderr.write(
         f"unknown subcommand {cmd!r}; usage: scale_probe.py "
-        "[dedup_growth | stream_media_growth | ann_serving_growth | residual_refined | "
+        "[dedup_growth | stream_media_growth | ann_serving_growth | residual_refined | incremental_fixed_growth | "
         "growth <query[,query...]>]\n"
     )
     return 2
