@@ -138,6 +138,11 @@ HEADLINE = [
     # proves serving stays ~1 s when the code budget is the useful one
     # (r14 VERDICT item 2); LUT is 16× larger than the 4-bit row's
     "ann_topk_pq256_probe",
+    # round-15: the two-level manifest diff — read against snapshot_delta
+    # (the row-level full-outer diff it prunes): manifest level is two
+    # constant-state shard aggregates, the expensive join runs only over
+    # the dirty-shard fraction
+    "manifest_delta",
     # round-14: residual encoding (FAISS by_residual) — per-cell LUT
     # assembly is a join shape the raw-vector IVF-PQ row doesn't have
     "ivfpq_residual_recall",

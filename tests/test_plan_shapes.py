@@ -1355,6 +1355,22 @@ def test_pq_index_probe_prunes_cell_partitions_and_runs_no_training(
     assert index_dir  # the build had already happened before the patch
 
 
+def test_manifest_delta_level2_runs_on_dirty_literals_only(spark, sf_dir):
+    """The two-level diff's scale mechanics: the manifest verdict (≤
+    N_SHARDS rows) is collected at plan-build time and the dirty-shard
+    membership reaches the level-2 scans as a LITERAL filter — so the
+    returned plan carries exactly ONE full-outer join (the dirty-fraction
+    row diff) and exactly TWO document scans (old/new snapshot legs), no
+    semi joins, no cartesian. (As lazy semi joins the manifest aggregate
+    recomputed once per consumer — 8 corpus scans vs these 2+2.)"""
+    plan = _plan(spark, sf_dir, "manifest_delta")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" not in plan
+    assert plan.count("FullOuter") == 1
+    assert plan.count("documents.parquet") == 2
+    assert " IN (" in plan or "FalseLiteral" in plan or "false" in plan
+
+
 def test_bloom_membership_is_map_only(spark, sf_dir):
     """The whole point of the Bloom prefilter: membership must not JOIN
     against the filter. The only nested-loop join in the plan is the 1-row

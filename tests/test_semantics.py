@@ -921,6 +921,70 @@ def test_bloom_build_matches_reference_bits(spark):
     assert got == words
 
 
+def test_manifest_delta_pruning_loses_nothing(spark, sf_dir):
+    """The two-level diff's whole claim: certifying shards clean BY
+    FINGERPRINT (never entering the row-level join) must lose no change.
+    Re-derive the same localized snapshots and run the UNPRUNED row-level
+    diff over the ENTIRE corpus; its per-shard added/removed/changed
+    counts must equal manifest_delta's output exactly, clean shards must
+    be exactly the shards the full diff finds all-unchanged, and the
+    dirty-shard set must be exactly the churn-carrying shard residue
+    (shard % MAN_DIRTY_MOD == MAN_DIRTY_SEL) at this corpus."""
+    from pyspark.sql import functions as F
+
+    from multi_source_financial_data_pipeline_spark.operators import validation
+    from multi_source_financial_data_pipeline_spark.plans import llmdata
+    from multi_source_financial_data_pipeline_spark.sources import load_table
+
+    t = _run(spark, sf_dir, "manifest_delta").set_index("shard")
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    shard = h % llmdata.N_SHARDS
+    churn = shard % llmdata.MAN_DIRTY_MOD == llmdata.MAN_DIRTY_SEL
+    new_text = F.when(
+        churn & (h % llmdata.SNAP_EDIT_MOD == llmdata.SNAP_EDIT_SEL),
+        F.concat(F.col("text"), F.lit(" __rev2")),
+    ).otherwise(F.col("text"))
+    old = docs.filter(
+        ~(churn & (h % llmdata.SNAP_OLD_MOD == llmdata.SNAP_OLD_DROP))
+    ).select("doc_id", F.md5("text").alias("fp"))
+    new = docs.filter(
+        ~(churn & (h % llmdata.SNAP_NEW_MOD == llmdata.SNAP_NEW_DROP))
+    ).select("doc_id", F.md5(new_text).alias("fp"))
+    full = validation.snapshot_diff(old, new, ["doc_id"], "fp").select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("bigint")
+            % llmdata.N_SHARDS
+        ).alias("shard"),
+        "status",
+    )
+    truth: dict[int, dict[str, int]] = {}
+    for r in full.groupBy("shard", "status").count().collect():
+        truth.setdefault(int(r["shard"]), {})[r["status"]] = int(r["count"])
+    # every shard with a doc in either snapshot appears, and no other
+    assert set(t.index) == set(truth)
+    for s, want in truth.items():
+        row = t.loc[s]
+        assert int(row.n_added) == want.get("added", 0), s
+        assert int(row.n_removed) == want.get("removed", 0), s
+        assert int(row.n_changed) == want.get("changed", 0), s
+        # clean ⇔ the full diff finds the shard all-unchanged (bounds
+        # derived from the data, never from the churn constants — a tiny
+        # fixture may leave a churn-residue shard genuinely unchanged)
+        all_unchanged = set(want) <= {"unchanged"}
+        assert (row.status == "clean") == all_unchanged, s
+        # churn locality: a shard outside the churn residue can never
+        # be dirty (dirty ⊆ residue; the converse is data-dependent)
+        if s % llmdata.MAN_DIRTY_MOD != llmdata.MAN_DIRTY_SEL:
+            assert row.status == "clean", s
+
+
 def test_incremental_dedup_books_balance(spark, sf_dir):
     """The delta-dedup classes must partition exactly the docs
     snapshot_delta marked added+changed (per source), every class count
