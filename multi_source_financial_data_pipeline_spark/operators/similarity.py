@@ -304,7 +304,8 @@ def pq_adc_topk(
     every fold in this module; a plain `F.sum` would be
     partition-order-dependent.
 
-    Scale: the per-query LUT is |q|·m·k rows (tiny, broadcast); the scan
+    Scale: the per-query LUT is |q|·m·k rows (broadcast while the batch
+    provably fits the budget — see `_small_query_batch`); the scan
     is one broadcast join over the code table (m rows per vector, ints
     only) + a (query, cand) hash aggregate of m partials. At 100 TB the
     code table IS the index — 8 bytes a vector against 512 for the raw

@@ -2353,10 +2353,11 @@ def q_manifest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: level 1 is two map-side-combined hash aggregates to
     N_SHARDS rows (digests only, same as shard_manifest); the dirty-shard
-    set (≤ N_SHARDS rows) broadcasts into the level-2 membership filters,
-    so the expensive two-sided full-outer join — the 1.79×-growth shape
-    the row-level `snapshot_delta` measured — runs over the DIRTY
-    FRACTION of the corpus only. At 100 TB with day-local churn this is
+    set (≤ N_SHARDS rows) is collected at plan-build time and inlined as
+    a LITERAL membership filter on the level-2 scans (see the comment at
+    the collect), so the expensive two-sided full-outer join — the
+    1.79×-growth shape the row-level `snapshot_delta` measured — runs
+    over the DIRTY FRACTION of the corpus only. At 100 TB with day-local churn this is
     the difference between diffing ~1% of shards and re-diffing the
     corpus. Churn here is shard-localized (MAN_DIRTY_MOD) for exactly
     that reason; a uniform smear would dirty every shard and level 1
