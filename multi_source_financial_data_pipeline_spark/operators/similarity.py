@@ -397,14 +397,22 @@ _LUT_ROW_BYTES = 48
 
 
 def _broadcast_bytes_threshold(spark) -> int:
-    """``spark.sql.autoBroadcastJoinThreshold`` in bytes (0 if disabled)."""
+    """``spark.sql.autoBroadcastJoinThreshold`` in bytes (0 if disabled).
+    Parses the full Spark byte-suffix set (b/k/kb/m/mb/g/gb/t/tb/p/pb,
+    case-insensitive — the same grammar as ``byteStringAsBytes``) and
+    RAISES on anything else: Spark validates the conf value itself, so an
+    unparseable string here means THIS parser is incomplete, and silently
+    defaulting would quietly mis-size every batch-conditional hint
+    (r15 review finding: '1tb' once fell through to the 10MB default)."""
     raw = str(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     ).strip().lower()
     mult = 1
     for suf, mul in (
         ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
-        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+        ("tb", 1 << 40), ("pb", 1 << 50),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+        ("t", 1 << 40), ("p", 1 << 50), ("b", 1),
     ):
         if raw.endswith(suf):
             raw, mult = raw[: -len(suf)], mul
@@ -412,7 +420,10 @@ def _broadcast_bytes_threshold(spark) -> int:
     try:
         return max(int(float(raw)) * mult, 0)
     except ValueError:
-        return 10 << 20
+        raise ValueError(
+            "unparseable spark.sql.autoBroadcastJoinThreshold value "
+            f"{raw!r} — extend _broadcast_bytes_threshold's suffix table"
+        ) from None
 
 
 def _small_query_batch(queries: DataFrame, lut_rows_per_query: int) -> bool:

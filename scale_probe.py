@@ -887,7 +887,8 @@ def incremental_fixed_growth(ks: tuple[int, ...] = (10, 30)) -> dict:
                 shutil.rmtree(idx_dir, ignore_errors=True)
     finally:
         spark.stop()
-    lo, hi = (out["scales"][str(k)] for k in ks)
+    # ks[0]/ks[-1], the sibling probes' pattern — works for any ks length
+    lo, hi = out["scales"][str(ks[0])], out["scales"][str(ks[-1])]
     out["ratios_30_over_10"] = {
         "probe_sec": round(hi["probe_sec"] / lo["probe_sec"], 2),
         "n_index_fps": round(hi["n_index_fps"] / lo["n_index_fps"], 2),

@@ -640,11 +640,18 @@ def test_broadcast_threshold_parser():
         ("10mb", 10 << 20),
         ("512k", 512 << 10),
         ("1g", 1 << 30),
+        ("1tb", 1 << 40),
+        ("2pb", 2 << 50),
         ("100b", 100),
         ("-1", 0),
         (None, 10 << 20),
     ]:
         assert _broadcast_bytes_threshold(_FakeSpark(raw)) == want, raw
+    # unparseable must be LOUD, not a silent 10MB (r15 review finding)
+    import pytest
+
+    with pytest.raises(ValueError):
+        _broadcast_bytes_threshold(_FakeSpark("10 megabytes"))
 
 
 def test_bollinger_rsi_single_exchange(spark, sf_dir):
@@ -1368,7 +1375,12 @@ def test_manifest_delta_level2_runs_on_dirty_literals_only(spark, sf_dir):
     assert "LeftSemi" not in plan
     assert plan.count("FullOuter") == 1
     assert plan.count("documents.parquet") == 2
-    assert " IN (" in plan or "FalseLiteral" in plan or "false" in plan
+    # the dirty membership must be an inlined IN-list literal in the scan
+    # filters (an `isin` over collected shard ids) — a join-shaped
+    # membership would pass the asserts above while defeating the
+    # pushdown. (If the corpus ever produced ZERO dirty shards the filter
+    # is a false literal and the scan count would fail first.)
+    assert " IN (" in plan
 
 
 def test_bloom_membership_is_map_only(spark, sf_dir):
