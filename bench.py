@@ -270,6 +270,7 @@ EXEMPT: dict[str, str] = {
     "doc_winnow": "subplan: winnowing fingerprints inside dup_span_stats family; same explode+agg shape as ngram_novelty",
     "dup_span_stats": "sibling: exploded-span agg + skew-safe count join, same shape as chunk_boilerplate (benched)",
     "pq256_recall": "sibling: identical plan to benched pq_recall, only the sub-codebook budget moves (k=256); its train+serve cost at 2k/20k vectors is measured in PERF.md's reduction frontier",
+    "ivfpq_residual_refined_recall": "sibling: composition of benched ivfpq_residual_recall's ADC chain with benched kmeans_refine's Lloyd chain — both physical shapes already carry bench rows; benching the composition would double-count both",
     "bpe_encode_stats": "sibling: re-runs benched bpe_merges' whole train loop, then adds two 1-row aggregates over the final vocab — benching it would time the training twice",
     "ann_recall_ivf": "subplan: re-runs benched ann_topk + ann_topk_ivf to compare",
     "ann_recall_lsh": "subplan: re-runs benched ann_topk + ann_topk_lsh legs",

@@ -44,13 +44,14 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #:   4. backfill to 50 with 4 cheap-oracle r12-latest rows (including
 #:      dedup_cluster_sizes, this round's bench canary subject, so its
 #:      re-timing rides with a fresh correctness row).
-#: Round-16 rotation backlog (pre-wired): the two queries registered
+#: Round-16 rotation backlog (pre-wired): the three queries registered
 #: THIS round (r15) after this window was sized LEAD r16 per the
 #: standing never-checked-first rule — ann_topk_pq256_probe (the
-#: m=16×k=256 production-recall serving point) and manifest_delta (the
-#: two-level manifest diff); then the remaining 39 r12-latest rows
-#: (43 minus this window's 4 backfills) — 41 names, under capacity;
-#: backfill with the oldest r13-latest rows.
+#: m=16×k=256 production-recall serving point), manifest_delta (the
+#: two-level manifest diff), and ivfpq_residual_refined_recall (the
+#: trained-quantizer residual frontier point); then the remaining 39
+#: r12-latest rows (43 minus this window's 4 backfills) — 42 names,
+#: under capacity; backfill with the oldest r13-latest rows.
 _GATE_PRIORITY = (
     # -- 1. never driver-checked: the r14 post-sizing registrations --------
     "ann_topk_pq_probe",
