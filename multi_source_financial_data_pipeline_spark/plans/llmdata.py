@@ -2362,7 +2362,24 @@ def q_manifest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. Churn here is shard-localized (MAN_DIRTY_MOD) for exactly
     that reason; a uniform smear would dirty every shard and level 1
     would prune nothing — the documented worst case, where cost degrades
-    to `snapshot_delta` plus one manifest pass."""
+    to `snapshot_delta` plus one manifest pass.
+
+    False-clean trade (r15 ADVICE — the same class of disclosure as
+    `bloom_decontaminate`'s FP rate, in the opposite direction): the
+    per-shard fingerprint folds 32-bit per-row hashes h2 with
+    (sum, xor, count), so two DIFFERENT member multisets that collide on
+    all three would certify a changed shard 'clean' and level 2 would
+    silently skip its rows. An adversarial construction exists (swap two
+    rows whose h2 values sum and xor identically); for non-adversarial
+    churn the collision needs a same-size edit set preserving both a
+    38-digit decimal sum and a 32-bit xor simultaneously — well under
+    2⁻³² per dirty shard. Level 1 errs ONLY this way (a clean verdict can
+    be wrong, a dirty verdict never is: identical multisets always
+    fingerprint equal, so level 2 never diffs a truly-clean shard and
+    FALSE-DIRTY is impossible). Deployments diffing adversarial input
+    should widen h2 to the full 128-bit md5 folded as two 64-bit halves;
+    the registered query keeps 32-bit h2 because the oracle replays the
+    identical arithmetic."""
     docs = _t(spark, sf_dir, "documents")
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10

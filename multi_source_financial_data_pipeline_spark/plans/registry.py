@@ -25,93 +25,90 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 
 
 #: The driver's correctness gate records exactly the FIRST 50 dict-order
-#: entries each round (observed in r01-r14), so this list rotates the
+#: entries each round (observed in r01-r15), so this list rotates the
 #: checked window across rounds to get every query a fresh green row on
-#: record. Round-15 window (executes VERDICT r14 item 1). In order:
-#:   1. the 8 queries registered in r14 AFTER that window was sized and
-#:      therefore never driver-checked — the ONLY registered names with
-#:      no CORRECTNESS row ever (the build-once PQ-probe family, the
-#:      production-budget/residual frontier points, and the late-r14
-#:      additions): never-checked names lead the window;
-#:   2. stream_bars_ohlc_wm (reformulated_ok: its sum_value moved onto
-#:      the shared checked-decimal overflow guard in r14, after its r13
-#:      green row — r13 ADVICE asked for a re-check);
-#:   3. the full 37-name r11-latest staleness backlog — cheap TPC-H and
-#:      connector/financial oracles first, then the streaming family,
-#:      then the document/ANN scans, with the heavy real-codec media
-#:      scan LAST so any checker memory pressure costs the fewest
+#: record. Round-16 window (executes VERDICT r15 item 1, exactly as
+#: pre-wired in the r15 docstring). In order:
+#:   1. the 3 queries registered in r15 AFTER that window was sized and
+#:      therefore never driver-checked — ann_topk_pq256_probe (the
+#:      m=16×k=256 production-recall serving point), manifest_delta (the
+#:      two-level manifest diff), ivfpq_residual_refined_recall (the
+#:      trained-quantizer residual frontier point): never-checked names
+#:      lead the window;
+#:   2. the full 39-name r12-latest staleness backlog — cheap financial/
+#:      event oracles first, then document/text, then ANN/embedding,
+#:      then the one streaming name, with the 4 real-codec media ID
+#:      scans LAST so any checker memory pressure costs the fewest
 #:      verdicts;
-#:   4. backfill to 50 with 4 cheap-oracle r12-latest rows (including
-#:      dedup_cluster_sizes, this round's bench canary subject, so its
-#:      re-timing rides with a fresh correctness row).
-#: Round-16 rotation backlog (pre-wired): the three queries registered
-#: THIS round (r15) after this window was sized LEAD r16 per the
-#: standing never-checked-first rule — ann_topk_pq256_probe (the
-#: m=16×k=256 production-recall serving point), manifest_delta (the
-#: two-level manifest diff), and ivfpq_residual_refined_recall (the
-#: trained-quantizer residual frontier point); then the remaining 39
-#: r12-latest rows (43 minus this window's 4 backfills) — 42 names,
-#: under capacity; backfill with the oldest r13-latest rows.
+#:   3. backfill to 50 with 8 cheap-oracle r13-latest rows (the oldest
+#:      remaining tier), slotted before the media group for the same
+#:      reason.
+#: Round-17 rotation backlog (pre-wired): queries registered THIS round
+#: (r16) after this window was sized LEAD r17 per the standing
+#: never-checked-first rule — ann_topk_pq_refined_probe (the
+#: refined-quantizer materialized serving point, VERDICT r15 item 2)
+#: and stream_incremental_dedup (the streaming twin of the carried-index
+#: classifier, VERDICT r15 item 4); then the remaining 41-name
+#: r13-latest backlog (49 minus this window's 8 backfills) — 43 names,
+#: under capacity; backfill with the oldest r14-latest rows.
 _GATE_PRIORITY = (
-    # -- 1. never driver-checked: the r14 post-sizing registrations --------
-    "ann_topk_pq_probe",
-    "pq256_recall",
-    "ivfpq_residual_recall",
-    "bloom_decontaminate",
-    "snapshot_delta",
-    "incremental_dedup",
-    "bpe_merges",
-    "bpe_encode_stats",
-    # -- 2. reformulated since its last green row (r13 ADVICE follow-up) ----
-    "stream_bars_ohlc_wm",
-    # -- 3a. r11-latest backlog: TPC-H (cheapest oracles) -------------------
-    "q8_market_share",
-    "q9_profit",
-    "q13_order_distribution",
-    "q16_part_supplier",
-    "q17_small_qty_revenue",
-    "q20_excess_suppliers",
-    "q21_late_suppliers",
-    "q22_dormant_customers",
-    # -- 3b. r11-latest backlog: connector/financial/event ------------------
-    "connector_ohlcv",
-    "connector_crossval",
-    "connector_macro",
-    "connector_macro_summary",
-    "asof_tolerance",
-    "event_pivot",
-    "json_props_stats",
-    "type_cooccurrence",
-    # -- 3c. r11-latest backlog: streaming family ----------------------------
-    "stream_enriched_counts",
-    "stream_interval_join",
-    "stream_left_interval_join",
-    "stream_running_totals",
-    "stream_session_windows",
-    "stream_sliding_counts",
-    # -- 3d. r11-latest backlog: document/text scans -------------------------
-    "exact_dedup",
-    "doc_fingerprint",
-    "doc_length_quantiles",
-    "doc_quality",
-    "doc_scrub",
-    "lang_id",
-    "token_diversity",
-    "token_len_histogram",
-    "vocab_topk",
-    "bigram_prob",
-    "quality_filter_funnel",
-    # -- 3e. r11-latest backlog: ANN/minhash ----------------------------------
-    "ivf_assign",
-    "minhash_signatures",
-    "minhash_accuracy",
-    # -- 4. r12-latest backfill to 50 (cheap oracles + bench-canary subject) --
-    "dup_stats",
-    "bucketed_revenue",
-    "event_rollup_day",
-    "dedup_cluster_sizes",
-    # -- 3f. heavy real-codec media scan last ---------------------------------
-    "media_real_channel_stats",
+    # -- 1. never driver-checked: the r15 post-sizing registrations --------
+    "ann_topk_pq256_probe",
+    "manifest_delta",
+    "ivfpq_residual_refined_recall",
+    # -- 2a. r12-latest backlog: financial / event / sampling ---------------
+    "cohort_retention",
+    "equi_depth_bins",
+    "event_cube",
+    "gap_fill_ffill",
+    "rolling_beta",
+    "seasonal_mase",
+    "winsorized_stats",
+    "stratified_sample",
+    "kmv_distinct",
+    "mixture_weights",
+    "dsir_weights",
+    "source_kl",
+    "sequence_packing",
+    "shard_manifest",
+    # -- 2b. r12-latest backlog: document/text scans -------------------------
+    "chunk_boilerplate",
+    "curation_kept",
+    "decontaminate_overlap",
+    "doc_repetition",
+    "ngram_novelty",
+    "perplexity_buckets",
+    "pii_scrub",
+    "readability",
+    "subword_stats",
+    "tfidf_topk",
+    "editdist_verify",
+    "containment_pairs",
+    # -- 2c. r12-latest backlog: ANN / embeddings -----------------------------
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+    "embedding_centroids",
+    "embedding_norm_audit",
+    "kmeans_refine",
+    "semdedup_kept",
+    "semdedup_kept_probe",
+    "sq8_recall",
+    # -- 2d. r12-latest backlog: streaming ------------------------------------
+    "stream_static_anti",
+    # -- 3. r13-latest backfill to 50 (cheap oracles) -------------------------
+    "atr_14",
+    "bars_4h",
+    "cross_source_compare",
+    "database_stats",
+    "dedup_keep_last",
+    "first_request_wins",
+    "global_summary",
+    "missing_bdays",
+    # -- 2e. real-codec media ID scans last ------------------------------------
+    "media_aac_id",
+    "media_h264_sps",
+    "media_opus_id",
+    "media_vorbis_id",
 )
 
 

@@ -920,43 +920,48 @@ def residual_refined() -> dict:
         dim=llmdata.EMB_DIM, nlist=llmdata.IVF_NLIST,
         nprobe=llmdata.IVF_NPROBE, k=llmdata.TOPK,
     )
-    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
-        emb = load_table(spark, sf_dir, "embeddings")
-        queries = emb.filter(F.col("vec_id") < llmdata.N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
-        exact = {
-            (r["query_id"], r["cand_id"])
-            for r in similarity.brute_force_topk(emb, queries, k=llmdata.TOPK)
-            .select("query_id", "cand_id")
-            .collect()
-        }
-
-        def recall(df) -> float:
-            got = {
-                (r["query_id"], r["cand_id"])
-                for r in df.select("query_id", "cand_id").collect()
-            }
-            return round(len(exact & got) / len(exact), 4)
-
-        row = {
-            "raw_ivfpq": recall(
-                similarity.ivfpq_adc_topk(emb, queries, **kw)
-            ),
-            "residual_seed_centers": recall(
-                similarity.ivfpq_residual_adc_topk(emb, queries, **kw)
-            ),
-        }
-        for iters in (2, 8):
-            refined = similarity.kmeans_centroids(
-                emb, k=llmdata.IVF_NLIST, iters=iters
-            ).localCheckpoint()  # train once; 3 consumers share the frame
-            row[f"residual_refined_iters{iters}"] = recall(
-                similarity.ivfpq_residual_adc_topk(
-                    emb, queries, coarse_centers=refined, **kw
-                )
+    try:
+        for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+            emb = load_table(spark, sf_dir, "embeddings")
+            queries = emb.filter(F.col("vec_id") < llmdata.N_QUERIES).select(
+                F.col("vec_id").alias("query_id"), "embedding"
             )
-        out[os.path.basename(sf_dir.rstrip("/"))] = row
+            exact = {
+                (r["query_id"], r["cand_id"])
+                for r in similarity.brute_force_topk(
+                    emb, queries, k=llmdata.TOPK
+                )
+                .select("query_id", "cand_id")
+                .collect()
+            }
+
+            def recall(df) -> float:
+                got = {
+                    (r["query_id"], r["cand_id"])
+                    for r in df.select("query_id", "cand_id").collect()
+                }
+                return round(len(exact & got) / len(exact), 4)
+
+            row = {
+                "raw_ivfpq": recall(
+                    similarity.ivfpq_adc_topk(emb, queries, **kw)
+                ),
+                "residual_seed_centers": recall(
+                    similarity.ivfpq_residual_adc_topk(emb, queries, **kw)
+                ),
+            }
+            for iters in (2, 8):
+                refined = similarity.kmeans_centroids(
+                    emb, k=llmdata.IVF_NLIST, iters=iters
+                ).localCheckpoint()  # train once; 3 consumers share the frame
+                row[f"residual_refined_iters{iters}"] = recall(
+                    similarity.ivfpq_residual_adc_topk(
+                        emb, queries, coarse_centers=refined, **kw
+                    )
+                )
+            out[os.path.basename(sf_dir.rstrip("/"))] = row
+    finally:
+        spark.stop()  # match incremental_fixed_growth: composable probes
     return out
 
 

@@ -652,6 +652,44 @@ def test_broadcast_threshold_parser():
 
     with pytest.raises(ValueError):
         _broadcast_bytes_threshold(_FakeSpark("10 megabytes"))
+    # fractional mantissa must also be LOUD, not floored to 0 — flooring
+    # '0.5g' would silently disable every batch-conditional hint
+    # (r15 ADVICE)
+    with pytest.raises(ValueError):
+        _broadcast_bytes_threshold(_FakeSpark("0.5g"))
+
+
+def test_small_query_batch_memoizes_count_job(spark, sf_dir, monkeypatch):
+    """r15 VERDICT item 7: a serving loop re-probing the SAME batch plan
+    must pay the bounded LIMIT-capped count job once, not per probe call.
+    First call populates the memo; the second is answered from it — pinned
+    by making any further count() raise."""
+    from pyspark.sql import functions as F
+
+    from multi_source_financial_data_pipeline_spark.operators import similarity
+
+    q = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    similarity._SMALL_BATCH_MEMO.clear()
+    assert similarity._small_query_batch(q, 128) is True
+    assert len(similarity._SMALL_BATCH_MEMO) == 1
+
+    def _boom(self):
+        raise AssertionError("count() re-ran for a memoized batch plan")
+
+    # patch the CONCRETE class (pyspark 4's classic DataFrame overrides
+    # count; patching the pyspark.sql.DataFrame base would be a no-op)
+    monkeypatch.setattr(type(q), "count", _boom)
+    assert similarity._small_query_batch(q, 128) is True
+    # a different LUT geometry is a different decision: memo must miss
+    # (and with count() patched to raise, that miss must surface)
+    import pytest
+
+    with pytest.raises(AssertionError, match="re-ran"):
+        similarity._small_query_batch(q, 64)
 
 
 def test_bollinger_rsi_single_exchange(spark, sf_dir):
