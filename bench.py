@@ -138,6 +138,12 @@ HEADLINE = [
     # proves serving stays ~1 s when the code budget is the useful one
     # (r14 VERDICT item 2); LUT is 16× larger than the 4-bit row's
     "ann_topk_pq256_probe",
+    # round-16: residual serving from the materialized refined-quantizer
+    # index (VERDICT r15 item 2) — the per-cell LUT probe join shape
+    # (probes ⋈ center-dot LUT ⋈ residual LUT ⋈ per-cell norm LUT) that
+    # neither raw-vector probe exercises, with training amortized into
+    # the build like the other probe rows
+    "ann_topk_pq_refined_probe",
     # round-15: the two-level manifest diff — read against snapshot_delta
     # (the row-level full-outer diff it prunes): manifest level is two
     # constant-state shard aggregates, the expensive join runs only over

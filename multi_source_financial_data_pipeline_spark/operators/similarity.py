@@ -1406,6 +1406,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     two_level: bool = False,
+    coarse_centers: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF index under ``index_dir``:
 
@@ -1413,11 +1414,34 @@ def build_ivf_index(
       — the on-disk inverted lists;
     - ``quantizer/``: the 1-row coarse-quantizer seeds (read + broadcast at
       probe time, so probing never touches the source embeddings).
-    """
+
+    ``coarse_centers`` (a (cell, cv) frame, e.g. `kmeans_centroids`)
+    substitutes a Lloyd-REFINED quantizer for the default seed convention
+    (r15 VERDICT item 2). Assignment and probe provably use the SAME
+    centers structurally: the build assigns with `centers_seed_row` of
+    this frame AND persists that exact row as ``quantizer/``, and
+    `ivf_topk_probe` probes with whatever ``quantizer/`` holds — there is
+    no second copy to desynchronize. Incompatible with ``two_level``
+    (the hierarchical assign derives its own super-cells from the seed
+    convention)."""
     import os
 
-    assign_fn = semdedup_assign if two_level else ivf_assign
-    assigned = assign_fn(embeddings, nlist, id_col, vec_col)
+    if coarse_centers is not None:
+        if two_level:
+            raise ValueError(
+                "coarse_centers and two_level are mutually exclusive: "
+                "semdedup_assign derives its super-cells from the seed "
+                "convention"
+            )
+        centers_row = centers_seed_row(coarse_centers)
+        assigned = ivf_assign(
+            embeddings, nlist, id_col, vec_col, centers_row=centers_row
+        )
+        quantizer = centers_row
+    else:
+        assign_fn = semdedup_assign if two_level else ivf_assign
+        assigned = assign_fn(embeddings, nlist, id_col, vec_col)
+        quantizer = ivf_seed_row(embeddings, nlist, id_col, vec_col)
     (
         assigned.select(
             F.col(id_col).alias("cand_id"),
@@ -1429,9 +1453,9 @@ def build_ivf_index(
         .mode("overwrite")
         .parquet(os.path.join(index_dir, "cells"))
     )
-    ivf_seed_row(embeddings, nlist, id_col, vec_col).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(index_dir, "quantizer"))
+    quantizer.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "quantizer")
+    )
 
 
 def ivf_topk_probe(
@@ -1495,6 +1519,8 @@ def build_pq_index(
     nlist: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse_centers: DataFrame | None = None,
+    by_residual: bool = False,
 ) -> None:
     """Materialize the IVF-PQ index under ``index_dir`` — the FAISS-IVFPQ
     deployment shape (`build_ivf_index`'s pattern applied to codes): ALL
@@ -1508,20 +1534,75 @@ def build_pq_index(
       probe's cell equi-join is dynamic-partition-pruned to ~nprobe/nlist
       of the files (the promise `ivfpq_adc_topk`'s docstring makes, made
       physical);
-    - ``quantizer/``: the 1-row coarse-quantizer seeds.
+    - ``quantizer/``: the 1-row coarse-quantizer seeds;
+    - ``meta/``: one row of index-encoding metadata (``by_residual``) the
+      probes check so a raw probe can never silently score a residual
+      index or vice versa (absent on pre-r16 indexes ⇒ raw).
+
+    ``coarse_centers`` (a (cell, cv) frame, e.g. `kmeans_centroids`)
+    substitutes a Lloyd-REFINED coarse quantizer for the default seed
+    convention in every coarse role at once — cell assignment, residual
+    subtraction (when ``by_residual``), and the persisted ``quantizer/``
+    the probe broadcasts — so build and probe provably use the SAME
+    centers (there is no second copy to desynchronize; the identity pin
+    `test_pq_residual_refined_probe_equals_inline`).
+
+    ``by_residual`` trains the sub-codebooks on ``v − center(cell)``
+    (FAISS IVFPQ's default) and REQUIRES ``coarse_centers``: the r15
+    frontier measured residual encoding over unrefined seed centers
+    collapsing recall 3–6× below raw-vector codes (PERF.md 'residual
+    encoding needs refined cells'), so a seed-center residual build is a
+    loud error rather than a quietly bad index. At 100 TB the extra
+    probe-side cost is the per-cell LUTs — nlist·m·k norm rows and
+    |q|·nprobe·m center-dot rows, still broadcast-sized.
 
     At 100 TB the codes are the index — m bytes a vector against 8·dim
     for the raw doubles — and this build is the one corpus-scale job;
     serving cost is measured by `plans/llmdata.q_ann_topk_pq_probe`."""
     import os
 
-    cents, codes = pq_train_encode(
-        embeddings, m=m, k=k_codebook, iters=iters, dim=dim,
-        id_col=id_col, vec_col=vec_col,
-    )
-    cells = ivf_assign(embeddings, nlist, id_col, vec_col).select(
-        F.col(id_col).alias("vec_id"), F.col("cell").alias("ivf_cell")
-    )
+    if by_residual and coarse_centers is None:
+        raise ValueError(
+            "by_residual=True requires coarse_centers: residual encoding "
+            "over unrefined seed centers collapses recall (r15 frontier, "
+            "PERF.md 'residual encoding needs refined cells')"
+        )
+    if coarse_centers is not None:
+        centers_row = centers_seed_row(coarse_centers)
+        quantizer = centers_row
+        cells = ivf_assign(
+            embeddings, nlist, id_col, vec_col, centers_row=centers_row
+        ).select(F.col(id_col).alias("vec_id"), F.col("cell").alias("ivf_cell"))
+    else:
+        quantizer = ivf_seed_row(embeddings, nlist, id_col, vec_col)
+        cells = ivf_assign(embeddings, nlist, id_col, vec_col).select(
+            F.col(id_col).alias("vec_id"), F.col("cell").alias("ivf_cell")
+        )
+    if by_residual:
+        ctrs = coarse_centers.select(
+            F.col("cell").cast("long").alias("ivf_cell"),
+            F.col("cv").alias("ctr"),
+        )
+        train_src = (
+            embeddings.select(
+                F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
+            )
+            .join(cells, "vec_id")
+            .join(F.broadcast(ctrs), "ivf_cell")
+            .select(
+                "vec_id",
+                F.zip_with("v", "ctr", lambda x, y: x - y).alias("rv"),
+            )
+        )
+        cents, codes = pq_train_encode(
+            train_src, m=m, k=k_codebook, iters=iters, dim=dim,
+            id_col="vec_id", vec_col="rv",
+        )
+    else:
+        cents, codes = pq_train_encode(
+            embeddings, m=m, k=k_codebook, iters=iters, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        )
     (
         codes.withColumnRenamed("cell", "code")
         .join(cells, "vec_id")
@@ -1532,9 +1613,24 @@ def build_pq_index(
     cents.withColumnRenamed("cell", "code").write.mode("overwrite").parquet(
         os.path.join(index_dir, "codebooks")
     )
-    ivf_seed_row(embeddings, nlist, id_col, vec_col).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(index_dir, "quantizer"))
+    quantizer.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "quantizer")
+    )
+    spark.createDataFrame(
+        [(bool(by_residual),)], "by_residual boolean"
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+
+
+def _pq_index_is_residual(spark, index_dir: str) -> bool:
+    """Read the index's encoding flag; a pre-r16 index without ``meta/``
+    is raw-vector by construction (residual builds never existed before
+    the flag did)."""
+    import os
+
+    meta_dir = os.path.join(index_dir, "meta")
+    if not os.path.isdir(meta_dir):
+        return False
+    return bool(spark.read.parquet(meta_dir).collect()[0]["by_residual"])
 
 
 def pq_topk_probe(
@@ -1561,6 +1657,12 @@ def pq_topk_probe(
     build."""
     import os
 
+    if _pq_index_is_residual(spark, index_dir):
+        raise ValueError(
+            "index at %r holds RESIDUAL codes — probe it with "
+            "pq_residual_topk_probe (a raw ADC fold over residual codes "
+            "scores garbage silently)" % index_dir
+        )
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
     cents = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     seed_row = spark.read.parquet(os.path.join(index_dir, "quantizer"))
@@ -1615,5 +1717,132 @@ def pq_topk_probe(
         .join(hb(dot_lut), ["query_id", "s", "code"])
         .join(F.broadcast(norm_lut), ["s", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    return _adc_fold_rank(parts, k)
+
+
+def pq_residual_topk_probe(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k against a materialized RESIDUAL IVF-PQ index — the
+    serving twin of `ivfpq_residual_adc_topk(coarse_centers=...)` exactly
+    as `pq_topk_probe` is of `ivfpq_adc_topk` (same results at the same
+    geometry, pinned by an exact-equality test; NO Lloyd iteration runs,
+    pinned by the monkeypatch-training-to-raise test). The refined coarse
+    centers live ONLY in the persisted ``quantizer/`` row — probing,
+    center-dot LUTs and norm LUTs all derive from that one broadcast
+    frame, so probe centers can never drift from the centers that drove
+    assignment and residual subtraction at build time.
+
+    Probe-side work beyond the raw-vector probe is the per-cell LUT trade
+    `ivfpq_residual_adc_topk` documents: the center-dot LUT is
+    |q|·nprobe·m rows (probed cells only) and the norm LUT is
+    nlist·m·k rows — both broadcast-sized constants of the index
+    geometry, never corpus-proportional; the codes scan itself is the
+    same dynamic-partition-pruned ~nprobe/nlist fraction."""
+    import os
+
+    if not _pq_index_is_residual(spark, index_dir):
+        raise ValueError(
+            "index at %r holds RAW-VECTOR codes — probe it with "
+            "pq_topk_probe (a residual ADC fold over raw codes scores "
+            "garbage silently)" % index_dir
+        )
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    cents = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    seed_row = spark.read.parquet(os.path.join(index_dir, "quantizer"))
+    meta = cents.agg(
+        (F.max("s") + 1).alias("m"),
+        F.max(F.size("cv")).alias("sub"),
+        F.count(F.lit(1)).alias("lut_rows"),
+    ).collect()[0]
+    m, sub = int(meta["m"]), int(meta["sub"])
+    lut_rows_per_query = int(meta["lut_rows"])  # m·k codebook entries
+    # the persisted quantizer row IS the center table: explode it back to
+    # (ivf_cell, ctr) and slice per subspace — tiny (nlist rows), and the
+    # single source of truth for every coarse role below
+    ctrs = seed_row.select(F.explode("seeds").alias("sd")).select(
+        F.col("sd")["seed_id"].alias("ivf_cell"),
+        F.col("sd")["sv"].alias("ctr"),
+    )
+    csub = ctrs.select(
+        "ivf_cell",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> slice(ctr, s * {sub} + 1, {sub}))"
+            )
+        ).alias("s", "csv"),
+    )
+    norm_lut = csub.join(cents, "s").select(
+        "ivf_cell",
+        "s",
+        "code",
+        sq_norm(F.zip_with(F.col("csv"), F.col("cv"), lambda x, y: x + y)).alias(
+            "np"
+        ),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        sq_norm(_as_double(vec_col)).alias("qn"),
+    )
+    probes = (
+        q.join(F.broadcast(seed_row))
+        .select(
+            "query_id",
+            F.explode(
+                F.slice(_best_cells(F.col("qv"), F.col("qn")), 1, nprobe)
+            ).alias("p"),
+        )
+        .select("query_id", F.col("p")["cell"].alias("ivf_cell"))
+    )
+    qsub = q.select(
+        "query_id",
+        "qn",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> slice(qv, s * {sub} + 1, {sub}))"
+            )
+        ).alias("s", "qsv"),
+    )
+    dlut_res = qsub.join(F.broadcast(cents), "s").select(
+        "query_id", "qn", "s", "code",
+        dot(F.col("qsv"), F.col("cv")).alias("dpr"),
+    )
+    dlut_ctr = (
+        qsub.join(probes, "query_id")
+        .join(F.broadcast(csub), ["ivf_cell", "s"])
+        .select(
+            "query_id", "ivf_cell", "s",
+            dot(F.col("qsv"), F.col("csv")).alias("dpc"),
+        )
+    )
+    # probes / dlut_ctr / dlut_res are QUERY-proportional — hinted only
+    # while the batch provably fits the broadcast budget (see
+    # `_small_query_batch`); norm_lut stays unconditionally hinted:
+    # nlist·m·k rows, a constant of the index geometry.
+    hb = _lut_hint(queries, lut_rows_per_query)
+    parts = (
+        codes.join(hb(probes), "ivf_cell")
+        .join(hb(dlut_ctr), ["query_id", "ivf_cell", "s"])
+        .join(hb(dlut_res), ["query_id", "s", "code"])
+        .join(F.broadcast(norm_lut), ["ivf_cell", "s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "qn",
+            "s",
+            (F.col("dpc") + F.col("dpr")).alias("dp"),
+            "np",
+        )
     )
     return _adc_fold_rank(parts, k)

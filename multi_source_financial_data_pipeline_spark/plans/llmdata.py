@@ -1304,15 +1304,24 @@ def _ensure_ivf_index(
 
 
 def _ensure_pq_index(
-    spark: SparkSession, sf_dir: str, m: int | None = None, k: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    m: int | None = None,
+    k: int | None = None,
+    residual_refined: bool = False,
 ) -> str:
     """The IVF-PQ twin of `_ensure_ivf_index`: build-once codebooks +
     cell-partitioned codes under the same identity-markered cache, so the
-    serving queries (`q_ann_topk_pq_probe`, `q_ann_topk_pq256_probe`) pay
-    training exactly once per (testdata tree, code budget) and the probe
-    itself never runs a Lloyd iteration. ``m``/``k`` select the budget:
-    the default is the 4-bit harness twin (m=8, k=16); the production
-    point passes m=16, k=256."""
+    serving queries (`q_ann_topk_pq_probe`, `q_ann_topk_pq256_probe`,
+    `q_ann_topk_pq_refined_probe`) pay training exactly once per
+    (testdata tree, code budget, encoding) and the probe itself never
+    runs a Lloyd iteration. ``m``/``k`` select the budget: the default is
+    the 4-bit harness twin (m=8, k=16); the production point passes
+    m=16, k=256. ``residual_refined`` builds the encoding the r15
+    frontier recommends for by_residual deployments: the coarse
+    quantizer Lloyd-refined (`kmeans_centroids`, KM_ITERS — the
+    `ivfpq_residual_refined_recall` configuration) and the sub-codebooks
+    trained on residuals against those refined centers."""
     import os
 
     m = PQ_M if m is None else m
@@ -1323,18 +1332,31 @@ def _ensure_pq_index(
              "m": m, "k": k, "iters": PQ_ITERS, "nlist": IVF_NLIST,
              "kind": "pq"}
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    suffix = ""
+    if residual_refined:
+        ident.update({"residual": True, "km_iters": KM_ITERS})
+        suffix = f"_reskm{KM_ITERS}"
     index_dir = os.path.join(
         _ivf_cache_root(),
-        f"{tag}_pq_m{m}k{k}i{PQ_ITERS}nlist{IVF_NLIST}",
+        f"{tag}_pq_m{m}k{k}i{PQ_ITERS}nlist{IVF_NLIST}{suffix}",
     )
-    return _ensure_index(
-        index_dir,
-        ident,
-        lambda build_dir: similarity.build_pq_index(
-            spark, _t(spark, sf_dir, "embeddings"), build_dir, m=m,
-            k_codebook=k, iters=PQ_ITERS, dim=EMB_DIM, nlist=IVF_NLIST,
-        ),
-    )
+
+    def _build(build_dir: str) -> None:
+        emb = _t(spark, sf_dir, "embeddings")
+        centers = (
+            similarity.kmeans_centroids(
+                emb, k=IVF_NLIST, iters=KM_ITERS
+            ).localCheckpoint()  # train once; assign + residual + quantizer share it
+            if residual_refined
+            else None
+        )
+        similarity.build_pq_index(
+            spark, emb, build_dir, m=m, k_codebook=k, iters=PQ_ITERS,
+            dim=EMB_DIM, nlist=IVF_NLIST, coarse_centers=centers,
+            by_residual=residual_refined,
+        )
+
+    return _ensure_index(index_dir, ident, _build)
 
 
 def _ensure_index(index_dir: str, ident: dict, build) -> str:
@@ -4145,6 +4167,32 @@ def q_ann_topk_pq256_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_pq_refined_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL IVF-PQ serving from a materialized index built at the
+    quantizer the r15 frontier proved residual encoding needs (VERDICT
+    r15 item 2): `build_pq_index(coarse_centers=kmeans_centroids(...),
+    by_residual=True)` persists Lloyd-REFINED coarse centers as the
+    index quantizer and trains the sub-codebooks on residuals against
+    them; `pq_residual_topk_probe` then serves every coarse role — query
+    probing, center-dot LUTs, reconstruction norms — from that one
+    persisted row, so probe centers structurally cannot drift from the
+    centers that drove assignment and encoding (the in-memory
+    `ivfpq_residual_refined_recall` proved this configuration restores
+    raw-vector recall parity; this query is its build-once serving
+    shape). Same geometry as that recall harness (m=8×k=16 codes,
+    KM_ITERS-refined nlist=16 cells), so the oracle replays the identical
+    trained-quantizer residual ADC chain and the probe must reproduce its
+    exact ranked top-k rows from parquet — NO Lloyd iteration at probe
+    time (same monkeypatch pin as the raw-vector probes)."""
+    index_dir = _ensure_pq_index(spark, sf_dir, residual_refined=True)
+    queries = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.pq_residual_topk_probe(
+        spark, index_dir, queries, k=TOPK, nprobe=IVF_NPROBE
+    )
+
+
 #: the shared IVF-PQ ADC CTE chain (coarse assignment + probes +
 #: codebooks/codes + the s-ordered ADC fold), ending at the scored
 #: `adc` relation — composed into the recall harness below and into
@@ -4477,7 +4525,12 @@ FROM per_q
 #: the SAME residual ADC chain as `SQL_IVFPQ_RESIDUAL_RECALL`, with the
 #: refined kc2 centers standing in for the corpus-vector seeds in all
 #: three coarse roles (assignment, residual subtraction, query probing).
-def _sql_ivfpq_residual_refined() -> str:
+#: ``tail`` picks the emitted relation: the recall harness aggregate
+#: ("recall") or the ranked top-k rows themselves ("topk" — the serving
+#: oracle `q_ann_topk_pq_refined_probe` must reproduce from the
+#: MATERIALIZED residual index, training replayed here, served from
+#: parquet there — the same split as `SQL_ANN_TOPK_PQ_PROBE`).
+def _sql_ivfpq_residual_refined(tail: str = "recall") -> str:
     scols = ", ".join(f"cv[{i}] AS s{i}" for i in range(1, EMB_DIM + 1))
     cos_es = _sql_scalar_cos("e.x", "s.s", "e.nrm", "s.snrm")
     return f"""
@@ -4577,7 +4630,13 @@ adc AS (
   SELECT query_id, cand_id,
          round(dps / nullif(sqrt(qn * nps), 0), 6) AS cos_sim
   FROM folded
-),
+){_RESIDUAL_REFINED_TAILS[tail]}"""
+
+
+#: the two tails `_sql_ivfpq_residual_refined` composes onto its shared
+#: chain-to-`adc`: the recall aggregate and the ranked serving top-k.
+_RESIDUAL_REFINED_TAILS = {
+    "recall": f""",
 approx AS (
   SELECT query_id, cand_id FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -4601,10 +4660,19 @@ SELECT count(*) AS n_queries,
          AS recall_at_k,
        CAST(min(n_hits) AS DOUBLE) / {TOPK}.0 AS min_recall
 FROM per_q
-"""
+""",
+    "topk": f"""
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, cand_id ASC) AS INTEGER) AS rank
+  FROM adc
+) WHERE rank <= {TOPK}
+""",
+}
 
 
 SQL_IVFPQ_RESIDUAL_REFINED_RECALL = _sql_ivfpq_residual_refined()
+SQL_ANN_TOPK_PQ_REFINED_PROBE = _sql_ivfpq_residual_refined("topk")
 
 
 SPECS = {
@@ -5065,6 +5133,15 @@ SPECS = {
         "IVF-PQ serving probe at the production budget (m=16 x 8-bit "
         "codes, the first frontier point with recall@10 >= 0.8): same "
         "build-once index + pruned ADC scan, no inline training",
+        ("similarity", "topk"),
+    ),
+    "ann_topk_pq_refined_probe": QuerySpec(
+        q_ann_topk_pq_refined_probe,
+        SQL_ANN_TOPK_PQ_REFINED_PROBE,
+        "residual IVF-PQ serving probe from a materialized index built at "
+        "a Lloyd-refined coarse quantizer (the configuration the r15 "
+        "frontier proved by_residual needs): persisted refined centers "
+        "drive assignment, encoding AND probing, no inline training",
         ("similarity", "topk"),
     ),
 }

@@ -1384,14 +1384,26 @@ def test_pq_index_probe_prunes_cell_partitions_and_runs_no_training(
     llmdata._ensure_pq_index(
         spark, sf_dir, m=llmdata.PQ256_M, k=llmdata.PQ256_K
     )
+    llmdata._ensure_pq_index(spark, sf_dir, residual_refined=True)
 
     def _no_training(*a, **k):
         raise AssertionError("pq_train_encode invoked in the serving path")
 
+    def _no_refine(*a, **k):
+        raise AssertionError("kmeans_centroids invoked in the serving path")
+
     monkeypatch.setattr(similarity, "pq_train_encode", _no_training)
-    # both registered budgets serve through the same Lloyd-free plan:
-    # the 4-bit harness twin and the m=16×8-bit production point
-    for name in ("ann_topk_pq_probe", "ann_topk_pq256_probe"):
+    # the residual index's coarse refinement is training too — the probe
+    # must serve from the PERSISTED refined quantizer, never re-refine
+    monkeypatch.setattr(similarity, "kmeans_centroids", _no_refine)
+    # all three registered budgets serve through the same Lloyd-free plan:
+    # the 4-bit harness twin, the m=16×8-bit production point, and the
+    # residual-at-refined-centers point (r15 VERDICT item 2)
+    for name in (
+        "ann_topk_pq_probe",
+        "ann_topk_pq256_probe",
+        "ann_topk_pq_refined_probe",
+    ):
         df = QUERIES[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "dynamicpruning" in plan, name

@@ -612,6 +612,65 @@ def test_pq_probe_equals_inline_ivfpq(spark, tmp_path):
     assert got == want
 
 
+def test_pq_residual_refined_probe_equals_inline(spark, tmp_path):
+    """`build_pq_index(coarse_centers=…, by_residual=True)` +
+    `pq_residual_topk_probe` must reproduce
+    `ivfpq_residual_adc_topk(coarse_centers=…)`'s EXACT rows at the same
+    geometry (r15 VERDICT item 2): the materialized split persists the
+    refined quantizer once and serves every coarse role — assignment,
+    residual encoding, probing, center-dot and norm LUTs — from that one
+    row, without moving a single float. Also pins the encoding-mismatch
+    guards: a raw probe on the residual index (and vice versa) raises
+    instead of silently scoring garbage, and a seed-center residual build
+    (the configuration the r15 frontier measured collapsing recall) is a
+    loud error."""
+    import pytest
+
+    from multi_source_financial_data_pipeline_spark.operators import similarity
+
+    n, dim = 40, 8
+    rows = [
+        (i, [float((i * 13 + d * 5) % 17) - 8.0 + 0.0625 * i for d in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 5").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    kw = dict(m=2, k_codebook=8, iters=2, dim=dim)
+    refined = similarity.kmeans_centroids(emb, k=6, iters=2).localCheckpoint()
+    index_dir = str(tmp_path / "pqresidx")
+    similarity.build_pq_index(
+        spark, emb, index_dir, nlist=6, coarse_centers=refined,
+        by_residual=True, **kw,
+    )
+    probe = similarity.pq_residual_topk_probe(
+        spark, index_dir, queries, k=4, nprobe=2
+    )
+    inline = similarity.ivfpq_residual_adc_topk(
+        emb, queries, nlist=6, nprobe=2, k=4, coarse_centers=refined, **kw
+    )
+    got = sorted(tuple(r) for r in probe.collect())
+    want = sorted(tuple(r) for r in inline.collect())
+    assert got == want
+    # encoding-mismatch guards: probing the wrong index kind is LOUD
+    with pytest.raises(ValueError, match="RESIDUAL"):
+        similarity.pq_topk_probe(spark, index_dir, queries, k=4, nprobe=2)
+    raw_dir = str(tmp_path / "pqrawidx")
+    similarity.build_pq_index(spark, emb, raw_dir, nlist=6, **kw)
+    with pytest.raises(ValueError, match="RAW-VECTOR"):
+        similarity.pq_residual_topk_probe(
+            spark, raw_dir, queries, k=4, nprobe=2
+        )
+    # residual over unrefined seed centers collapses recall (r15 frontier):
+    # the build refuses it rather than persisting a quietly bad index
+    with pytest.raises(ValueError, match="coarse_centers"):
+        similarity.build_pq_index(
+            spark, emb, str(tmp_path / "never"), nlist=6,
+            by_residual=True, **kw,
+        )
+
+
 def test_bloom_no_false_negatives(spark):
     """The Bloom guarantee: every inserted key probes positive — over a
     key set that exercises many words of the filter — and the dense build
