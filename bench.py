@@ -253,6 +253,7 @@ EXEMPT: dict[str, str] = {
     "stream_enriched_counts": "latency-bound: trigger waits; sibling of stream_static_anti",
     "stream_media_features": "latency-bound: trigger waits; codec cost benched via media_real_decode",
     "stream_scd2_closed": "latency-bound: trigger waits; sibling of stream_static_anti; batch twin scd2_intervals exempted below as sibling of benched gap_fill_ffill",
+    "stream_incremental_dedup": "latency-bound: trigger waits; static-index join shape benched via stream_static_anti, stateful-op cost via stream_running_totals' family; batch twin incremental_dedup is benched",
     "stream_bars_rsi": "latency-bound: trigger waits; bit-identical batch twin rsi_bars_4h is benched",
     "stream_bars_ohlc_wm": "latency-bound: trigger waits; closed-bar subset of benched bars_4h (same derivation + watermark cutoff)",
     # -- fixed-overhead report/catalog utilities ---------------------------

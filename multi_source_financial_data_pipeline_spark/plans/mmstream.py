@@ -1109,6 +1109,119 @@ GROUP BY e.event_type
 """
 
 
+# --- streaming: incremental dedup against a static fingerprint index ---------
+
+#: within-stream dedup memory: state for an un-indexed fp survives this
+#: long past its last arrival, then the watermark evicts it (a later dup
+#: re-classifies as new_unique — the dropDuplicatesWithinWatermark trade,
+#: pinned by tests/test_streaming_eviction.py)
+STREAM_DEDUP_HORIZON_MS = 24 * 3600 * 1000
+
+
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`q_incremental_dedup`'s PRODUCTION INGEST shape (VERDICT r15 item
+    4): the batch classifier proved flat with a carried index; here the
+    delta is a live STREAM classified row-by-row against the static
+    fingerprint index — the `stream_static_anti` pattern extended from
+    drop-the-dups to THREE-WAY classification (dup_of_existing /
+    dup_within_delta / new_unique) via per-fp group state
+    (streaming/stateful.py incremental_dedup_classes). The index side is
+    the (user, type, day) fps seen before STREAM_ANTI_CUTOFF (the carried
+    corpus); index hits classify statelessly and never allocate state, so
+    state is O(un-indexed fps within the horizon) — evicted by event-time
+    timeout, pinned batch-by-batch in tests/test_streaming_eviction.py.
+
+    Drained availableNow into an append-mode memory sink (every row is
+    classified in its arrival batch — emission never waits on the
+    watermark), then rolled up per (event_type, dedup_class). The rollup
+    is deterministic even though WHICH arrival wins new_unique is an
+    ordering fact: event_type is a component of the fp, so per-(type,
+    class) counts are invariant to the winner, and the single-file drain
+    is one in-order batch where first-by-(ts, event_id) matches the
+    oracle's row_number canon exactly."""
+    from multi_source_financial_data_pipeline_spark.streaming import stateful
+
+    name = f"stream_incdedup_{next(_qname)}"
+    # cutoff literal casts under the session tz — pin UTC before building
+    # the static side (same boundary rule as q_stream_static_anti)
+    pin_utc(spark)
+    hist = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit(STREAM_ANTI_CUTOFF).cast("timestamp"))
+        .select(
+            F.concat_ws(
+                "|", "user_id", "event_type", F.to_date("ts").cast("string")
+            ).alias("fp")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    with _event_stream(spark, sf_dir) as stream:
+        keyed = (
+            stream.withWatermark("ts", "1 day")
+            .select(
+                F.concat_ws(
+                    "|",
+                    "user_id",
+                    "event_type",
+                    F.to_date("ts").cast("string"),
+                ).alias("fp"),
+                "ts",
+                "event_id",
+                F.col("event_type").alias("carry"),
+            )
+            .join(hist, "fp", "left")
+            .withColumn("in_index", F.coalesce("__hit", F.lit(False)))
+        )
+        classes = stateful.incremental_dedup_classes(
+            keyed,
+            fp_col="fp",
+            ts_col="ts",
+            id_col="event_id",
+            carry_col="carry",
+            in_index_col="in_index",
+            horizon_ms=STREAM_DEDUP_HORIZON_MS,
+        )
+        query = (
+            classes.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.col("carry").alias("event_type"), "dedup_class")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_STREAM_INCREMENTAL_DEDUP = f"""
+WITH hist AS (
+  SELECT DISTINCT user_id || '|' || event_type || '|' ||
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS fp
+  FROM events WHERE ts < TIMESTAMP '{STREAM_ANTI_CUTOFF}'
+), cls AS (
+  SELECT e.event_type,
+         CASE
+           WHEN h.fp IS NOT NULL THEN 'dup_of_existing'
+           WHEN row_number() OVER (
+                  PARTITION BY e.user_id, e.event_type, CAST(e.ts AS DATE)
+                  ORDER BY e.ts ASC, e.event_id ASC
+                ) = 1 THEN 'new_unique'
+           ELSE 'dup_within_delta'
+         END AS dedup_class
+  FROM events e
+  LEFT JOIN hist h
+    ON h.fp = e.user_id || '|' || e.event_type || '|' ||
+              CAST(CAST(e.ts AS DATE) AS VARCHAR)
+)
+SELECT event_type, dedup_class, count(*) AS n_events
+FROM cls GROUP BY event_type, dedup_class
+"""
+
+
 # --- streaming: stream-stream interval join ----------------------------------
 
 INTERVAL_JOIN_HORIZON = "1 hour"
@@ -1822,6 +1935,15 @@ SPECS = {
         q_stream_dedup_count,
         SQL_STREAM_DEDUP,
         "watermarked streaming dropDuplicates, survivor count via foreachBatch",
+        ("streaming",),
+    ),
+    "stream_incremental_dedup": QuerySpec(
+        q_stream_incremental_dedup,
+        SQL_STREAM_INCREMENTAL_DEDUP,
+        "streaming incremental dedup: arriving rows classified "
+        "dup_of_existing / dup_within_delta / new_unique against a static "
+        "fingerprint index + watermark-evicted per-fp group state "
+        "(stateful op #3, the q_incremental_dedup ingest twin)",
         ("streaming",),
     ),
     "stream_running_totals": QuerySpec(

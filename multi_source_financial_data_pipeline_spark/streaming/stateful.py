@@ -181,3 +181,117 @@ def scd2_closed_intervals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DEDUP_STATE_SCHEMA = T.StructType(
+    [T.StructField("n_seen", T.LongType())]
+)
+
+DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("fp", T.StringType()),
+        T.StructField("row_id", T.LongType()),
+        T.StructField("carry", T.StringType()),
+        T.StructField("dedup_class", T.StringType()),
+    ]
+)
+
+
+def incremental_dedup_classes(
+    stream: DataFrame,
+    fp_col: str,
+    ts_col: str,
+    id_col: str,
+    carry_col: str,
+    in_index_col: str,
+    horizon_ms: int,
+) -> DataFrame:
+    """Streaming incremental dedup (the streaming twin of
+    `plans/llmdata.q_incremental_dedup`, VERDICT r15 item 4): each
+    arriving row classifies against (a) a STATIC fingerprint index the
+    caller joins on beforehand (``in_index_col`` — the carried corpus's
+    fps, the batch classifier's ``existing`` side) and (b) per-fp group
+    state tracking whether the fp was already seen IN the stream:
+
+    - ``dup_of_existing``: fp in the static index — stateless verdict,
+      and the fp never allocates a state row (state stays O(new fps),
+      not O(stream fps));
+    - ``new_unique``: first stream arrival of an un-indexed fp (within a
+      batch, first by (ts, id) — the deterministic within-batch canon);
+    - ``dup_within_delta``: any later arrival of that fp.
+
+    State is one counter per un-indexed fp with an EVENT-TIME timeout at
+    ``last seen ts + horizon_ms``: once the watermark passes it, the
+    state row is EVICTED, so memory is bounded by the horizon's fp churn
+    rather than growing with the stream — the
+    `dropDuplicatesWithinWatermark` contract, here with the
+    non-survivors classified instead of dropped. The documented price is
+    the same as that operator's: a duplicate arriving LATER than the
+    horizon re-classifies as new_unique (its state is gone); the eviction
+    test pins both directions. The caller must put a ``withWatermark`` on
+    the stream (EventTimeTimeout requires one; its delay is the lateness
+    tolerance, ``horizon_ms`` the dedup memory); rows are emitted
+    append-mode in the batch they arrive (emission never waits on the
+    watermark — only eviction uses it).
+
+    Ordering contract (same as `scd2_closed_intervals`): in-order
+    delivery across batches; within a batch the group sorts on
+    (ts, id) before classifying."""
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            [ts_col, id_col]
+        )
+        n_rows = len(pdf)
+        # in_index is a property of the fp — constant across the group
+        if bool(pdf[in_index_col].iloc[0]):
+            classes = ["dup_of_existing"] * n_rows
+        else:
+            (n_seen,) = state.get if state.exists else (0,)
+            classes = [
+                "new_unique" if n_seen + i == 0 else "dup_within_delta"
+                for i in range(n_rows)
+            ]
+            state.update((n_seen + n_rows,))
+            # evict once the watermark passes last-seen + horizon; the
+            # max() guard keeps the timeout legal (> current watermark)
+            # even if a straggler group's newest event already trails it
+            last_ms = int(pdf[ts_col].max().value // 1_000_000)
+            state.setTimeoutTimestamp(
+                max(
+                    last_ms + horizon_ms,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        yield pd.DataFrame(
+            {
+                "fp": pdf[fp_col].to_numpy(),
+                "row_id": pdf[id_col].to_numpy(),
+                "carry": pdf[carry_col].to_numpy(),
+                "dedup_class": classes,
+            }
+        )
+
+    return (
+        stream.select(fp_col, ts_col, id_col, carry_col, in_index_col)
+        .groupBy(fp_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=DEDUP_OUTPUT_SCHEMA,
+            stateStructType=DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

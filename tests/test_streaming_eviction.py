@@ -218,3 +218,116 @@ def test_streaming_checked_decimal_overflow_fails_loudly(spark, tmp_path):
         assert "stream ovf pin" in msg and "DECIMAL(18,2) range" in msg
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_incremental_dedup_state_classifies_and_evicts(spark, tmp_path):
+    """Batch-by-batch pin for `incremental_dedup_classes` (VERDICT r15
+    item 4), the properties its registered oracle cannot see:
+
+    (a) exactly-once append: every arriving row is classified in its
+        arrival batch and never re-emitted;
+    (b) state is O(un-indexed fps within the horizon): index-hit fps
+        never allocate state, and an fp's state row leaves the store once
+        the watermark passes last-seen + horizon;
+    (c) the horizon trade in BOTH directions: a duplicate inside the
+        horizon classifies dup_within_delta, and the SAME fp arriving
+        after its state evicted re-classifies new_unique (the
+        dropDuplicatesWithinWatermark contract, classified not dropped)."""
+    import datetime
+
+    from multi_source_financial_data_pipeline_spark.session import pin_utc
+    from multi_source_financial_data_pipeline_spark.streaming import stateful
+
+    pin_utc(spark)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(days, hours=0):
+        return t0 + datetime.timedelta(days=days, hours=hours)
+
+    schema = "fp string, ts timestamp, event_id long, carry string, in_index boolean"
+    landing = str(tmp_path / "landing_dedup")
+    (tmp_path / "landing_dedup").mkdir()
+    stream = spark.readStream.schema(schema).parquet(landing)
+    classes = stateful.incremental_dedup_classes(
+        stream.withWatermark("ts", "0 seconds"),
+        fp_col="fp",
+        ts_col="ts",
+        id_col="event_id",
+        carry_col="carry",
+        in_index_col="in_index",
+        horizon_ms=24 * 3600 * 1000,  # 1 day
+    )
+    query = (
+        classes.writeStream.format("memory")
+        .queryName("dedup_evict_pin")
+        .outputMode("append")
+        .start()
+    )
+    # batch 1: A twice (un-indexed) -> new_unique + dup_within_delta in
+    # ONE batch; B indexed -> dup_of_existing, NO state row; C once ->
+    # new_unique. The day-0 12:00 row sets the post-batch watermark.
+    batch1 = [
+        ("A", ts(0, 0), 1, "x", False),
+        ("A", ts(0, 1), 2, "x", False),
+        ("B", ts(0, 2), 3, "x", True),
+        ("C", ts(0, 3), 4, "x", False),
+        ("C2", ts(0, 12), 5, "x", False),
+    ]
+    # batch 2: A again at day-1 06:00 — watermark (day-0 12:00) has not
+    # passed A's timeout (day-1 01:00... refreshed to day-2 06:00) ->
+    # dup_within_delta; D at day-3 pushes the watermark far forward.
+    batch2 = [
+        ("A", ts(1, 6), 6, "x", False),
+        ("D", ts(3, 0), 7, "x", False),
+    ]
+    # batch 3: the watermark advance to day-3 00:00 at the end of batch 2
+    # triggers an empty timeout-processing batch that evicts every fp
+    # whose last-seen + 1 day it passed (A: day-2 06:00, C: day-1 03:00,
+    # C2: day-1 12:00) — processAllAvailable drains it, so batch 2's
+    # recorded state total is D alone; A arriving again in batch 3
+    # re-classifies new_unique.
+    batch3 = [
+        ("A", ts(3, 1), 8, "x", False),
+    ]
+    expected_classes = {
+        1: "new_unique",
+        2: "dup_within_delta",
+        3: "dup_of_existing",
+        4: "new_unique",
+        5: "new_unique",
+        6: "dup_within_delta",
+        7: "new_unique",
+        8: "new_unique",  # state evicted: the documented horizon trade
+    }
+    # {A,C,C2} after b1 / b2 refreshes A, adds D, then the watermark jump
+    # evicts A,C,C2 eagerly (D survives) / b3 re-adds A alongside D
+    expected_state_totals = [3, 1, 2]
+    try:
+        seen_prev: set = set()
+        fed = 0
+        for i, batch in enumerate([batch1, batch2, batch3]):
+            spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(landing)
+            query.processAllAvailable()
+            rows = spark.table("dedup_evict_pin").collect()
+            fed += len(batch)
+            # (a) every row classified in its arrival batch, exactly once
+            ids = [r["row_id"] for r in rows]
+            assert len(ids) == len(set(ids)) == fed
+            assert seen_prev <= set(ids)
+            seen_prev = set(ids)
+            for r in rows:
+                assert r["dedup_class"] == expected_classes[r["row_id"]], (
+                    r["row_id"], r["dedup_class"],
+                )
+            # (b) state rows: un-indexed live fps only (B never counted)
+            state = query.lastProgress["stateOperators"][0]
+            assert state["numRowsTotal"] == expected_state_totals[i], (
+                i, state["numRowsTotal"],
+            )
+    finally:
+        query.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
