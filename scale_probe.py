@@ -896,6 +896,77 @@ def incremental_fixed_growth(ks: tuple[int, ...] = (10, 30)) -> dict:
     return out
 
 
+def manifest_dirty_sweep(k: int = 10) -> dict:
+    """Dirty-fraction sensitivity of the two-level manifest diff (r15
+    VERDICT item 3). The r15 growth row (1.33× vs `snapshot_delta`'s
+    1.55× at 10×→30×) was taken at FIXED shard geometry — the registered
+    MAN_DIRTY_MOD=4 churn, 4/16 shards dirty. The design claim is that
+    level 1 wins by confining the row-level full-outer join to the dirty
+    fraction, and degrades to `snapshot_delta` plus two manifest scans
+    when every shard is dirty. This probe measures the whole curve at
+    one volume (k× replicas): `q_manifest_delta` timed at 1/16, 4/16,
+    8/16 and 16/16 dirty shards (the churn-locality constants swapped
+    per leg and restored after), next to the row-level `snapshot_delta`
+    yardstick at the same volume — its full-corpus diff does not depend
+    on churn locality, so it is one number. The crossover is where the
+    manifest column passes the yardstick; PERF.md records it as
+    deployment guidance (diff manifests first when churn is localized;
+    skip level 1 when it isn't)."""
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("msfdp-manifest-sweep")
+    spark.sparkContext.setLogLevel("WARN")
+    from multi_source_financial_data_pipeline_spark.plans import llmdata as _ld
+
+    # (label, MOD, SEL): dirty shards are those ≡ SEL (mod MOD) of the 16
+    fractions = [
+        ("1/16", 16, 1),
+        ("4/16", 4, 1),  # the registered geometry
+        ("8/16", 2, 1),
+        ("16/16", 1, 0),
+    ]
+    out: dict = {
+        "metric": "manifest_dirty_sweep",
+        "base_sf_dir": src,
+        "k": k,
+        "n_shards": _ld.N_SHARDS,
+        "fractions": {},
+    }
+    dst = tempfile.mkdtemp(prefix=f"msfdp_mansweep{k}_")
+    saved = (_ld.MAN_DIRTY_MOD, _ld.MAN_DIRTY_SEL)
+
+    def _timed(fn) -> float:
+        fn(spark, dst).write.format("noop").mode("overwrite").save()
+        reps = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, dst).write.format("noop").mode("overwrite").save()
+            reps.append(time.perf_counter() - t0)
+        return round(min(reps), 3)
+
+    try:
+        replicate(spark, src, dst, k, tables=("documents",))
+        out["snapshot_delta_sec"] = _timed(QUERIES["snapshot_delta"].fn)
+        for label, mod, sel in fractions:
+            _ld.MAN_DIRTY_MOD, _ld.MAN_DIRTY_SEL = mod, sel
+            n_dirty = sum(
+                1 for s in range(_ld.N_SHARDS) if s % mod == sel
+            )
+            out["fractions"][label] = {
+                "manifest_delta_sec": _timed(QUERIES["manifest_delta"].fn),
+                "n_dirty_shards": n_dirty,
+            }
+    finally:
+        _ld.MAN_DIRTY_MOD, _ld.MAN_DIRTY_SEL = saved
+        shutil.rmtree(dst, ignore_errors=True)
+        spark.stop()
+    ys = out["snapshot_delta_sec"]
+    out["vs_snapshot_delta"] = {
+        label: round(row["manifest_delta_sec"] / ys, 2)
+        for label, row in out["fractions"].items()
+    }
+    return out
+
+
 def residual_refined() -> dict:
     """r14 VERDICT item 5 — test the residual-recall attribution. The r14
     frontier attributed residual IVF-PQ's recall collapse (0.21/0.07 vs
@@ -1203,6 +1274,9 @@ def _dispatch(argv: list[str]) -> int:
     if cmd == "incremental_fixed_growth":
         print(json.dumps(incremental_fixed_growth()))
         return 0
+    if cmd == "manifest_dirty_sweep":
+        print(json.dumps(manifest_dirty_sweep()))
+        return 0
     if cmd == "growth":
         names = argv[2].split(",") if len(argv) > 2 else []
         names = [n for n in names if n.strip()]
@@ -1216,7 +1290,7 @@ def _dispatch(argv: list[str]) -> int:
     sys.stderr.write(
         f"unknown subcommand {cmd!r}; usage: scale_probe.py "
         "[dedup_growth | stream_media_growth | ann_serving_growth | residual_refined | incremental_fixed_growth | "
-        "growth <query[,query...]>]\n"
+        "manifest_dirty_sweep | growth <query[,query...]>]\n"
     )
     return 2
 
