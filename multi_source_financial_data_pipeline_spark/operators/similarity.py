@@ -1621,6 +1621,14 @@ def build_pq_index(
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
 
 
+#: (realpath, meta mtime_ns) -> by_residual: the guard costs one tiny
+#: read job per DISTINCT index build, not one per probe call (the two
+#: raw probes were benched before the guard existed; it must not tax
+#: them). The mtime key invalidates on rebuild — `_ensure_index` swaps
+#: the whole directory atomically, which updates meta/'s mtime.
+_PQ_META_MEMO: dict[tuple[str, int], bool] = {}
+
+
 def _pq_index_is_residual(spark, index_dir: str) -> bool:
     """Read the index's encoding flag; a pre-r16 index without ``meta/``
     is raw-vector by construction (residual builds never existed before
@@ -1628,9 +1636,15 @@ def _pq_index_is_residual(spark, index_dir: str) -> bool:
     import os
 
     meta_dir = os.path.join(index_dir, "meta")
-    if not os.path.isdir(meta_dir):
+    try:
+        key = (os.path.realpath(meta_dir), os.stat(meta_dir).st_mtime_ns)
+    except OSError:
         return False
-    return bool(spark.read.parquet(meta_dir).collect()[0]["by_residual"])
+    flag = _PQ_META_MEMO.get(key)
+    if flag is None:
+        flag = bool(spark.read.parquet(meta_dir).collect()[0]["by_residual"])
+        _PQ_META_MEMO[key] = flag
+    return flag
 
 
 def pq_topk_probe(

@@ -626,6 +626,12 @@ def _stream_state_probe(spark, sf_dir: str) -> dict:
       watermarked 1 day, the `stream_interval_join` shape): buffered
       state ∝ events inside horizon+delay ∝ volume.
 
+    (The fourth stateful shape, `stream_incremental_dedup`'s per-fp
+    classifier, has its OWN probe — `incdedup_state_growth` — because
+    its wall is dominated by per-GROUP Arrow overhead over ~2-row fp
+    groups, which would multiply this probe's runtime ~10× without
+    changing any of these three shapes' measurements.)
+
     Mirrors the registered queries' plans exactly but instruments state
     via the progress API, which the registered fns (correctly) don't
     expose."""
@@ -718,6 +724,121 @@ def _stream_state_probe(spark, sf_dir: str) -> dict:
         return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def incdedup_state_growth(ks: tuple[int, ...] = (10, 30)) -> dict:
+    """Growth probe for `stream_incremental_dedup`'s state shape (r16):
+    drain the per-fp classifier over k× perturbed event replicas and
+    report wall, FINAL state rows, and emitted rows per scale. The claim
+    under test is the eviction bound: final state = un-indexed fps last
+    seen inside horizon+delay of the stream tail (the availableNow
+    drain's closing empty batch advances the watermark and evicts the
+    rest), so state grows ∝ the TAIL WINDOW's fp churn — ∝ k because
+    replicas add users, but a constant FRACTION (~tail days / span days)
+    of total fps, never total history.
+
+    Base is sf0.01 by default (not the SPARK_GRAFT_SF_DIR sf0.1 the
+    sibling probes use): the wall here is dominated by per-GROUP Arrow
+    overhead over ~2-row fp groups (measured ~1.7 ms/group), so sf0.1
+    legs would run tens of minutes while measuring the same exponent —
+    the ratio is the evidence, and it is base-size-free."""
+    src = os.environ.get(
+        "SPARK_GRAFT_INCDEDUP_SF_DIR", "/root/testdata/sf0.01"
+    )
+    spark = get_spark("msfdp-incdedup-state")
+    spark.sparkContext.setLogLevel("WARN")
+    from multi_source_financial_data_pipeline_spark.plans import mmstream as _mm
+    from multi_source_financial_data_pipeline_spark.streaming import stateful as _st
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    out: dict = {"metric": "incdedup_state_growth", "base_sf_dir": src,
+                 "scales": {}}
+    try:
+        for k in ks:
+            dst = tempfile.mkdtemp(prefix=f"msfdp_incds{k}_")
+            try:
+                replicate(spark, src, dst, k, tables=("events",))
+                path = os.path.join(dst, "events.parquet")
+                schema = spark.read.parquet(path).schema
+                fp = F.concat_ws(
+                    "|", "user_id", "event_type",
+                    F.to_date("ts").cast("string"),
+                ).alias("fp")
+                hist = (
+                    spark.read.parquet(path)
+                    .filter(
+                        F.col("ts")
+                        < F.lit(_mm.STREAM_ANTI_CUTOFF).cast("timestamp")
+                    )
+                    .select(fp)
+                    .distinct()
+                    .withColumn("__hit", F.lit(True))
+                )
+                n_fps_total = (
+                    spark.read.parquet(path).select(fp).distinct().count()
+                )
+                stream = spark.readStream.schema(schema).parquet(path)
+                keyed = (
+                    stream.withWatermark("ts", "1 day")
+                    .select(
+                        fp, "ts", "event_id",
+                        F.col("event_type").alias("carry"),
+                    )
+                    .join(hist, "fp", "left")
+                    .withColumn(
+                        "in_index", F.coalesce("__hit", F.lit(False))
+                    )
+                )
+                classes = _st.incremental_dedup_classes(
+                    keyed,
+                    fp_col="fp",
+                    ts_col="ts",
+                    id_col="event_id",
+                    carry_col="carry",
+                    in_index_col="in_index",
+                    horizon_ms=_mm.STREAM_DEDUP_HORIZON_MS,
+                )
+                t0 = time.perf_counter()
+                q = (
+                    classes.writeStream.format("noop")
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                wall = round(time.perf_counter() - t0, 3)
+                progresses = q.recentProgress
+                emitted = sum(
+                    int(p["sink"]["numOutputRows"]) for p in progresses
+                )
+                state_rows = sum(
+                    op["numRowsTotal"]
+                    for op in progresses[-1]["stateOperators"]
+                ) if progresses else None
+                out["scales"][str(k)] = {
+                    "sec": wall,
+                    "state_rows": state_rows,
+                    "emitted": emitted,
+                    "n_fps_total": n_fps_total,
+                }
+            finally:
+                shutil.rmtree(dst, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.stop()
+    lo, hi = out["scales"][str(ks[0])], out["scales"][str(ks[-1])]
+    out["volume_ratio"] = round(ks[-1] / ks[0], 2)
+    out["ratios_30_over_10"] = {
+        m: (round(hi[m] / lo[m], 2) if lo.get(m) and hi.get(m) else None)
+        for m in ("sec", "state_rows", "emitted", "n_fps_total")
+    }
+    out["state_fraction_of_fps"] = {
+        str(k): round(v["state_rows"] / v["n_fps_total"], 3)
+        for k, v in out["scales"].items()
+        if v["state_rows"] is not None and v["n_fps_total"]
+    }
+    return out
 
 
 def stream_media_growth(ks: tuple[int, ...] = (10, 30)) -> dict:
@@ -945,6 +1066,15 @@ def manifest_dirty_sweep(k: int = 10) -> dict:
 
     try:
         replicate(spark, src, dst, k, tables=("documents",))
+        # whole-probe warmup before ANY timed leg: the first plan over a
+        # fresh replica pays page-cache + codegen-JIT costs that one
+        # per-leg warm rep does not fully absorb — without this the
+        # first fraction leg reads ~0.2-0.8 s high (measured twice:
+        # the 1/16 leg, timed first, was the slowest in both windows
+        # purely by position)
+        QUERIES["manifest_delta"].fn(spark, dst).write.format("noop").mode(
+            "overwrite"
+        ).save()
         out["snapshot_delta_sec"] = _timed(QUERIES["snapshot_delta"].fn)
         for label, mod, sel in fractions:
             _ld.MAN_DIRTY_MOD, _ld.MAN_DIRTY_SEL = mod, sel
@@ -1277,6 +1407,9 @@ def _dispatch(argv: list[str]) -> int:
     if cmd == "manifest_dirty_sweep":
         print(json.dumps(manifest_dirty_sweep()))
         return 0
+    if cmd == "incdedup_state_growth":
+        print(json.dumps(incdedup_state_growth()))
+        return 0
     if cmd == "growth":
         names = argv[2].split(",") if len(argv) > 2 else []
         names = [n for n in names if n.strip()]
@@ -1290,7 +1423,7 @@ def _dispatch(argv: list[str]) -> int:
     sys.stderr.write(
         f"unknown subcommand {cmd!r}; usage: scale_probe.py "
         "[dedup_growth | stream_media_growth | ann_serving_growth | residual_refined | incremental_fixed_growth | "
-        "manifest_dirty_sweep | growth <query[,query...]>]\n"
+        "manifest_dirty_sweep | incdedup_state_growth | growth <query[,query...]>]\n"
     )
     return 2
 

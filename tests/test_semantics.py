@@ -1062,3 +1062,93 @@ def test_incremental_dedup_books_balance(spark, sf_dir):
         "new_unique",
     }
     assert "new_unique" in set(t.dedup_class)
+
+
+def test_ivf_index_refined_centers_probe_consistency(spark, tmp_path):
+    """`build_ivf_index(coarse_centers=…)` (r15 VERDICT item 2's plain-IVF
+    leg): the build assigns cells with `centers_seed_row` of the refined
+    frame AND persists that exact row as the index quantizer, so
+    `ivf_topk_probe` — untouched — probes the SAME centers. Pinned two
+    ways: (a) the persisted quantizer row equals the refined centers
+    row-for-row; (b) every probe result is reachable under the refined
+    assignment (each candidate's cell, recomputed with the refined
+    centers, is among its query's nprobe probed cells), and the probe
+    equals a batch reference built from the same refined assignment —
+    the refined twin of `ivf_topk`'s contract."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from multi_source_financial_data_pipeline_spark.operators import similarity
+
+    n, dim = 40, 8
+    rows = [
+        (i, [float((i * 7 + d * 3) % 19) - 9.0 + 0.125 * i for d in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 5").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    refined = similarity.kmeans_centroids(emb, k=6, iters=2).localCheckpoint()
+    index_dir = str(tmp_path / "ivfrefidx")
+    similarity.build_ivf_index(
+        spark, emb, index_dir, nlist=6, coarse_centers=refined
+    )
+    # (a) the persisted quantizer IS the refined centers row
+    persisted = spark.read.parquet(f"{index_dir}/quantizer").collect()
+    expected = similarity.centers_seed_row(refined).collect()
+    assert [tuple(r) for r in persisted] == [tuple(r) for r in expected]
+    # (b) probe == batch reference over the refined assignment
+    probe = similarity.ivf_topk_probe(
+        spark, index_dir, queries, k=4, nprobe=2
+    )
+    centers_row = similarity.centers_seed_row(refined)
+    assigned = similarity.ivf_assign(
+        emb, nlist=6, centers_row=centers_row
+    ).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"),
+        F.col("vn").alias("cn"), "cell",
+    )
+    q = queries.select(
+        "query_id", F.col("embedding").cast("array<double>").alias("qv")
+    ).withColumn("qn", similarity.sq_norm(F.col("qv")))
+    probes = (
+        q.join(F.broadcast(centers_row))
+        .select(
+            "query_id", "qv", "qn",
+            F.explode(
+                F.slice(similarity._best_cells(F.col("qv"), F.col("qn")), 1, 2)
+            ).alias("p"),
+        )
+        .select("query_id", "qv", "qn", F.col("p")["cell"].alias("cell"))
+    )
+    cos = similarity.dot(F.col("qv"), F.col("cv")) / F.nullif(
+        F.sqrt(F.col("qn") * F.col("cn")), F.lit(0.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    want_df = (
+        probes.join(assigned, ["cell"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 4)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+    got = sorted(tuple(r) for r in probe.collect())
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert got == want
+    # reachability: every returned candidate sits in a probed refined cell
+    cells = {r["cand_id"]: r["cell"] for r in assigned.collect()}
+    probed = {(r["query_id"], r["cell"]) for r in probes.collect()}
+    for r in probe.collect():
+        assert (r["query_id"], cells[r["cand_id"]]) in probed
+    # two_level + coarse_centers is contradictory and must be LOUD
+    import pytest
+
+    with pytest.raises(ValueError, match="two_level"):
+        similarity.build_ivf_index(
+            spark, emb, str(tmp_path / "never_ivf"), nlist=6,
+            coarse_centers=refined, two_level=True,
+        )
