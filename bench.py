@@ -282,6 +282,7 @@ EXEMPT: dict[str, str] = {
     "ann_recall_ivf": "subplan: re-runs benched ann_topk + ann_topk_ivf to compare",
     "ann_recall_lsh": "subplan: re-runs benched ann_topk + ann_topk_lsh legs",
     "ann_topk_lsh": "sibling: bucketed cosine top-k, same shape as ann_topk_ivf",
+    "ann_topk_ivf_refined_probe": "sibling: byte-identical probe plan to benched ann_topk_ivf_probe — only the persisted quantizer's center VALUES differ (Lloyd-refined at build time); the Lloyd cost lives in the cached build, which no bench row times",
     # -- siblings of a benched representative ------------------------------
     "media_features": "sibling: md5-stub variant of benched media_real_decode",
     "media_frames": "sibling: md5-stub variant of benched media_real_resize",

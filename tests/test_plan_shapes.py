@@ -1385,6 +1385,7 @@ def test_pq_index_probe_prunes_cell_partitions_and_runs_no_training(
         spark, sf_dir, m=llmdata.PQ256_M, k=llmdata.PQ256_K
     )
     llmdata._ensure_pq_index(spark, sf_dir, residual_refined=True)
+    llmdata._ensure_ivf_index(spark, sf_dir, refined=True)
 
     def _no_training(*a, **k):
         raise AssertionError("pq_train_encode invoked in the serving path")
@@ -1393,16 +1394,18 @@ def test_pq_index_probe_prunes_cell_partitions_and_runs_no_training(
         raise AssertionError("kmeans_centroids invoked in the serving path")
 
     monkeypatch.setattr(similarity, "pq_train_encode", _no_training)
-    # the residual index's coarse refinement is training too — the probe
+    # the refined indexes' coarse refinement is training too — the probes
     # must serve from the PERSISTED refined quantizer, never re-refine
     monkeypatch.setattr(similarity, "kmeans_centroids", _no_refine)
-    # all three registered budgets serve through the same Lloyd-free plan:
-    # the 4-bit harness twin, the m=16×8-bit production point, and the
-    # residual-at-refined-centers point (r15 VERDICT item 2)
+    # all four registered serving points run the same Lloyd-free contract:
+    # the 4-bit harness twin, the m=16×8-bit production point, the
+    # residual-at-refined-centers point (r15 VERDICT item 2), and the
+    # refined plain-IVF probe (its leg of the same item)
     for name in (
         "ann_topk_pq_probe",
         "ann_topk_pq256_probe",
         "ann_topk_pq_refined_probe",
+        "ann_topk_ivf_refined_probe",
     ):
         df = QUERIES[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
