@@ -358,8 +358,13 @@ def test_ivf_index_keeps_concurrent_winners_fresh_build(spark, tmp_path,
 
     real_build = similarity.build_ivf_index
 
-    def winner_races_us(spark_, df, build_dir, nlist, two_level=False):
-        real_build(spark_, df, build_dir, nlist=nlist, two_level=two_level)
+    def winner_races_us(
+        spark_, df, build_dir, nlist, two_level=False, coarse_centers=None
+    ):
+        real_build(
+            spark_, df, build_dir, nlist=nlist, two_level=two_level,
+            coarse_centers=coarse_centers,
+        )
         # simulate the concurrent winner: an identical-identity index lands
         # at index_dir before our swap, with a sentinel proving it survives
         shutil.rmtree(idx)
