@@ -1128,6 +1128,12 @@ def test_window_max_group_share_audit(spark, sf_dir):
             "outside its join; the same per-query_id window input shape "
             "(~nprobe/nlist corpus slice per query) IS measured via "
             "ann_topk_ivf / ann_recall_ivf in this audit",
+        ("ann_topk_ivf_refined_probe", ("query_id",)):
+            "byte-identical probe plan to ann_topk_ivf_probe (only the "
+            "persisted quantizer's center VALUES differ), so the same "
+            "DPP-subquery limitation and the same measured coverage "
+            "apply; refined cells change WHICH ~nprobe/nlist slice each "
+            "query scans, not its size class",
     }
 
     def walk(node):
