@@ -138,6 +138,12 @@ HEADLINE = [
     # proves serving stays ~1 s when the code budget is the useful one
     # (r14 VERDICT item 2); LUT is 16× larger than the 4-bit row's
     "ann_topk_pq256_probe",
+    # round-16: the supervised training loop — hashed-feature linear
+    # classifier trained by unrolled distributed gradient steps (broadcast
+    # model + two quantized hash-agg folds per step over a dense
+    # standardized feature frame) — a plan-shape family nothing else
+    # exercises (kmeans_refine is the unsupervised analogue)
+    "quality_classifier",
     # round-16: residual serving from the materialized refined-quantizer
     # index (VERDICT r15 item 2) — the per-cell LUT probe join shape
     # (probes ⋈ center-dot LUT ⋈ residual LUT ⋈ per-cell norm LUT) that

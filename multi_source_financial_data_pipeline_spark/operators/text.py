@@ -663,3 +663,204 @@ def bpe_encode_stats(
             / F.col("total_words").cast("double")
         ).alias("fertility"),
     )
+
+
+#: quantization grid for `token_lr_classifier`'s two float SUMs (per-doc
+#: logits, per-bucket gradients) — the `similarity.KMEANS_Q` idiom:
+#: per-term products round onto this grid and fold as BIGINTs, so every
+#: distributed SUM in the training loop is associative (order-proof) and
+#: both engines add the same integers regardless of partitioning.
+LR_Q = 1_000_000
+
+
+def token_lr_classifier(
+    docs: DataFrame,
+    label: Column,
+    buckets: int = 64,
+    steps: int = 4,
+    eta: float = 4.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style model-based document filter (Joulin et al. 2016,
+    "Bag of Tricks for Efficient Text Classification" — the cheap linear
+    classifier CCNet/LLaMA-class pipelines train on labeled exemplars to
+    screen a corpus): unigrams hash into ``buckets`` features
+    (normalized counts, then per-bucket STANDARDIZED — the diagonal
+    preconditioning that makes few-step full-batch gradient descent
+    actually converge on ill-scaled text features; unpreconditioned GD
+    stalls at the majority class on this corpus), a logistic-loss linear
+    model trains by ``steps`` unrolled full-batch gradient iterations
+    against ``label``, and every document is scored by the trained
+    model. Returns (id, is_target, score, predicted) per doc.
+
+    Scale shape: the sparse (doc, bucket, x) frame is token explode →
+    one hash agg → one per-doc window sum (the `dsir_weights` shape,
+    linear in corpus tokens); bucket means/stds are ONE tiny hash agg of
+    decimal-exact sums over it. Standardization densifies the frame to
+    corpus × (buckets+1) rows — linear with a small constant at this D;
+    a 100 TB run keeps it SPARSE by folding the dense part into the
+    model (z = Σ_present (w_b/σ_b)·x − Σ_b w_b μ_b/σ_b + w_bias, so only
+    present buckets are touched), persists the feature frame once, and
+    reuses it across steps — here the chain stays pure and dense for the
+    oracle. Each training step is ONE broadcast join of the
+    (buckets+1)-row model + two quantized hash aggregates (per-doc
+    logits, per-bucket gradients); the model is a broadcastable constant
+    like a k-means codebook, nothing is ever pairwise, and scoring is
+    the same join + one agg, map-side combined.
+
+    Cross-engine exactness, term by term: bucket moments fold
+    round-to-grid DECIMAL sums (exact, overflow-free); σ uses ``sqrt``
+    (IEEE-754 requires correct rounding for sqrt, so it is bit-identical
+    across engines — unlike ``exp``, which is why the sigmoid is the
+    ALGEBRAIC surrogate σ̃(z) = 0.5 + z / (2·(1+|z|)): monotone,
+    bounded, exactly replayable with +,*,/,abs; a last-ulp ``exp``
+    difference would compound through ``steps`` weight updates); the two
+    float SUMs of the loop quantize each term onto the `LR_Q` grid and
+    fold BIGINTs; μ and σ round to 6 decimals; the weight update itself
+    is plain IEEE arithmetic on identical inputs."""
+    spark = docs.sparkSession
+    from pyspark.sql import Window
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+        % buckets
+    )
+    pairs = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select(id_col, bucket.alias("bucket"))
+    counts = pairs.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_doc = Window.partitionBy(id_col)
+    sparse = counts.select(
+        id_col,
+        "bucket",
+        (
+            F.col("c").cast("double") / F.sum("c").over(w_doc).cast("double")
+        ).alias("x"),
+    )
+    nrow = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    # per-bucket moments over ALL docs (absent rows contribute 0, so the
+    # sparse sums ARE the dense sums); decimal folds -> order-proof
+    stats = (
+        sparse.groupBy("bucket")
+        .agg(
+            F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)")).alias("sx"),
+            F.sum(
+                F.round(F.col("x") * F.col("x"), 12).cast("decimal(24,12)")
+            ).alias("sxx"),
+        )
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "bucket",
+            F.round(F.col("sx").cast("double") / F.col("n_docs"), 6).alias("mu"),
+            F.col("sxx").cast("double").alias("__sxx"),
+            "n_docs",
+        )
+        .select(
+            "bucket",
+            "mu",
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.col("__sxx") / F.col("n_docs")
+                        - F.col("mu") * F.col("mu"),
+                        F.lit(0.0),
+                    )
+                )
+                + F.lit(1e-6),
+                6,
+            ).alias("sd"),
+        )
+    )
+    # dense standardized frame: every (doc, bucket) pair + the bias row
+    labeled = docs.select(F.col(id_col), label.alias("is_target"))
+    grid = labeled.crossJoin(
+        F.broadcast(
+            spark.range(buckets).select(F.col("id").alias("bucket"))
+        )
+    )
+    feat = (
+        grid.join(sparse, [id_col, "bucket"], "left")
+        .join(F.broadcast(stats), "bucket")
+        .select(
+            id_col,
+            "is_target",
+            "bucket",
+            (
+                (F.coalesce(F.col("x"), F.lit(0.0)) - F.col("mu"))
+                / F.col("sd")
+            ).alias("xs"),
+        )
+        .unionByName(
+            labeled.select(
+                id_col,
+                "is_target",
+                F.lit(buckets).cast("bigint").alias("bucket"),
+                F.lit(1.0).alias("xs"),
+            )
+        )
+    )
+
+    def logits(w: DataFrame) -> DataFrame:
+        return (
+            feat.join(F.broadcast(w), "bucket")
+            .groupBy(id_col, "is_target")
+            .agg(
+                F.sum(
+                    F.round(F.col("xs") * F.col("w") * LR_Q, 0).cast("long")
+                ).alias("zq")
+            )
+            .select(
+                id_col,
+                "is_target",
+                (F.col("zq").cast("double") / F.lit(float(LR_Q))).alias("z"),
+            )
+        )
+
+    def sigmoid(z: Column) -> Column:
+        return F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+
+    w = spark.range(buckets + 1).select(
+        F.col("id").alias("bucket"), F.lit(0.0).alias("w")
+    )
+    for _ in range(steps):
+        resid = logits(w).select(
+            id_col,
+            (
+                F.when(F.col("is_target"), F.lit(1.0)).otherwise(F.lit(0.0))
+                - sigmoid(F.col("z"))
+            ).alias("r"),
+        )
+        grad = (
+            feat.join(resid, id_col)
+            .groupBy("bucket")
+            .agg(
+                F.sum(
+                    F.round(F.col("xs") * F.col("r") * LR_Q, 0).cast("long")
+                ).alias("gq")
+            )
+        )
+        w = (
+            w.join(grad, "bucket", "left")
+            .crossJoin(F.broadcast(nrow))
+            .select(
+                "bucket",
+                (
+                    F.col("w")
+                    + F.lit(eta)
+                    * (
+                        F.coalesce(F.col("gq"), F.lit(0)).cast("double")
+                        / F.lit(float(LR_Q))
+                    )
+                    / F.col("n_docs")
+                ).alias("w"),
+            )
+        )
+    return logits(w).select(
+        id_col,
+        "is_target",
+        F.round(sigmoid(F.col("z")), 6).alias("score"),
+        (F.col("z") > 0.0).alias("predicted"),
+    )

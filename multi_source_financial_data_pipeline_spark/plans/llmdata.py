@@ -3704,6 +3704,145 @@ FROM per_doc
 """
 
 
+# --- model-based quality filter: fastText-style linear classifier -----------
+
+LRC_BUCKETS = 64   #: hashed unigram feature space (+1 bias)
+LRC_STEPS = 4      #: unrolled full-batch gradient iterations
+LRC_ETA = 4.0      #: step size on standardized features
+LRC_TAU = 0.06     #: label threshold on the stopword-ratio heuristic
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus filtering, the fastText-classifier pattern
+    (Joulin et al. 2016) production pipelines use for quality/language
+    screening: label every document with the CHEAP heuristic signal (the
+    module's stopword-ratio ≥ LRC_TAU — the `lang_id` screen), train a
+    hashed-feature linear model on those labels by LRC_STEPS distributed
+    gradient iterations, and score the corpus with the trained model —
+    heuristic distillation, the standard bootstrap when no human labels
+    exist. Emits per-doc (is_target, score, predicted); on this corpus
+    the model recovers the heuristic at ~0.83-0.84 accuracy against a
+    ~0.52-0.56 majority class (the residue is hash-collision
+    contamination of the stopword buckets — the least-squares ceiling,
+    measured), pinned by a semantics test.
+
+    Plan + exactness: see `text.token_lr_classifier` — sparse dsir-shape
+    feature build, decimal-exact bucket moments, IEEE-exact sqrt
+    standardization, LR_Q-quantized BIGINT logit/gradient folds, and the
+    algebraic sigmoid (no cross-engine `exp`); the oracle unrolls the
+    same LRC_STEPS steps as CTEs."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.token_lr_classifier(
+        docs,
+        text.stopword_ratio(F.col("text")) >= LRC_TAU,
+        buckets=LRC_BUCKETS,
+        steps=LRC_STEPS,
+        eta=LRC_ETA,
+    )
+
+
+def _sql_lr_step(i: int) -> str:
+    """One unrolled gradient step: logits under w{i-1} (quantized BIGINT
+    fold), algebraic-sigmoid residuals, per-bucket gradient (same fold),
+    weight update."""
+    return f"""z{i} AS (
+  SELECT f.doc_id, f.is_target,
+         CAST(sum(CAST(round(f.xs * w.w * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS z
+  FROM feat f JOIN w{i - 1} w USING (bucket)
+  GROUP BY f.doc_id, f.is_target
+), r{i} AS (
+  SELECT doc_id,
+         (CASE WHEN is_target THEN 1.0 ELSE 0.0 END)
+           - (0.5 + z / (2.0 * (1.0 + abs(z)))) AS r
+  FROM z{i}
+), g{i} AS (
+  SELECT f.bucket,
+         sum(CAST(round(f.xs * r.r * 1000000.0) AS BIGINT)) AS gq
+  FROM feat f JOIN r{i} r USING (doc_id) GROUP BY f.bucket
+), w{i} AS (
+  SELECT w.bucket,
+         w.w + {LRC_ETA} * (CAST(coalesce(g.gq, 0) AS DOUBLE) / 1000000.0)
+                 / n.n_docs AS w
+  FROM w{i - 1} w LEFT JOIN g{i} g USING (bucket) CROSS JOIN nrow n
+)"""
+
+
+def _sql_quality_classifier() -> str:
+    steps = ",\n".join(_sql_lr_step(i) for i in range(1, LRC_STEPS + 1))
+    fin = LRC_STEPS + 1
+    return f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+lab AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ({_STOPLIST}))) / len(toks)
+           >= {LRC_TAU} AS is_target
+  FROM d
+),
+pairs AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {LRC_BUCKETS} AS bucket
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+),
+counts AS (SELECT doc_id, bucket, count(*) AS c FROM pairs GROUP BY 1, 2),
+sparse AS (
+  SELECT doc_id, bucket,
+         CAST(c AS DOUBLE)
+           / CAST(sum(c) OVER (PARTITION BY doc_id) AS DOUBLE) AS x
+  FROM counts
+),
+nrow AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+stats0 AS (
+  SELECT bucket,
+         round(CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / n.n_docs, 6) AS mu,
+         CAST(sum(CAST(round(x * x, 12) AS DECIMAL(24,12))) AS DOUBLE)
+           AS sxx,
+         n.n_docs AS n_docs
+  FROM sparse, nrow n GROUP BY bucket, n.n_docs
+),
+stats AS (
+  SELECT bucket, mu,
+         round(sqrt(greatest(sxx / n_docs - mu * mu, 0.0)) + 1e-6, 6) AS sd
+  FROM stats0
+),
+grid AS (
+  SELECT l.doc_id, l.is_target, g.bucket
+  FROM lab l CROSS JOIN
+       (SELECT unnest(generate_series(0, {LRC_BUCKETS - 1})) AS bucket) g
+),
+feat AS (
+  SELECT g.doc_id, g.is_target, g.bucket,
+         (coalesce(s.x, 0.0) - st.mu) / st.sd AS xs
+  FROM grid g
+  LEFT JOIN sparse s ON s.doc_id = g.doc_id AND s.bucket = g.bucket
+  JOIN stats st ON st.bucket = g.bucket
+  UNION ALL
+  SELECT doc_id, is_target, {LRC_BUCKETS}, 1.0 FROM lab
+),
+w0 AS (
+  SELECT unnest(generate_series(0, {LRC_BUCKETS})) AS bucket, 0.0 AS w
+),
+{steps},
+z{fin} AS (
+  SELECT f.doc_id, f.is_target,
+         CAST(sum(CAST(round(f.xs * w.w * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS z
+  FROM feat f JOIN w{LRC_STEPS} w USING (bucket)
+  GROUP BY f.doc_id, f.is_target
+)
+SELECT doc_id, is_target,
+       round(0.5 + z / (2.0 * (1.0 + abs(z))), 6) AS score,
+       z > 0.0 AS predicted
+FROM z{fin}
+"""
+
+
+SQL_QUALITY_CLASSIFIER = _sql_quality_classifier()
+
+
+
+
 # --- per-source distribution shift: KL(source ‖ corpus) over hashed grams ----
 
 def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5255,5 +5394,14 @@ SPECS = {
         "persisted refined centers row is the probe quantizer, training "
         "only in the build",
         ("similarity", "topk"),
+    ),
+    "quality_classifier": QuerySpec(
+        q_quality_classifier,
+        SQL_QUALITY_CLASSIFIER,
+        "fastText-style model-based quality filter: hashed-unigram linear "
+        "model trained by unrolled distributed gradient steps on the "
+        "stopword-heuristic labels (heuristic distillation), corpus scored "
+        "by the trained model — quantized BIGINT folds, algebraic sigmoid",
+        ("text", "model"),
     ),
 }

@@ -47,11 +47,12 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #: (r16) after this window was sized LEAD r17 per the standing
 #: never-checked-first rule — ann_topk_pq_refined_probe (the residual
 #: refined-quantizer materialized serving point, VERDICT r15 item 2),
-#: ann_topk_ivf_refined_probe (the same item's plain-IVF leg), and
+#: ann_topk_ivf_refined_probe (the same item's plain-IVF leg),
 #: stream_incremental_dedup (the streaming twin of the carried-index
-#: classifier, VERDICT r15 item 4); then the remaining 41-name
-#: r13-latest backlog (49 minus this window's 8 backfills) — 44 names,
-#: under capacity; backfill with the oldest r14-latest rows.
+#: classifier, VERDICT r15 item 4), and quality_classifier (the
+#: fastText-style heuristic-distillation model); then the remaining
+#: 41-name r13-latest backlog (49 minus this window's 8 backfills) —
+#: 45 names, under capacity; backfill with the oldest r14-latest rows.
 _GATE_PRIORITY = (
     # -- 1. never driver-checked: the r15 post-sizing registrations --------
     "ann_topk_pq256_probe",

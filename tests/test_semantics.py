@@ -1152,3 +1152,29 @@ def test_ivf_index_refined_centers_probe_consistency(spark, tmp_path):
             spark, emb, str(tmp_path / "never_ivf"), nlist=6,
             coarse_centers=refined, two_level=True,
         )
+
+
+def test_quality_classifier_recovers_heuristic(spark, sf_dir):
+    """The model-based filter must actually LEARN: accuracy of the trained
+    model's predictions against its own training labels (the stopword
+    heuristic) must clear the majority class by a real margin — the whole
+    point of heuristic distillation is a model that reproduces the signal
+    from hashed features alone. The ceiling is set by hash-collision
+    contamination of the stopword buckets (least-squares probe: ~0.84 on
+    this corpus), so the bound asserts the gap, not the ceiling. Bounds
+    are data-derived (majority measured per SF), never SF-calibrated
+    constants."""
+    out = _run(spark, sf_dir, "quality_classifier")
+    n = len(out)
+    acc = (out.predicted == out.is_target).mean()
+    majority = max(out.is_target.mean(), 1 - out.is_target.mean())
+    assert n > 0 and 0 < out.is_target.sum() < n  # both classes present
+    assert acc >= majority + 0.15, (acc, majority)
+    # scores are valid algebraic-sigmoid outputs, consistent with the
+    # prediction threshold (z > 0  <=>  sigma(z) > 0.5)
+    assert ((out.score > 0.0) & (out.score < 1.0)).all()
+    assert ((out.score > 0.5) == out.predicted).all() or (
+        # boundary: round(sigma, 6) can land exactly on 0.5 only at z==0,
+        # where predicted is False — allow that single equality case
+        ((out.score >= 0.5) | ~out.predicted).all()
+    )
