@@ -368,10 +368,25 @@ def window_vs_comparison(
     }
 
 
+def _loadavg_now() -> list[float] | None:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # host-window context (r16 verdict item 8): two consecutive rounds were
+    # cut in externally-loaded windows and adjudicating the uniform shift was
+    # forensic work — record 1/5/15-min loadavg at start and end so the
+    # record itself says whether the host was quiet
+    try:
+        load_before = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_before = None
     spark = get_spark("msfdp-bench")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -432,6 +447,8 @@ def main() -> None:
         # window context rides IN the record (r12 verdict item 2): median
         # per-query ratio vs the pinned comparison record + quartiles
         "window": window_vs_comparison(medians, sf),
+        "loadavg_before": load_before,
+        "loadavg_after": _loadavg_now(),
     }
     print(json.dumps(payload, separators=(",", ":")))
     # the driver archives only the TAIL of this process's output (r06's

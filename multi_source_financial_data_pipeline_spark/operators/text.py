@@ -699,15 +699,25 @@ def token_lr_classifier(
     linear in corpus tokens); bucket means/stds are ONE tiny hash agg of
     decimal-exact sums over it. Standardization densifies the frame to
     corpus × (buckets+1) rows — linear with a small constant at this D;
-    a 100 TB run keeps it SPARSE by folding the dense part into the
-    model (z = Σ_present (w_b/σ_b)·x − Σ_b w_b μ_b/σ_b + w_bias, so only
-    present buckets are touched), persists the feature frame once, and
-    reuses it across steps — here the chain stays pure and dense for the
-    oracle. Each training step is ONE broadcast join of the
-    (buckets+1)-row model + two quantized hash aggregates (per-doc
-    logits, per-bucket gradients); the model is a broadcastable constant
-    like a k-means codebook, nothing is ever pairwise, and scoring is
-    the same join + one agg, map-side combined.
+    a 100 TB run additionally keeps it SPARSE by folding the dense part
+    into the model (z = Σ_present (w_b/σ_b)·x − Σ_b w_b μ_b/σ_b +
+    w_bias, so only present buckets are touched). The standardized
+    frame is ``localCheckpoint``ed ONCE before the loop (the
+    `_bpe_train`/`build_ivf_index` lineage-cut idiom): the unrolled
+    plan references it 2·steps+1 times (logits + gradient per step,
+    final scoring), and without the cut Catalyst re-executes the whole
+    corpus-scan → explode → shuffle chain at every reference — the
+    difference between 1 and ~9 corpus scans per training run. Each
+    training step is then ONE broadcast join of the (buckets+1)-row
+    model + two quantized hash aggregates (per-doc logits, per-bucket
+    gradients) over the materialized frame; the model is a
+    broadcastable constant like a k-means codebook, nothing is ever
+    pairwise, and scoring is the same join + one agg, map-side
+    combined. The model frame is ALSO lineage-cut once per step:
+    w_i references w_{i-1} twice (update join side + the gradient's
+    logits), so the uncut unrolled plan embeds 2^steps copies of the
+    step-0 chain — exponential in steps (measured 28 s at steps=8 on
+    sf0.1), linear with the cut (6 s).
 
     Cross-engine exactness, term by term: bucket moments fold
     round-to-grid DECIMAL sums (exact, overflow-free); σ uses ``sqrt``
@@ -740,7 +750,12 @@ def token_lr_classifier(
             F.col("c").cast("double") / F.sum("c").over(w_doc).cast("double")
         ).alias("x"),
     )
-    nrow = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    # 1-row corpus count, referenced by the moments chain AND every one of
+    # the `steps` weight updates — cut its lineage too, or each reference
+    # re-scans the source for a count the first job already produced
+    nrow = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    ).localCheckpoint(eager=False)
     # per-bucket moments over ALL docs (absent rows contribute 0, so the
     # sparse sums ARE the dense sums); decimal folds -> order-proof
     stats = (
@@ -801,6 +816,12 @@ def token_lr_classifier(
                 F.lit(1.0).alias("xs"),
             )
         )
+        # lineage cut (VERDICT r16): compute the corpus-scan → explode →
+        # window → grid-join chain ONCE; every logits()/gradient
+        # reference below reads the materialized frame. Non-eager, so
+        # materialization rides the first step's job; result-identical
+        # (same reliability caveat as _bpe_train's cut above).
+        .localCheckpoint(eager=False)
     )
 
     def logits(w: DataFrame) -> DataFrame:
@@ -857,6 +878,15 @@ def token_lr_classifier(
                     / F.col("n_docs")
                 ).alias("w"),
             )
+            # per-step lineage cut on the (buckets+1)-row model, the
+            # `_bpe_train` idiom. WITHOUT it the unrolled plan is
+            # EXPONENTIAL in `steps`: w_i references w_{i-1} twice (the
+            # update's join side AND the gradient's logits), so plan(w_i)
+            # embeds 2^i copies of the step-0 chain — measured 28 s at
+            # steps=8 vs 5.5 s at steps=4 on sf0.1 pre-cut. With the cut,
+            # each step is exactly two aggregates over the materialized
+            # feature frame: linear, the shape the docstring promises.
+            .localCheckpoint(eager=False)
         )
     return logits(w).select(
         id_col,

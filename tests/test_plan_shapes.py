@@ -1475,3 +1475,21 @@ def test_snapshot_delta_shuffles_digests_not_payloads(spark, sf_dir):
         if "Exchange" in line:
             assert "text#" not in line, f"payload in shuffle: {line}"
     assert "Window" not in plan
+
+
+def test_quality_classifier_trains_on_materialized_features(spark, sf_dir):
+    """The 4-step training loop references the standardized feature frame
+    2*steps+1 times (logits + gradient per step, final scoring) and the
+    1-row corpus count once per weight update. Both are localCheckpoint'd
+    (VERDICT r16 weak item), so the unrolled final plan must read ONLY the
+    materialized RDDs: no Generate (the token explode runs exactly once,
+    inside the cut) and no parquet re-scan of the corpus."""
+    df = QUERIES["quality_classifier"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, "token explode leaked past the lineage cut"
+    assert "documents" not in plan, "corpus re-scan leaked past the lineage cut"
+    # exactly two materialized inputs: the feature frame + the FINAL model.
+    # More means a cut regressed — in particular the per-step model cut,
+    # without which the unrolled plan embeds 2^steps copies of the step-0
+    # chain (w_i references w_{i-1} twice: update join + gradient logits).
+    assert plan.count("Scan ExistingRDD") == 2, plan.count("Scan ExistingRDD")

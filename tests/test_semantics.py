@@ -1173,8 +1173,10 @@ def test_quality_classifier_recovers_heuristic(spark, sf_dir):
     # scores are valid algebraic-sigmoid outputs, consistent with the
     # prediction threshold (z > 0  <=>  sigma(z) > 0.5)
     assert ((out.score > 0.0) & (out.score < 1.0)).all()
-    assert ((out.score > 0.5) == out.predicted).all() or (
-        # boundary: round(sigma, 6) can land exactly on 0.5 only at z==0,
-        # where predicted is False — allow that single equality case
-        ((out.score >= 0.5) | ~out.predicted).all()
-    )
+    # score/prediction consistency with a TARGETED boundary allowance
+    # (r16 ADVICE: the old `A.all() or B.all()` fallback was vacuously
+    # satisfiable): round(sigma, 6) lands exactly on 0.5 only at z==0,
+    # where predicted is False — that is the ONLY row where the
+    # equivalence (score > 0.5) == predicted may fail.
+    boundary = (out.score == 0.5) & ~out.predicted
+    assert (((out.score > 0.5) == out.predicted) | boundary).all()
