@@ -144,6 +144,11 @@ HEADLINE = [
     # standardized feature frame) — a plan-shape family nothing else
     # exercises (kmeans_refine is the unsupervised analogue)
     "quality_classifier",
+    # round-17: the classifier's serving split (VERDICT r16 item 3) — one
+    # corpus scan + one broadcast model join + one quantized fold, the
+    # steady-state deployment cost once the model is built; benched beside
+    # the train-inline row so the training premium stays measured
+    "quality_classifier_probe",
     # round-16: residual serving from the materialized refined-quantizer
     # index (VERDICT r15 item 2) — the per-cell LUT probe join shape
     # (probes ⋈ center-dot LUT ⋈ residual LUT ⋈ per-cell norm LUT) that

@@ -729,6 +729,53 @@ def token_lr_classifier(
     float SUMs of the loop quantize each term onto the `LR_Q` grid and
     fold BIGINTs; μ and σ round to 6 decimals; the weight update itself
     is plain IEEE arithmetic on identical inputs."""
+    feat, nrow, _stats = _lr_features(docs, label, buckets, id_col, text_col)
+    w = _lr_gradient_descent(feat, nrow, buckets, steps, eta, id_col)
+    return _lr_logits(feat, w, id_col).select(
+        id_col,
+        "is_target",
+        F.round(_lr_sigmoid(F.col("z")), 6).alias("score"),
+        (F.col("z") > 0.0).alias("predicted"),
+    )
+
+
+def _lr_sigmoid(z: Column) -> Column:
+    """The ALGEBRAIC sigmoid surrogate σ̃(z) = 0.5 + z / (2·(1+|z|)) —
+    monotone, bounded, cross-engine exact (+,*,/,abs only; see
+    `token_lr_classifier`'s exactness notes for why not ``exp``)."""
+    return F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+
+
+def _lr_logits(feat: DataFrame, w: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc logit under model ``w``: ONE broadcast join of the
+    (buckets+1)-row model + one LR_Q-quantized BIGINT fold (order-proof)."""
+    return (
+        feat.join(F.broadcast(w), "bucket")
+        .groupBy(id_col, "is_target")
+        .agg(
+            F.sum(
+                F.round(F.col("xs") * F.col("w") * LR_Q, 0).cast("long")
+            ).alias("zq")
+        )
+        .select(
+            id_col,
+            "is_target",
+            (F.col("zq").cast("double") / F.lit(float(LR_Q))).alias("z"),
+        )
+    )
+
+
+def _lr_features(
+    docs: DataFrame,
+    label: Column,
+    buckets: int,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared feature build for `token_lr_classifier`/`token_lr_train`:
+    returns (feat, nrow, stats) — the lineage-cut dense standardized
+    feature frame (id, is_target, bucket, xs), the lineage-cut 1-row
+    corpus count, and the per-bucket (mu, sd) moments frame."""
     spark = docs.sparkSession
     from pyspark.sql import Window
 
@@ -818,40 +865,35 @@ def token_lr_classifier(
         )
         # lineage cut (VERDICT r16): compute the corpus-scan → explode →
         # window → grid-join chain ONCE; every logits()/gradient
-        # reference below reads the materialized frame. Non-eager, so
+        # reference reads the materialized frame. Non-eager, so
         # materialization rides the first step's job; result-identical
         # (same reliability caveat as _bpe_train's cut above).
         .localCheckpoint(eager=False)
     )
+    return feat, nrow, stats
 
-    def logits(w: DataFrame) -> DataFrame:
-        return (
-            feat.join(F.broadcast(w), "bucket")
-            .groupBy(id_col, "is_target")
-            .agg(
-                F.sum(
-                    F.round(F.col("xs") * F.col("w") * LR_Q, 0).cast("long")
-                ).alias("zq")
-            )
-            .select(
-                id_col,
-                "is_target",
-                (F.col("zq").cast("double") / F.lit(float(LR_Q))).alias("z"),
-            )
-        )
 
-    def sigmoid(z: Column) -> Column:
-        return F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
-
+def _lr_gradient_descent(
+    feat: DataFrame,
+    nrow: DataFrame,
+    buckets: int,
+    steps: int,
+    eta: float,
+    id_col: str,
+) -> DataFrame:
+    """``steps`` unrolled full-batch gradient iterations over the
+    materialized feature frame; returns the trained (bucket, w) model,
+    buckets+1 rows (bias last)."""
+    spark = feat.sparkSession
     w = spark.range(buckets + 1).select(
         F.col("id").alias("bucket"), F.lit(0.0).alias("w")
     )
     for _ in range(steps):
-        resid = logits(w).select(
+        resid = _lr_logits(feat, w, id_col).select(
             id_col,
             (
                 F.when(F.col("is_target"), F.lit(1.0)).otherwise(F.lit(0.0))
-                - sigmoid(F.col("z"))
+                - _lr_sigmoid(F.col("z"))
             ).alias("r"),
         )
         grad = (
@@ -888,9 +930,136 @@ def token_lr_classifier(
             # feature frame: linear, the shape the docstring promises.
             .localCheckpoint(eager=False)
         )
-    return logits(w).select(
+    return w
+
+
+def token_lr_train(
+    docs: DataFrame,
+    label: Column,
+    buckets: int = 64,
+    steps: int = 4,
+    eta: float = 4.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """`token_lr_classifier`'s TRAINING half, split out for the
+    build-once / score-many deployment (the `build_pq_index` →
+    `pq_topk_probe` pattern): runs the same feature build + ``steps``
+    gradient iterations and returns the complete serving artifact — a
+    (buckets+1)-row frame (bucket, w, mu, sd) carrying the trained
+    weight AND the standardization moments each bucket was trained
+    under. The bias row (bucket = ``buckets``) stores (mu, sd) = (0, 1),
+    under which the dense scorer's (0 − mu)/sd would read 0 —
+    `token_lr_score` therefore emits the bias feature explicitly as the
+    constant 1, exactly as training did. Persist this frame (it is a
+    broadcastable constant, a k-means-codebook analogue) and serve with
+    `token_lr_score`; byte-identical scores to the train-inline
+    classifier are guaranteed by the shared quantized folds."""
+    feat, nrow, stats = _lr_features(docs, label, buckets, id_col, text_col)
+    w = _lr_gradient_descent(feat, nrow, buckets, steps, eta, id_col)
+    return w.join(F.broadcast(stats), "bucket", "left").select(
+        "bucket",
+        "w",
+        F.coalesce(F.col("mu"), F.lit(0.0)).alias("mu"),
+        F.coalesce(F.col("sd"), F.lit(1.0)).alias("sd"),
+    )
+
+
+def token_lr_score(
+    docs: DataFrame,
+    model: DataFrame,
+    label: Column,
+    buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """`token_lr_classifier`'s SERVING half: score ``docs`` under a
+    model trained by `token_lr_train` — NO gradient step, no moment
+    estimation, no Lloyd-class iteration anywhere in the plan. ONE
+    corpus scan builds the sparse normalized counts, the broadcast
+    (buckets+1)-row ``model`` supplies (w, mu, sd) for the dense
+    standardization, and ONE map-side-combined quantized fold produces
+    the logit — the same arithmetic, in the same LR_Q BIGINT grid, as
+    the train-inline classifier's final pass, so scores are
+    byte-identical to training-time scoring of the same corpus.
+    ``label`` is evaluated only to EMIT ``is_target`` (schema parity
+    with `token_lr_classifier` and accuracy audits); it never influences
+    the score. ``buckets`` must match the trained model — guarded by a
+    row-count check on the (tiny) model frame, because a mismatched hash
+    modulus would silently score against the wrong feature space."""
+    n_model = model.count()  # tiny frame; guards silent feature-space skew
+    if n_model != buckets + 1:
+        raise ValueError(
+            f"model has {n_model} rows; expected buckets+1 = {buckets + 1}"
+        )
+    spark = docs.sparkSession
+    from pyspark.sql import Window
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+        % buckets
+    )
+    pairs = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select(id_col, bucket.alias("bucket"))
+    counts = pairs.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_doc = Window.partitionBy(id_col)
+    sparse = counts.select(
+        id_col,
+        "bucket",
+        (
+            F.col("c").cast("double") / F.sum("c").over(w_doc).cast("double")
+        ).alias("x"),
+    )
+    labeled = docs.select(F.col(id_col), label.alias("is_target"))
+    grid = labeled.crossJoin(
+        F.broadcast(
+            spark.range(buckets).select(F.col("id").alias("bucket"))
+        )
+    )
+    feat = (
+        grid.join(sparse, [id_col, "bucket"], "left")
+        .join(F.broadcast(model), "bucket")
+        .select(
+            id_col,
+            "is_target",
+            "bucket",
+            (
+                (F.coalesce(F.col("x"), F.lit(0.0)) - F.col("mu"))
+                / F.col("sd")
+            ).alias("xs"),
+            "w",
+        )
+        .unionByName(
+            labeled.crossJoin(
+                F.broadcast(model.filter(F.col("bucket") == buckets))
+            ).select(
+                id_col,
+                "is_target",
+                "bucket",
+                F.lit(1.0).alias("xs"),
+                "w",
+            )
+        )
+    )
+    z = (
+        feat.groupBy(id_col, "is_target")
+        .agg(
+            F.sum(
+                F.round(F.col("xs") * F.col("w") * LR_Q, 0).cast("long")
+            ).alias("zq")
+        )
+        .select(
+            id_col,
+            "is_target",
+            (F.col("zq").cast("double") / F.lit(float(LR_Q))).alias("z"),
+        )
+    )
+    return z.select(
         id_col,
         "is_target",
-        F.round(sigmoid(F.col("z")), 6).alias("score"),
+        F.round(_lr_sigmoid(F.col("z")), 6).alias("score"),
         (F.col("z") > 0.0).alias("predicted"),
     )

@@ -3841,6 +3841,64 @@ FROM z{fin}
 SQL_QUALITY_CLASSIFIER = _sql_quality_classifier()
 
 
+def _ensure_lr_model(spark: SparkSession, sf_dir: str) -> str:
+    """Train-once cache for the quality classifier's serving artifact
+    (the `_ensure_pq_index` pattern): `text.token_lr_train`'s
+    (buckets+1)-row (bucket, w, mu, sd) frame persisted as parquet under
+    an identity-markered dir, so `q_quality_classifier_probe` pays the
+    LRC_STEPS gradient iterations exactly once per (testdata tree,
+    hyperparameters) and the probe itself never runs a training step."""
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    ident = {
+        "src": src, "mtime_ns": st.st_mtime_ns, "size": st.st_size,
+        "kind": "lr_model", "buckets": LRC_BUCKETS, "steps": LRC_STEPS,
+        "eta": LRC_ETA, "tau": LRC_TAU,
+    }
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_dir = os.path.join(
+        _ivf_cache_root(), f"{tag}_lrc_b{LRC_BUCKETS}s{LRC_STEPS}"
+    )
+
+    def _build(build_dir: str) -> None:
+        docs = _t(spark, sf_dir, "documents")
+        model = text.token_lr_train(
+            docs,
+            text.stopword_ratio(F.col("text")) >= LRC_TAU,
+            buckets=LRC_BUCKETS, steps=LRC_STEPS, eta=LRC_ETA,
+        )
+        # 65 rows: one file, one footer to read at serve time
+        model.repartition(1).write.parquet(os.path.join(build_dir, "model"))
+
+    return _ensure_index(index_dir, ident, _build)
+
+
+def q_quality_classifier_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`quality_classifier` against the build-once persisted model
+    (VERDICT r16 item 3 — the `build_pq_index` → `pq_topk_probe`
+    deployment split, completing the pattern across every trained
+    structure in the repo): the (buckets+1)-row (bucket, w, mu, sd)
+    artifact is read back and broadcast, and the corpus is scored by
+    `text.token_lr_score` — ONE token scan + one quantized fold, NO
+    gradient step, no moment estimation (training monkeypatched-to-raise
+    pin, like the Lloyd-free ANN probes). Scores are byte-identical to
+    the train-inline classifier (shared LR_Q folds), so the oracle is
+    the same deterministic training replay."""
+    model_dir = _ensure_lr_model(spark, sf_dir)
+    import os
+
+    model = spark.read.parquet(os.path.join(model_dir, "model"))
+    docs = _t(spark, sf_dir, "documents")
+    return text.token_lr_score(
+        docs,
+        model,
+        text.stopword_ratio(F.col("text")) >= LRC_TAU,
+        buckets=LRC_BUCKETS,
+    )
+
+
 
 
 # --- per-source distribution shift: KL(source ‖ corpus) over hashed grams ----
@@ -5402,6 +5460,14 @@ SPECS = {
         "model trained by unrolled distributed gradient steps on the "
         "stopword-heuristic labels (heuristic distillation), corpus scored "
         "by the trained model — quantized BIGINT folds, algebraic sigmoid",
+        ("text", "model"),
+    ),
+    "quality_classifier_probe": QuerySpec(
+        q_quality_classifier_probe,
+        SQL_QUALITY_CLASSIFIER,
+        "quality classifier served from the build-once persisted model: "
+        "one corpus scan + one broadcast join + one quantized fold, no "
+        "gradient steps — byte-identical scores to the train-inline form",
         ("text", "model"),
     ),
 }

@@ -1493,3 +1493,28 @@ def test_quality_classifier_trains_on_materialized_features(spark, sf_dir):
     # without which the unrolled plan embeds 2^steps copies of the step-0
     # chain (w_i references w_{i-1} twice: update join + gradient logits).
     assert plan.count("Scan ExistingRDD") == 2, plan.count("Scan ExistingRDD")
+
+
+def test_quality_probe_serves_without_training(spark, sf_dir, monkeypatch):
+    """The classifier's serving split (VERDICT r16 item 3) runs the same
+    Lloyd-free contract as the ANN probes: with BOTH training entry points
+    monkeypatched to raise (the gradient loop and the full train wrapper),
+    the probe must still answer from the persisted model — any training
+    call in the serving path detonates. And the served scores must be
+    byte-identical to the train-inline classifier (shared LR_Q folds)."""
+    from multi_source_financial_data_pipeline_spark.operators import text
+    from multi_source_financial_data_pipeline_spark.plans import llmdata
+
+    inline = QUERIES["quality_classifier"].fn(spark, sf_dir)
+    want = sorted(tuple(r) for r in inline.collect())
+
+    llmdata._ensure_lr_model(spark, sf_dir)  # build before the patch
+
+    def _no_training(*a, **k):
+        raise AssertionError("training invoked in the serving path")
+
+    monkeypatch.setattr(text, "_lr_gradient_descent", _no_training)
+    monkeypatch.setattr(text, "token_lr_train", _no_training)
+    df = QUERIES["quality_classifier_probe"].fn(spark, sf_dir)
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == want
