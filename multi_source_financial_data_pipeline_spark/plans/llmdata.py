@@ -3722,9 +3722,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic distillation, the standard bootstrap when no human labels
     exist. Emits per-doc (is_target, score, predicted); on this corpus
     the model recovers the heuristic at ~0.83-0.84 accuracy against a
-    ~0.52-0.56 majority class (the residue is hash-collision
-    contamination of the stopword buckets — the least-squares ceiling,
-    measured), pinned by a semantics test.
+    ~0.52-0.56 majority class, pinned by a semantics test. The ceiling
+    is hash-collision contamination of the stopword buckets — CONFIRMED
+    mechanically by the r17 `lrc_bucket_sweep` (PERF.md): one specific
+    pair (`the` ⨯ `join`) shares a bucket at every width 64-1024
+    (md5-low-bit equality survives power-of-two moduli) and accuracy
+    steps 0.84 → 0.97-0.98 exactly when the map turns injective at
+    4096; steps/eta move it ≤ 0.004. LRC_BUCKETS stays 64: the
+    registered point measures the contaminated regime the attribution
+    describes, and the sweep documents the bucket-picking rule.
 
     Plan + exactness: see `text.token_lr_classifier` — sparse dsir-shape
     feature build, decimal-exact bucket moments, IEEE-exact sqrt

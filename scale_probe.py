@@ -1166,6 +1166,57 @@ def residual_refined() -> dict:
     return out
 
 
+def lrc_bucket_sweep(bucket_grid: tuple[int, ...] = (64, 128, 256, 1024, 4096)) -> dict:
+    """r16 VERDICT item 4 — test the classifier-accuracy attribution. The
+    r16 docstrings attribute `quality_classifier`'s 0.83-0.84 accuracy
+    ceiling to HASH-COLLISION contamination of the stopword buckets at
+    LRC_BUCKETS=64 (unrelated tokens folding into the discriminative
+    features, a least-squares noise floor). If that is right, accuracy
+    must RISE as the hashed feature space widens (collision probability
+    per discriminative token falls roughly with 1/buckets) — if it stays
+    flat, the ceiling is something else (step count, eta, the heuristic
+    labels themselves) and the docstring must be corrected. Fixed
+    hyperparameters (LRC_STEPS, LRC_ETA) across the grid so bucket width
+    is the only moving part; per-point wall is recorded since the dense
+    frame is corpus × (buckets+1)."""
+    from multi_source_financial_data_pipeline_spark.operators import text
+    from multi_source_financial_data_pipeline_spark.plans import llmdata
+
+    spark = get_spark("msfdp-lrc-sweep")
+    spark.sparkContext.setLogLevel("WARN")
+    out: dict = {
+        "metric": "lrc_bucket_sweep",
+        "steps": llmdata.LRC_STEPS,
+        "eta": llmdata.LRC_ETA,
+        "tau": llmdata.LRC_TAU,
+    }
+    try:
+        for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+            docs = load_table(spark, sf_dir, "documents")
+            label = text.stopword_ratio(F.col("text")) >= llmdata.LRC_TAU
+            rows: dict = {}
+            for b in bucket_grid:
+                t0 = time.perf_counter()
+                pdf = text.token_lr_classifier(
+                    docs, label, buckets=b,
+                    steps=llmdata.LRC_STEPS, eta=llmdata.LRC_ETA,
+                ).toPandas()
+                wall = round(time.perf_counter() - t0, 2)
+                acc = float((pdf.predicted == pdf.is_target).mean())
+                maj = float(
+                    max(pdf.is_target.mean(), 1 - pdf.is_target.mean())
+                )
+                rows[f"buckets{b}"] = {
+                    "accuracy": round(acc, 4),
+                    "majority": round(maj, 4),
+                    "sec": wall,
+                }
+            out[os.path.basename(sf_dir.rstrip("/"))] = rows
+    finally:
+        spark.stop()
+    return out
+
+
 def ann_serving_growth(ks: tuple[int, ...] = (10, 30)) -> dict:
     """Fifth growth-exponent family (VERDICT r13 item 5): ANN SERVING.
     The build/probe split's whole value claim is that serving cost scales
@@ -1410,6 +1461,9 @@ def _dispatch(argv: list[str]) -> int:
     if cmd == "incdedup_state_growth":
         print(json.dumps(incdedup_state_growth()))
         return 0
+    if cmd == "lrc_bucket_sweep":
+        print(json.dumps(lrc_bucket_sweep()))
+        return 0
     if cmd == "growth":
         names = argv[2].split(",") if len(argv) > 2 else []
         names = [n for n in names if n.strip()]
@@ -1423,7 +1477,7 @@ def _dispatch(argv: list[str]) -> int:
     sys.stderr.write(
         f"unknown subcommand {cmd!r}; usage: scale_probe.py "
         "[dedup_growth | stream_media_growth | ann_serving_growth | residual_refined | incremental_fixed_growth | "
-        "manifest_dirty_sweep | incdedup_state_growth | growth <query[,query...]>]\n"
+        "manifest_dirty_sweep | incdedup_state_growth | lrc_bucket_sweep | growth <query[,query...]>]\n"
     )
     return 2
 
