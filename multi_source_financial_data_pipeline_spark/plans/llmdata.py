@@ -2431,6 +2431,18 @@ def q_manifest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     would prune nothing — the documented worst case, where cost degrades
     to `snapshot_delta` plus one manifest pass.
 
+    Measured honesty (r17, PERF.md crossover legs at 30×/90×): because
+    this registered query RECOMPUTES both manifests from the snapshots
+    every run, and `snapshot_delta` already shuffles digests only, the
+    recompute-both-sides shape never crosses the row-level diff at this
+    geometry (1.3–1.6× at every measured volume; the r16 extrapolated
+    crossover is withdrawn) — what level 2 confines is a digest shuffle
+    ~10× lighter than the payload scans both plans pay. The asymptotic
+    win belongs to the PERSISTED-manifest deployment (level 1 = an
+    N_SHARDS-row comparison, zero corpus scans, total = dirty_fraction ×
+    snapshot_delta), or to diffs whose row-level state is genuinely
+    heavy (payload-carrying deltas).
+
     False-clean trade (r15 ADVICE — the same class of disclosure as
     `bloom_decontaminate`'s FP rate, in the opposite direction): the
     per-shard fingerprint folds 32-bit per-row hashes h2 with
