@@ -432,15 +432,34 @@ def _broadcast_bytes_threshold(spark) -> int:
 
 
 #: memo for `_small_query_batch`: (plan semanticHash, lut rows, byte cap)
-#: -> verdict. A serving loop re-probing the SAME batch plan pays the
-#: bounded count job once, not per probe call (r15 VERDICT item 7). Keyed
-#: by the resolved-plan hash so a re-read of changed source data with an
-#: identical plan reuses the verdict — acceptable because the verdict
-#: only selects between two CORRECT plans (hinted vs AQE-chosen); a stale
-#: or hash-colliding entry can cost a broadcast of a batch that grew past
-#: the budget, never a wrong answer. Unbounded growth is not a concern:
-#: one small tuple per distinct probe-batch plan per process.
-_SMALL_BATCH_MEMO: dict[tuple[int, int, int], bool] = {}
+#: -> [verdict, reuses_left]. A serving loop re-probing the SAME batch
+#: plan pays the bounded count job once per _SMALL_BATCH_RECHECK reuses,
+#: not per probe call (r15 VERDICT item 7). Keyed by the resolved-plan
+#: hash so a re-read of changed source data with an identical plan reuses
+#: the verdict — acceptable because the verdict only selects between two
+#: CORRECT plans (hinted vs AQE-chosen); a stale or hash-colliding entry
+#: can cost a broadcast of a batch that grew past the budget, never a
+#: wrong answer. The reuse budget bounds HOW LONG that staleness can
+#: live in a long-running serving process (r16 ADVICE: a True verdict
+#: must not survive unbounded source growth): after _SMALL_BATCH_RECHECK
+#: answered-from-memo calls the entry expires and the next call re-runs
+#: the LIMIT-capped count. `clear_small_batch_memo()` drops everything
+#: eagerly (e.g. after a known bulk load). Unbounded growth is not a
+#: concern: one small entry per distinct probe-batch plan per process.
+_SMALL_BATCH_MEMO: dict[tuple[int, int, int], list] = {}
+
+#: answered-from-memo calls before a verdict must be re-proven. 64 keeps
+#: the steady-state cost at one bounded count job per 65 probe calls
+#: while capping how far a batch can grow past its proven size unnoticed.
+_SMALL_BATCH_RECHECK = 64
+
+
+def clear_small_batch_memo() -> None:
+    """Eagerly invalidate every memoized broadcast-budget verdict — for
+    long-lived serving processes that just changed the data under a
+    probe-batch plan (the TTL above re-proves lazily; this is the
+    immediate form)."""
+    _SMALL_BATCH_MEMO.clear()
 
 
 def _small_query_batch(queries: DataFrame, lut_rows_per_query: int) -> bool:
@@ -476,10 +495,12 @@ def _small_query_batch(queries: DataFrame, lut_rows_per_query: int) -> bool:
     if cap_q <= 0:
         return False
     key = (queries.semanticHash(), lut_rows_per_query, budget)
-    verdict = _SMALL_BATCH_MEMO.get(key)
-    if verdict is None:
-        verdict = queries.limit(cap_q + 1).count() <= cap_q
-        _SMALL_BATCH_MEMO[key] = verdict
+    entry = _SMALL_BATCH_MEMO.get(key)
+    if entry is not None and entry[1] > 0:
+        entry[1] -= 1
+        return entry[0]
+    verdict = queries.limit(cap_q + 1).count() <= cap_q
+    _SMALL_BATCH_MEMO[key] = [verdict, _SMALL_BATCH_RECHECK]
     return verdict
 
 
@@ -1624,21 +1645,29 @@ def build_pq_index(
 #: (realpath, meta mtime_ns) -> by_residual: the guard costs one tiny
 #: read job per DISTINCT index build, not one per probe call (the two
 #: raw probes were benched before the guard existed; it must not tax
-#: them). The mtime key invalidates on rebuild — `_ensure_index` swaps
-#: the whole directory atomically, which updates meta/'s mtime.
+#: them). The mtime key invalidates on rebuild — not because
+#: `_ensure_index`'s atomic directory rename touches the child dir's
+#: mtime (a rename does NOT), but because a rebuild writes a FRESH
+#: meta/ dir whose own creation time rides in with it (r16 ADVICE:
+#: comment corrected).
 _PQ_META_MEMO: dict[tuple[str, int], bool] = {}
 
 
 def _pq_index_is_residual(spark, index_dir: str) -> bool:
-    """Read the index's encoding flag; a pre-r16 index without ``meta/``
-    is raw-vector by construction (residual builds never existed before
-    the flag did)."""
+    """Read the index's encoding flag. A MISSING ``meta/`` is raw-vector
+    by construction (pre-r16 indexes: residual builds never existed
+    before the flag did) — but ONLY FileNotFoundError may take that
+    branch; any other OSError (permissions, I/O failure on a meta dir
+    that exists) raises, because silently answering 'raw' for a residual
+    index whose meta/ is unreadable would let `pq_topk_probe` score
+    residual codes as raw — the exact silent failure this guard exists
+    to prevent (r16 ADVICE)."""
     import os
 
     meta_dir = os.path.join(index_dir, "meta")
     try:
         key = (os.path.realpath(meta_dir), os.stat(meta_dir).st_mtime_ns)
-    except OSError:
+    except FileNotFoundError:
         return False
     flag = _PQ_META_MEMO.get(key)
     if flag is None:

@@ -1190,6 +1190,22 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         query.awaitTermination()
+        # r16 ADVICE: the oracle's global row_number canon matches the
+        # stateful classifier ONLY under a single in-order drain batch
+        # (one symlinked source file). Enforce the invariant instead of
+        # assuming it, so a future testdata/layout change fails HERE with
+        # a clear message rather than downstream as an oracle hash
+        # mismatch. (Zero-input progress entries — state-cleanup /
+        # no-data micro-batches — don't carry rows and don't count.)
+        data_batches = sum(
+            1 for p in query.recentProgress if (p.numInputRows or 0) > 0
+        )
+        if data_batches != 1:
+            raise AssertionError(
+                "stream_incremental_dedup drained %d data batches; the "
+                "registered oracle's row_number canon is only valid for "
+                "exactly 1 (single-file in-order delivery)" % data_batches
+            )
     return (
         spark.table(name)
         .groupBy(F.col("carry").alias("event_type"), "dedup_class")

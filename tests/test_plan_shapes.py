@@ -690,6 +690,19 @@ def test_small_query_batch_memoizes_count_job(spark, sf_dir, monkeypatch):
 
     with pytest.raises(AssertionError, match="re-ran"):
         similarity._small_query_batch(q, 64)
+    # r16 ADVICE: the verdict must not survive unbounded reuse — after
+    # _SMALL_BATCH_RECHECK answered-from-memo calls the entry expires and
+    # the next call must RE-PROVE the budget (here: detonate on count).
+    # One reuse was already spent above, so drain the remainder.
+    entry_budget = similarity._broadcast_bytes_threshold(spark)
+    entry = similarity._SMALL_BATCH_MEMO[(q.semanticHash(), 128, entry_budget)]
+    for _ in range(entry[1]):
+        assert similarity._small_query_batch(q, 128) is True
+    with pytest.raises(AssertionError, match="re-ran"):
+        similarity._small_query_batch(q, 128)
+    # the eager hook empties the memo outright
+    similarity.clear_small_batch_memo()
+    assert similarity._SMALL_BATCH_MEMO == {}
 
 
 def test_bollinger_rsi_single_exchange(spark, sf_dir):
