@@ -975,13 +975,18 @@ def token_lr_score(
 ) -> DataFrame:
     """`token_lr_classifier`'s SERVING half: score ``docs`` under a
     model trained by `token_lr_train` — NO gradient step, no moment
-    estimation, no Lloyd-class iteration anywhere in the plan. ONE
-    corpus scan builds the sparse normalized counts, the broadcast
-    (buckets+1)-row ``model`` supplies (w, mu, sd) for the dense
-    standardization, and ONE map-side-combined quantized fold produces
-    the logit — the same arithmetic, in the same LR_Q BIGINT grid, as
-    the train-inline classifier's final pass, so scores are
-    byte-identical to training-time scoring of the same corpus.
+    estimation, no Lloyd-class iteration anywhere in the plan, and no
+    densification: the standardization's absent-bucket terms are folded
+    into per-bucket model constants (see the inline derivation), so the
+    scored frame is O(corpus tokens) — never the training loop's corpus
+    × (buckets+1) dense grid — while every emitted integer is EXACTLY
+    the one the dense fold produces. ONE corpus scan builds the sparse
+    normalized counts, the broadcast (buckets+1)-row ``model`` supplies
+    (w, mu, sd), and ONE map-side-combined quantized fold per doc plus a
+    1-row model aggregate produce the logit — the same arithmetic, in
+    the same LR_Q BIGINT grid, as the train-inline classifier's final
+    pass, so scores are byte-identical to training-time scoring of the
+    same corpus (pinned by the probe-equivalence test).
     ``label`` is evaluated only to EMIT ``is_target`` (schema parity
     with `token_lr_classifier` and accuracy audits); it never influences
     the score. ``buckets`` must match the trained model — guarded by a
@@ -992,7 +997,6 @@ def token_lr_score(
         raise ValueError(
             f"model has {n_model} rows; expected buckets+1 = {buckets + 1}"
         )
-    spark = docs.sparkSession
     from pyspark.sql import Window
 
     bucket = (
@@ -1014,47 +1018,52 @@ def token_lr_score(
         ).alias("x"),
     )
     labeled = docs.select(F.col(id_col), label.alias("is_target"))
-    grid = labeled.crossJoin(
-        F.broadcast(
-            spark.range(buckets).select(F.col("id").alias("bucket"))
-        )
+    # SPARSE fold, bit-identical to the dense one (the docstring's 100 TB
+    # shape, made exact): the dense zq is Σ_b round(xs_b·w_b·Q) + bias
+    # with xs_b = (x_b − mu_b)/sd_b and x_b = 0 for absent buckets. Each
+    # absent bucket therefore contributes the PER-BUCKET CONSTANT
+    # t0_b = round(((0 − mu_b)/sd_b)·w_b·Q), so
+    #   zq = Σ_present [round(xs·w·Q) − t0_b] + Σ_all_b t0_b + bias_term
+    # — every term is the SAME integer the dense grid would have produced
+    # (rounding is per bucket, absent terms are exactly t0_b), but only
+    # token-support rows are touched: the scored frame is O(corpus
+    # tokens), never corpus × (buckets+1). Σ_all t0_b + bias_term is one
+    # (buckets+1)-row aggregate of the broadcast model (z0q below).
+    t0 = F.round(
+        ((F.lit(0.0) - F.col("mu")) / F.col("sd")) * F.col("w") * LR_Q, 0
+    ).cast("long")
+    bias_term = F.round(F.lit(1.0) * F.col("w") * LR_Q, 0).cast("long")
+    z0 = model.agg(
+        F.sum(
+            F.when(F.col("bucket") < buckets, t0).otherwise(bias_term)
+        ).alias("z0q")
     )
-    feat = (
-        grid.join(sparse, [id_col, "bucket"], "left")
-        .join(F.broadcast(model), "bucket")
-        .select(
-            id_col,
-            "is_target",
-            "bucket",
-            (
-                (F.coalesce(F.col("x"), F.lit(0.0)) - F.col("mu"))
-                / F.col("sd")
-            ).alias("xs"),
-            "w",
-        )
-        .unionByName(
-            labeled.crossJoin(
-                F.broadcast(model.filter(F.col("bucket") == buckets))
-            ).select(
-                id_col,
-                "is_target",
-                "bucket",
-                F.lit(1.0).alias("xs"),
-                "w",
-            )
+    deltas = (
+        sparse.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.round(
+                    ((F.col("x") - F.col("mu")) / F.col("sd"))
+                    * F.col("w")
+                    * LR_Q,
+                    0,
+                ).cast("long")
+                - t0
+            ).alias("dq")
         )
     )
     z = (
-        feat.groupBy(id_col, "is_target")
-        .agg(
-            F.sum(
-                F.round(F.col("xs") * F.col("w") * LR_Q, 0).cast("long")
-            ).alias("zq")
-        )
+        labeled.join(deltas, id_col, "left")
+        .crossJoin(F.broadcast(z0))
         .select(
             id_col,
             "is_target",
-            (F.col("zq").cast("double") / F.lit(float(LR_Q))).alias("z"),
+            (
+                (F.coalesce(F.col("dq"), F.lit(0)) + F.col("z0q"))
+                .cast("double")
+                / F.lit(float(LR_Q))
+            ).alias("z"),
         )
     )
     return z.select(

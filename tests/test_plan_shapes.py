@@ -1531,3 +1531,13 @@ def test_quality_probe_serves_without_training(spark, sf_dir, monkeypatch):
     df = QUERIES["quality_classifier_probe"].fn(spark, sf_dir)
     got = sorted(tuple(r) for r in df.collect())
     assert got == want
+    # serving stays SPARSE (r17): the scored frame is O(corpus tokens) —
+    # exactly one Generate (the token explode) and exactly one
+    # BroadcastNestedLoopJoin (the 1-row z0q scalar). The dense
+    # corpus × (buckets+1) grid would show a second nested-loop join.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE echoes both sections
+    assert plan.count("Generate") == 1, "serving must tokenize exactly once"
+    assert plan.count("BroadcastNestedLoopJoin") == 1, (
+        "dense grid leaked into the sparse serving fold"
+    )
