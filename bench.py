@@ -160,6 +160,11 @@ HEADLINE = [
     # constant-state shard aggregates, the expensive join runs only over
     # the dirty-shard fraction
     "manifest_delta",
+    # round-17: the persisted-manifest CDC serving shape — level 1 from
+    # N_SHARDS persisted rows, level 2's old side from shard-partition-
+    # pruned digest files, one new-side payload scan; benched beside the
+    # recompute-both-sides form so the structural gap stays measured
+    "manifest_delta_probe",
     # round-14: residual encoding (FAISS by_residual) — per-cell LUT
     # assembly is a join shape the raw-vector IVF-PQ row doesn't have
     "ivfpq_residual_recall",

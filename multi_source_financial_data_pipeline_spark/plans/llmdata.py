@@ -2406,6 +2406,61 @@ N_SHARDS = 16
 _SQL_H64 = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
 
 
+def _snap_base(docs: DataFrame) -> DataFrame:
+    """Shared synthetic-snapshot derivation for the manifest family: per
+    doc, its shard, the old/new membership flags and both content
+    fingerprints — the frame both `q_manifest_delta` legs and the
+    persisted-index build/probe read (identical expressions, so the
+    materialized old side and the recompute path certify the same
+    multisets)."""
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    shard = (h % N_SHARDS).alias("shard")
+    churn = (h % N_SHARDS) % MAN_DIRTY_MOD == MAN_DIRTY_SEL
+    new_text = F.when(
+        churn & (F.col("__h") % SNAP_EDIT_MOD == SNAP_EDIT_SEL),
+        F.concat(F.col("text"), F.lit(" __rev2")),
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id", "text", h.alias("__h"), shard,
+        (churn & (h % SNAP_OLD_MOD == SNAP_OLD_DROP)).alias("__skip_old"),
+        (churn & (h % SNAP_NEW_MOD == SNAP_NEW_DROP)).alias("__skip_new"),
+    ).select(
+        "doc_id", "shard", "__skip_old", "__skip_new",
+        F.md5("text").alias("fp_old"),
+        F.md5(new_text).alias("fp_new"),
+    )
+
+
+def _man_fold(rows: DataFrame, fp_col: str = "fp") -> DataFrame:
+    """The level-1 multiset fingerprint over (shard, doc_id, fp) rows:
+    h2 = hash(doc_id | content-fp) folded per shard as (sum, xor, count)
+    — any add/remove/CHANGE perturbs the state (see `q_manifest_delta`'s
+    false-clean disclosure for the collision budget). Emits (shard,
+    n_docs, members_fp)."""
+    h2 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id"), F.col(fp_col))), 1, 8
+        ),
+        16, 10,
+    ).cast("bigint")
+    agg = rows.select("shard", h2.alias("h2")).groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("h2").cast("decimal(38,0)")).alias("__sum"),
+        F.expr("bit_xor(h2)").alias("__xor"),
+    )
+    fp = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("__sum").cast("string"),
+            F.col("__xor").cast("string"),
+            F.col("n_docs").cast("string"),
+        )
+    )
+    return agg.select("shard", "n_docs", fp.alias("members_fp"))
+
+
 def q_manifest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two-level snapshot diff PERF.md's sixth-family analysis names
     as `snapshot_delta`'s scale path: LEVEL 1 compares per-shard MANIFEST
@@ -2460,24 +2515,7 @@ def q_manifest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the registered query keeps 32-bit h2 because the oracle replays the
     identical arithmetic."""
     docs = _t(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
-    shard = (h % N_SHARDS).alias("shard")
-    churn = (h % N_SHARDS) % MAN_DIRTY_MOD == MAN_DIRTY_SEL
-    new_text = F.when(
-        churn & (F.col("__h") % SNAP_EDIT_MOD == SNAP_EDIT_SEL),
-        F.concat(F.col("text"), F.lit(" __rev2")),
-    ).otherwise(F.col("text"))
-    base = docs.select(
-        "doc_id", "text", h.alias("__h"), shard,
-        (churn & (h % SNAP_OLD_MOD == SNAP_OLD_DROP)).alias("__skip_old"),
-        (churn & (h % SNAP_NEW_MOD == SNAP_NEW_DROP)).alias("__skip_new"),
-    ).select(
-        "doc_id", "shard", "__skip_old", "__skip_new",
-        F.md5("text").alias("fp_old"),
-        F.md5(new_text).alias("fp_new"),
-    )
+    base = _snap_base(docs)
 
     def manifest(skip_col: str, fp_col: str) -> DataFrame:
         # multiset fingerprint over h2 = hash(doc_id | content-fp): any
@@ -2661,6 +2699,153 @@ SELECT s.shard, s.status, s.n_docs_new,
        CAST(coalesce(c.n_changed, 0) AS BIGINT) AS n_changed
 FROM shards s LEFT JOIN counts c ON c.shard = s.shard
 """
+
+
+def _ensure_manifest_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the OLD snapshot's CDC state once (the r17 PERF
+    finding's prescription: the two-level diff's asymptotic win belongs
+    to PERSISTED manifests, not recompute-both-sides): ``manifest/`` is
+    the N_SHARDS-row (shard, n_docs, members_fp) level-1 state and
+    ``digests/`` the (doc_id, fp) rows partitioned BY SHARD — so a later
+    diff reads level 1 without touching the old corpus at all and level
+    2's old side with real file-skipping partition pruning. Identity-
+    markered like every other index cache; the snapshot-shape constants
+    ride in the ident so a geometry change rebuilds."""
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    ident = {
+        "src": src, "mtime_ns": st.st_mtime_ns, "size": st.st_size,
+        "kind": "manifest", "n_shards": N_SHARDS,
+        "dirty": [MAN_DIRTY_MOD, MAN_DIRTY_SEL],
+        "old": [SNAP_OLD_MOD, SNAP_OLD_DROP],
+        "edit": [SNAP_EDIT_MOD, SNAP_EDIT_SEL],
+    }
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_dir = os.path.join(
+        _ivf_cache_root(), f"{tag}_manifest_s{N_SHARDS}"
+    )
+
+    def _build(build_dir: str) -> None:
+        base = _snap_base(_t(spark, sf_dir, "documents"))
+        old = base.filter(~F.col("__skip_old")).select(
+            "shard", "doc_id", F.col("fp_old").alias("fp")
+        )
+        old.write.partitionBy("shard").mode("overwrite").parquet(
+            os.path.join(build_dir, "digests")
+        )
+        _man_fold(old).write.mode("overwrite").parquet(
+            os.path.join(build_dir, "manifest")
+        )
+
+    return _ensure_index(index_dir, ident, _build)
+
+
+def q_manifest_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`manifest_delta` served from PERSISTED old-side CDC state — the
+    deployment shape the r17 crossover legs showed is where the
+    two-level diff actually wins (PERF.md: the recompute-both-manifests
+    form never crosses `snapshot_delta` because the row diff already
+    shuffles digests only; this form removes the old corpus from the
+    plan entirely). Per diff: the NEW snapshot's (doc_id, shard, fp)
+    digests are computed in ONE payload scan and lineage-cut
+    (`localCheckpoint` — at cluster scale this frame is what gets
+    written as the NEXT diff's persisted index, so the cut is the honest
+    in-memory stand-in for that write); level 1 compares the persisted
+    N_SHARDS-row manifest against one fold of the cut frame (zero old
+    scans); level 2 reads the old side's digests with shard-partition
+    FILE PRUNING (the dirty literal lands in PartitionFilters) and the
+    new side from the same cut frame. Total: ONE payload scan +
+    dirty_fraction reads of ~50-byte digest rows, vs `snapshot_delta`'s
+    two payload scans + full digest shuffle — a structural win at any
+    volume, not past a crossover. Same verdicts, same report schema,
+    same oracle (the SQL replay recomputes both sides; the persisted
+    state holds identical multisets by the shared `_snap_base`
+    derivation)."""
+    import os
+
+    index_dir = _ensure_manifest_index(spark, sf_dir)
+    base = _snap_base(_t(spark, sf_dir, "documents"))
+    new_digests = (
+        base.filter(~F.col("__skip_new"))
+        .select("shard", "doc_id", F.col("fp_new").alias("fp"))
+        .localCheckpoint(eager=False)  # one payload scan; 3 consumers
+    )
+    man_old = spark.read.parquet(os.path.join(index_dir, "manifest"))
+    shards = (
+        man_old.select(
+            "shard",
+            F.col("n_docs").alias("__n_old"),
+            F.col("members_fp").alias("__fp_o"),
+        )
+        .join(
+            _man_fold(new_digests).select(
+                "shard",
+                F.col("n_docs").alias("n_docs_new"),
+                F.col("members_fp").alias("__fp_n"),
+            ),
+            "shard",
+            "full_outer",
+        )
+        .select(
+            "shard",
+            F.coalesce("n_docs_new", F.lit(0)).alias("n_docs_new"),
+            F.when(
+                F.col("__fp_o").isNotNull()
+                & (F.col("__fp_o") == F.col("__fp_n")),
+                F.lit("clean"),
+            )
+            .otherwise(F.lit("dirty"))
+            .alias("status"),
+        )
+    )
+    # same bounded-metadata collect as q_manifest_delta: the verdict is
+    # ≤ N_SHARDS rows, and the literal membership is what turns the old
+    # side's read into partition-pruned file skipping
+    shard_rows = shards.collect()
+    dirty_list = [
+        int(r["shard"]) for r in shard_rows if r["status"] == "dirty"
+    ]
+    in_dirty = (
+        F.col("shard").isin(dirty_list) if dirty_list else F.lit(False)
+    )
+    old_rows = (
+        spark.read.parquet(os.path.join(index_dir, "digests"))
+        .filter(in_dirty)
+        .select("doc_id", "fp")
+    )
+    new_rows = new_digests.filter(in_dirty).select("doc_id", "fp")
+    st = validation.snapshot_diff(old_rows, new_rows, ["doc_id"], "fp")
+    st_shard = st.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("bigint")
+            % N_SHARDS
+        ).alias("shard"),
+        "status",
+    )
+    counts = st_shard.groupBy("shard").agg(
+        F.count(F.when(F.col("status") == "added", 1)).alias("n_added"),
+        F.count(F.when(F.col("status") == "removed", 1)).alias("n_removed"),
+        F.count(F.when(F.col("status") == "changed", 1)).alias("n_changed"),
+    )
+    shards_lit = spark.createDataFrame(
+        shard_rows, "shard bigint, n_docs_new bigint, status string"
+    )
+    return (
+        shards_lit.join(counts, "shard", "left")
+        .select(
+            "shard",
+            "status",
+            "n_docs_new",
+            F.coalesce("n_added", F.lit(0)).cast("long").alias("n_added"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("n_changed", F.lit(0)).cast("long").alias("n_changed"),
+        )
+    )
 
 
 # --- BPE merge training --------------------------------------------------------
@@ -5194,6 +5379,15 @@ SPECS = {
         "clean shards, the row-level full-outer diff runs only inside "
         "dirty shards — snapshot_delta's scale path",
         ("text", "join", "bench"),
+    ),
+    "manifest_delta_probe": QuerySpec(
+        q_manifest_delta_probe,
+        SQL_MANIFEST_DELTA,
+        "manifest_delta served from persisted old-side CDC state: level 1 "
+        "reads N_SHARDS rows, level 2's old side is shard-partition-pruned "
+        "digest files, the new side is one payload scan — the deployment "
+        "shape where the two-level diff structurally beats the row diff",
+        ("text", "join"),
     ),
     "curation_kept": QuerySpec(
         q_curation_kept,

@@ -43,13 +43,15 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #:   3. backfill to 50 with 5 cheap-oracle r14-latest rows (the oldest
 #:      remaining tier), slotted before the media group for the same
 #:      reason.
-#: Round-18 rotation backlog (pre-wired): any query registered THIS round
-#: (r17) after this window was sized LEADS r18 per the standing
+#: Round-18 rotation backlog (pre-wired): queries registered THIS round
+#: (r17) after this window was sized LEAD r18 per the standing
 #: never-checked-first rule — quality_classifier_probe (the build/probe
-#: serving split of the r16 trained model, VERDICT r16 item 3); then the
-#: remaining 45-name r14-latest staleness backlog (50 minus this window's
-#: 5 backfills) — 46 names, under capacity; backfill with the oldest
-#: r15-latest rows.
+#: serving split of the r16 trained model, VERDICT r16 item 3, serving
+#: via the exact sparse fold) and manifest_delta_probe (the
+#: persisted-manifest CDC deployment shape the r17 crossover measurement
+#: prescribed); then the remaining 45-name r14-latest staleness backlog
+#: (50 minus this window's 5 backfills) — 47 names, under capacity;
+#: backfill with the oldest r15-latest rows.
 _GATE_PRIORITY = (
     # -- 1. never driver-checked: the r16 post-sizing registrations --------
     "ann_topk_pq_refined_probe",

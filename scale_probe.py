@@ -1083,6 +1083,13 @@ def manifest_dirty_sweep(k: int = 10) -> dict:
             )
             out["fractions"][label] = {
                 "manifest_delta_sec": _timed(QUERIES["manifest_delta"].fn),
+                # r17: the persisted-manifest serving shape, timed in the
+                # same leg — its _ensure ident includes the swapped churn
+                # constants, so each leg builds its own index during the
+                # warm rep and the timed reps measure pure serving
+                "manifest_delta_probe_sec": _timed(
+                    QUERIES["manifest_delta_probe"].fn
+                ),
                 "n_dirty_shards": n_dirty,
             }
     finally:
@@ -1092,6 +1099,10 @@ def manifest_dirty_sweep(k: int = 10) -> dict:
     ys = out["snapshot_delta_sec"]
     out["vs_snapshot_delta"] = {
         label: round(row["manifest_delta_sec"] / ys, 2)
+        for label, row in out["fractions"].items()
+    }
+    out["probe_vs_snapshot_delta"] = {
+        label: round(row["manifest_delta_probe_sec"] / ys, 2)
         for label, row in out["fractions"].items()
     }
     return out

@@ -1541,3 +1541,27 @@ def test_quality_probe_serves_without_training(spark, sf_dir, monkeypatch):
     assert plan.count("BroadcastNestedLoopJoin") == 1, (
         "dense grid leaked into the sparse serving fold"
     )
+
+
+def test_manifest_probe_never_scans_the_old_corpus(spark, sf_dir):
+    """The persisted-manifest probe's whole point: the old snapshot exists
+    in the plan ONLY as materialized CDC state. The final plan must carry
+    ZERO document-corpus scans (the new side's single payload scan lives
+    inside the lineage cut; the old side must not add one), and the old
+    digests scan must prune by shard at the FILE level — the dirty literal
+    lands in PartitionFilters, not a post-scan Filter. The report itself
+    must equal the recompute-both-sides form row for row."""
+    probe = QUERIES["manifest_delta_probe"].fn(spark, sf_dir)
+    got = sorted(tuple(r) for r in probe.collect())
+    want = sorted(
+        tuple(r) for r in QUERIES["manifest_delta"].fn(spark, sf_dir).collect()
+    )
+    assert got == want
+    plan = QUERIES["manifest_delta_probe"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "documents" not in plan, "old-corpus scan leaked into the probe"
+    pruned = [
+        line for line in plan.splitlines()
+        if "PartitionFilters" in line and "shard" in line
+    ]
+    assert len(pruned) == 1, plan
