@@ -129,6 +129,13 @@ PROBE_QUERIES = [
     # k× time is bars-bound, so it should grow far slower than macd_last)
     "bars_4h",
     "rsi_bars_4h",
+    # round-17: the two new serving probes — classifier scoring must grow
+    # with corpus TOKENS (the sparse fold never densifies to corpus ×
+    # buckets), and the persisted-manifest diff with the single new-side
+    # payload scan + dirty-fraction digest reads (its index rebuild rides
+    # the untimed warm pass via the _ensure cache)
+    "quality_classifier_probe",
+    "manifest_delta_probe",
 ]
 
 
