@@ -619,3 +619,61 @@ def test_bloom_filter_survives_storage_roundtrip(spark, tmp_path):
     assert all(mem[f"g{i}"] for i in range(200))
     fp = sum(mem[f"g{i}"] for i in range(200, 400))
     assert fp < 40, f"implausible FP count {fp} for this geometry"
+
+
+def test_r17_model_caches_invalidate_on_source_and_geometry(spark, tmp_path):
+    """The two r17 `_ensure` caches inherit the ivf-index contract: reuse
+    while the source and hyperparameters are unchanged, rebuild when the
+    source parquet is touched, and key the MANIFEST cache's identity on
+    the churn geometry (the dirty sweep swaps MAN_DIRTY_* per leg — a
+    stale old-side index built under different churn would silently
+    certify the wrong shards clean)."""
+    import os
+    import shutil
+
+    from multi_source_financial_data_pipeline_spark.plans import llmdata
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                os.path.join(sf_dir, "documents.parquet"))
+
+    for ensure in (llmdata._ensure_lr_model, llmdata._ensure_manifest_index):
+        idx = ensure(spark, sf_dir)
+        marker = os.path.join(idx, "_built.json")
+        mtime1 = os.path.getmtime(marker)
+        assert ensure(spark, sf_dir) == idx
+        assert os.path.getmtime(marker) == mtime1
+        os.utime(os.path.join(sf_dir, "documents.parquet"))
+        ensure(spark, sf_dir)
+        assert os.path.getmtime(marker) > mtime1
+
+    # geometry rides in the manifest ident: swapping the churn constants
+    # must rebuild even with the source untouched
+    marker = os.path.join(
+        llmdata._ensure_manifest_index(spark, sf_dir), "_built.json"
+    )
+    mtime1 = os.path.getmtime(marker)
+    saved = (llmdata.MAN_DIRTY_MOD, llmdata.MAN_DIRTY_SEL)
+    try:
+        llmdata.MAN_DIRTY_MOD, llmdata.MAN_DIRTY_SEL = 2, 0
+        llmdata._ensure_manifest_index(spark, sf_dir)
+        assert os.path.getmtime(marker) > mtime1
+    finally:
+        llmdata.MAN_DIRTY_MOD, llmdata.MAN_DIRTY_SEL = saved
+
+
+def test_token_lr_score_guards_bucket_mismatch(spark, sf_dir):
+    """A model served at the wrong hash modulus scores against the wrong
+    feature space SILENTLY — the row-count guard must make it loud."""
+    import pytest
+
+    from multi_source_financial_data_pipeline_spark.operators import text
+    from multi_source_financial_data_pipeline_spark.plans import llmdata
+    from multi_source_financial_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = text.stopword_ratio(F.col("text")) >= llmdata.LRC_TAU
+    model = text.token_lr_train(docs, label, buckets=8, steps=1)
+    with pytest.raises(ValueError, match="expected buckets"):
+        text.token_lr_score(docs, model, label, buckets=16)
