@@ -149,6 +149,11 @@ HEADLINE = [
     # steady-state deployment cost once the model is built; benched beside
     # the train-inline row so the training premium stays measured
     "quality_classifier_probe",
+    # round-17: two-stage search-then-refine serving — the ADC shortlist
+    # plan plus an exact-cosine re-rank fetching raw vectors partition-
+    # pruned from the IVF index; the refine premium over ann_topk_pq_probe
+    # is the row this measures
+    "ann_topk_pq_rerank",
     # round-16: residual serving from the materialized refined-quantizer
     # index (VERDICT r15 item 2) — the per-cell LUT probe join shape
     # (probes ⋈ center-dot LUT ⋈ residual LUT ⋈ per-cell norm LUT) that

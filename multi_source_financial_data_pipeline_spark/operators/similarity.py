@@ -1764,6 +1764,85 @@ def pq_topk_probe(
     return _adc_fold_rank(parts, k)
 
 
+def pq_topk_rerank(
+    spark,
+    pq_index_dir: str,
+    ivf_index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    k_short: int = 40,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN serving — the FAISS search-then-refine deployment
+    pattern (`IndexRefineFlat`): stage 1 takes the ADC top-``k_short``
+    shortlist from the materialized PQ codes (`pq_topk_probe` — LUT
+    joins + dynamic-partition-pruned code scan, quantization error and
+    all), stage 2 re-scores ONLY those |q|·k_short candidates by EXACT
+    cosine and re-ranks to ``k``. The raw candidate vectors are never
+    fetched by scanning the corpus: they are served from the IVF index's
+    cell-partitioned ``cells/`` with the same probe-driven dynamic
+    partition pruning `ivf_topk_probe` uses, then semi-joined to the
+    shortlist (conditionally broadcast via the `_small_query_batch`
+    budget proof, k_short rows per query).
+
+    Cross-index invariant (pinned by test): every shortlist candidate's
+    cell under the IVF index's quantizer must be among the query's
+    probed cells — guaranteed when both indexes were built at the same
+    nlist with the module's seed-quantizer convention (the shortlist
+    came from PQ codes of exactly those cells, and the two builds assign
+    identically). A rerank output smaller than the shortlist means the
+    quantizers diverged (e.g. one index rebuilt refined) — the
+    reachability test fails loudly rather than silently dropping
+    candidates.
+
+    Scale shape: both stages are corpus-independent beyond the pruned
+    cell files — stage 1 is the documented PQ probe plan, stage 2 reads
+    ~nprobe/nlist of the raw-vector files and touches |q|·k_short pairs.
+    The refine premium buys back the ADC quantization error at the top
+    of the ranking: recall@k is bounded below by the shortlist's
+    recall@k_short, which converges to 1 far faster in k_short than
+    ADC's rank-k precision does in k."""
+    import os
+
+    shortlist = pq_topk_probe(
+        spark, pq_index_dir, queries, k=k_short, nprobe=nprobe,
+        query_id_col=query_id_col, vec_col=vec_col,
+    ).select("query_id", "cand_id")
+    cells = spark.read.parquet(os.path.join(ivf_index_dir, "cells"))
+    seed_row = spark.read.parquet(os.path.join(ivf_index_dir, "quantizer"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", sq_norm(F.col("qv")))
+    probes = (
+        q.join(F.broadcast(seed_row))
+        .select(
+            "query_id", "qv", "qn",
+            F.explode(
+                F.slice(_best_cells(F.col("qv"), F.col("qn")), 1, nprobe)
+            ).alias("probe"),
+        )
+        .select("query_id", "qv", "qn", F.col("probe")["cell"].alias("cell"))
+    )
+    hb = _lut_hint(queries, k_short)
+    cand = probes.join(cells, ["cell"]).join(
+        hb(shortlist), ["query_id", "cand_id"]
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / F.nullif(
+        F.sqrt(F.col("qn") * F.col("cn")), F.lit(0.0)
+    )
+    scored = cand.withColumn("cos_sim", F.round(cos, 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
 def pq_residual_topk_probe(
     spark,
     index_dir: str,

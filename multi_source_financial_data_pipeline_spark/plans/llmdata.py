@@ -4753,6 +4753,58 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
 ) WHERE rank <= {TOPK}
 """
 
+#: refine shortlist: 4×TOPK ADC candidates per query re-scored exactly
+RERANK_SHORT = 40
+
+
+def q_ann_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage serving — FAISS `IndexRefineFlat`'s search-then-refine,
+    completing the ANN serving story: the ADC top-RERANK_SHORT shortlist
+    from the materialized PQ index, re-scored by EXACT cosine against
+    raw vectors served from the materialized IVF index's
+    cell-partitioned files (probe-driven dynamic partition pruning; the
+    corpus is never scanned), re-ranked to TOPK. Both indexes are
+    build-once at the shared seed quantizer and nlist, so the shortlist
+    candidates' raw vectors are guaranteed reachable in the probed
+    cells (`pq_topk_rerank`'s cross-index invariant, pinned by test).
+    Oracle: the PQ-ADC training replay ranked to RERANK_SHORT, exact
+    cosine from the shared `ew` CTE, re-ranked — bit-for-bit."""
+    pq_dir = _ensure_pq_index(spark, sf_dir)
+    ivf_dir = _ensure_ivf_index(spark, sf_dir)
+    queries = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.pq_topk_rerank(
+        spark, pq_dir, ivf_dir, queries,
+        k=TOPK, k_short=RERANK_SHORT, nprobe=IVF_NPROBE,
+    )
+
+
+SQL_ANN_TOPK_PQ_RERANK = f"""{_SQL_IVFPQ_ADC},
+rr_short AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, cand_id ASC) AS rk
+    FROM adc
+  ) WHERE rk <= {RERANK_SHORT}
+),
+rr_q AS (SELECT vec_id AS query_id, nrm AS qnrm, {_sql_x_as("q")}
+         FROM ew WHERE vec_id < {N_QUERIES}),
+rr_exact AS (
+  SELECT s.query_id, s.cand_id,
+         round({_sql_scalar_cos("q.q", "c.x", "q.qnrm", "c.nrm")}, 6)
+           AS cos_sim
+  FROM rr_short s
+  JOIN rr_q q ON q.query_id = s.query_id
+  JOIN ew c ON c.vec_id = s.cand_id
+)
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, cand_id ASC) AS INTEGER) AS rank
+  FROM rr_exact
+) WHERE rank <= {TOPK}
+"""
+
 
 def q_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of RESIDUAL-encoded IVF-PQ (FAISS IVFPQ's
@@ -5379,6 +5431,14 @@ SPECS = {
         "clean shards, the row-level full-outer diff runs only inside "
         "dirty shards — snapshot_delta's scale path",
         ("text", "join", "bench"),
+    ),
+    "ann_topk_pq_rerank": QuerySpec(
+        q_ann_topk_pq_rerank,
+        SQL_ANN_TOPK_PQ_RERANK,
+        "two-stage ANN serving (FAISS search-then-refine): ADC shortlist "
+        "from the PQ index, exact-cosine re-rank against raw vectors "
+        "served partition-pruned from the IVF index — no corpus scan",
+        ("similarity", "topk"),
     ),
     "manifest_delta_probe": QuerySpec(
         q_manifest_delta_probe,

@@ -47,11 +47,13 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #: (r17) after this window was sized LEAD r18 per the standing
 #: never-checked-first rule — quality_classifier_probe (the build/probe
 #: serving split of the r16 trained model, VERDICT r16 item 3, serving
-#: via the exact sparse fold) and manifest_delta_probe (the
+#: via the exact sparse fold), manifest_delta_probe (the
 #: persisted-manifest CDC deployment shape the r17 crossover measurement
-#: prescribed); then the remaining 45-name r14-latest staleness backlog
-#: (50 minus this window's 5 backfills) — 47 names, under capacity;
-#: backfill with the oldest r15-latest rows.
+#: prescribed), and ann_topk_pq_rerank (two-stage search-then-refine
+#: serving: ADC shortlist + exact re-rank from partition-pruned raw
+#: vectors, recall@10 0.42 → 0.87 measured); then the remaining 45-name
+#: r14-latest staleness backlog (50 minus this window's 5 backfills) —
+#: 48 names, under capacity; backfill with the oldest r15-latest rows.
 _GATE_PRIORITY = (
     # -- 1. never driver-checked: the r16 post-sizing registrations --------
     "ann_topk_pq_refined_probe",

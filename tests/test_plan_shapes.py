@@ -1405,6 +1405,7 @@ def test_pq_index_probe_prunes_cell_partitions_and_runs_no_training(
     )
     llmdata._ensure_pq_index(spark, sf_dir, residual_refined=True)
     llmdata._ensure_ivf_index(spark, sf_dir, refined=True)
+    llmdata._ensure_ivf_index(spark, sf_dir)  # rerank's raw-vector side
 
     def _no_training(*a, **k):
         raise AssertionError("pq_train_encode invoked in the serving path")
@@ -1425,6 +1426,9 @@ def test_pq_index_probe_prunes_cell_partitions_and_runs_no_training(
         "ann_topk_pq256_probe",
         "ann_topk_pq_refined_probe",
         "ann_topk_ivf_refined_probe",
+        # r17: the two-stage refine serving point — BOTH stages must be
+        # training-free and the raw-vector fetch partition-pruned
+        "ann_topk_pq_rerank",
     ):
         df = QUERIES[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
