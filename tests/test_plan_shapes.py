@@ -1147,6 +1147,14 @@ def test_window_max_group_share_audit(spark, sf_dir):
             "DPP-subquery limitation and the same measured coverage "
             "apply; refined cells change WHICH ~nprobe/nlist slice each "
             "query scans, not its size class",
+        ("ann_topk_pq_rerank", ("query_id",)):
+            "same DPP-subquery limitation (the raw-vector fetch is the "
+            "pruned cells join), but here the window input is bounded "
+            "BY CONSTRUCTION, not by coverage elsewhere: the re-rank "
+            "window reads the shortlist equi-join's output, at most "
+            "k_short (=RERANK_SHORT) rows per query_id at ANY corpus "
+            "size — a constant of the serving configuration, pinned by "
+            "the reachability test's exact-cardinality check",
     }
 
     def walk(node):
