@@ -154,6 +154,11 @@ HEADLINE = [
     # pruned from the IVF index; the refine premium over ann_topk_pq_probe
     # is the row this measures
     "ann_topk_pq_rerank",
+    # round-17: streaming retrieval — the stream-static index-join plan
+    # class nothing else exercises (literal-quantizer probe + availableNow
+    # drain + batch rank); wall is drain-dominated but bounded, and the
+    # row keeps the only streaming-ANN composition measured
+    "stream_ann_topk",
     # round-16: residual serving from the materialized refined-quantizer
     # index (VERDICT r15 item 2) — the per-cell LUT probe join shape
     # (probes ⋈ center-dot LUT ⋈ residual LUT ⋈ per-cell norm LUT) that

@@ -26,8 +26,11 @@ from pyspark.sql import types as T
 from multi_source_financial_data_pipeline_spark.operators import grouped, multimodal, similarity, timeseries
 from multi_source_financial_data_pipeline_spark.plans.llmdata import (
     COS_THRESHOLD,
+    IVF_NPROBE,
     N_QUERIES,
     SQL_ANN_TOPK,
+    SQL_ANN_TOPK_IVF,
+    TOPK,
     _sql_bucket,
     _sql_cos,
     q_ann_topk,
@@ -1768,6 +1771,119 @@ SELECT b.* FROM b, wm WHERE (b.bar_epoch + 14400) * 1000 <= wm.wm_ms
 """
 
 
+# --- streaming retrieval: live query vectors against the materialized index --
+
+@contextlib.contextmanager
+def _embedding_stream(spark: SparkSession, sf_dir: str):
+    """File-stream the embeddings parquet (the `_event_stream` pattern
+    minus timestamp normalization — the table carries none): single file
+    symlinked into a landing dir, schema probed from the footer, shuffle
+    partitions clamped for the stream's lifetime."""
+    tune_for_session_cores(spark)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    clamped = str(min(int(prev), _STREAM_STATE_PARTITIONS))
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", clamped)
+        with tempfile.TemporaryDirectory() as landing:
+            os.symlink(path, os.path.join(landing, "embeddings.parquet"))
+            yield ingest.read_event_stream(spark, landing, schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def q_stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING RETRIEVAL — live query vectors served against the
+    build-once materialized IVF index, the real-time half of the ANN
+    serving story (every other serving point is batch): the query stream
+    probes its best cells against the index's coarse quantizer inlined
+    as a LITERAL (the persisted 1-row quantizer collected at plan build
+    — bounded index metadata, nlist × dim doubles, the same class as the
+    PQ probes' geometry collect; a literal because a stream-static CROSS
+    join is not in Structured Streaming's supported-join matrix), then a
+    stream-static INNER equi join on ``cell`` fetches candidates from
+    the cell-partitioned ``cells/`` — per micro-batch, each query
+    touches ~nprobe/nlist of the corpus, and the scoring is pure
+    row-local expression work (append-safe, NO state). The drained
+    scored pairs are ranked top-k in batch post-processing (per-key
+    windows are not available inside an append stream; ranking the
+    memory sink is the established rollup-after-drain pattern).
+    Results are EXACTLY `ann_topk_ivf`'s — same oracle
+    (`SQL_ANN_TOPK_IVF`): double literals round-trip via repr, the index
+    holds the same seed quantizer the oracle replays, and the cosine is
+    the shared fold."""
+    from multi_source_financial_data_pipeline_spark.plans import llmdata
+
+    ivf_dir = llmdata._ensure_ivf_index(spark, sf_dir)
+    cells = spark.read.parquet(os.path.join(ivf_dir, "cells"))
+    seeds = spark.read.parquet(
+        os.path.join(ivf_dir, "quantizer")
+    ).collect()[0]["seeds"]
+    seeds_lit = "array(" + ",".join(
+        "named_struct('seed_id',{sid}L,'sv',array({vs}),'sn',{sn!r}D)".format(
+            sid=int(s["seed_id"]),
+            vs=",".join(f"{float(v)!r}D" for v in s["sv"]),
+            sn=float(s["sn"]),
+        )
+        for s in seeds
+    ) + ")"
+    name = f"stream_ann_{next(_qname)}"
+    with _embedding_stream(spark, sf_dir) as stream:
+        q = (
+            stream.filter(F.col("vec_id") < N_QUERIES)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").cast("array<double>").alias("qv"),
+            )
+            .withColumn("qn", similarity.sq_norm(F.col("qv")))
+            .withColumn("seeds", F.expr(seeds_lit))
+        )
+        probes = (
+            q.select(
+                "query_id", "qv", "qn",
+                F.explode(
+                    F.slice(
+                        similarity._best_cells(F.col("qv"), F.col("qn")),
+                        1, IVF_NPROBE,
+                    )
+                ).alias("p"),
+            )
+            .select(
+                "query_id", "qv", "qn", F.col("p")["cell"].alias("cell")
+            )
+        )
+        cos = similarity.dot(F.col("qv"), F.col("cv")) / F.nullif(
+            F.sqrt(F.col("qn") * F.col("cn")), F.lit(0.0)
+        )
+        scored = (
+            probes.join(cells, ["cell"])
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .select(
+                "query_id", "cand_id", F.round(cos, 6).alias("cos_sim")
+            )
+        )
+        query = (
+            scored.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        spark.table(name)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
 SPECS = {
     "stream_interval_join": QuerySpec(
         q_stream_interval_join,
@@ -1980,5 +2096,14 @@ SPECS = {
         SQL_STREAM_SESSIONS,
         "gap-merged session_window streaming aggregation (30-min gap)",
         ("streaming", "window"),
+    ),
+    "stream_ann_topk": QuerySpec(
+        q_stream_ann_topk,
+        SQL_ANN_TOPK_IVF,
+        "streaming retrieval: live query vectors probed against the "
+        "materialized IVF index via literal-quantizer cell probing + a "
+        "stream-static equi join; batch-ranked after the drain, exactly "
+        "ann_topk_ivf's results",
+        ("streaming", "similarity", "topk"),
     ),
 }

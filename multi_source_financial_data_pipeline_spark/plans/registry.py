@@ -51,9 +51,12 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #: persisted-manifest CDC deployment shape the r17 crossover measurement
 #: prescribed), and ann_topk_pq_rerank (two-stage search-then-refine
 #: serving: ADC shortlist + exact re-rank from partition-pruned raw
-#: vectors, recall@10 0.42 → 0.87 measured); then the remaining 45-name
-#: r14-latest staleness backlog (50 minus this window's 5 backfills) —
-#: 48 names, under capacity; backfill with the oldest r15-latest rows.
+#: vectors, recall@10 0.42 → 0.87 measured), and stream_ann_topk (the
+#: streaming-retrieval half of ANN serving: literal-quantizer probing +
+#: a stream-static cell join against the materialized index); then the
+#: remaining 45-name r14-latest staleness backlog (50 minus this
+#: window's 5 backfills) — 49 names, under capacity; backfill with the
+#: oldest r15-latest row.
 _GATE_PRIORITY = (
     # -- 1. never driver-checked: the r16 post-sizing registrations --------
     "ann_topk_pq_refined_probe",

@@ -1109,3 +1109,20 @@ def test_opus_id_header_strict_parse_and_duration():
         C.ogg_build(12, [C.vorbis_id_packet(1, 8000), b"x" * 40], [0, 800])
     )
     assert v["sample_rate"] == 8000 and v["duration_ms"] == 100.0
+
+
+def test_stream_ann_topk_equals_batch_ivf_probe(spark, sf_dir):
+    """Streaming retrieval's contract: the drained-and-ranked stream
+    result is EXACTLY the batch IVF query's rows — the stream changes
+    delivery, never semantics. The streaming leg itself must be
+    stateless (append mode with no watermark/agg/dedup — a stateful
+    operator would imply the plan grew semantics the batch twin lacks)."""
+    from multi_source_financial_data_pipeline_spark.plans.registry import QUERIES
+
+    got = sorted(
+        tuple(r) for r in QUERIES["stream_ann_topk"].fn(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in QUERIES["ann_topk_ivf"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
