@@ -403,10 +403,7 @@ def main() -> None:
     # cut in externally-loaded windows and adjudicating the uniform shift was
     # forensic work — record 1/5/15-min loadavg at start and end so the
     # record itself says whether the host was quiet
-    try:
-        load_before = [round(x, 2) for x in os.getloadavg()]
-    except OSError:
-        load_before = None
+    load_before = _loadavg_now()
     spark = get_spark("msfdp-bench")
     spark.sparkContext.setLogLevel("WARN")
 

@@ -1676,6 +1676,34 @@ def _pq_index_is_residual(spark, index_dir: str) -> bool:
     return flag
 
 
+#: (realpath, quantizer-dir mtime_ns) -> fingerprint: same cost contract
+#: as `_PQ_META_MEMO` — one tiny 1-row read job per DISTINCT index
+#: build, never one per probe call; the mtime key invalidates on rebuild
+#: because a rebuild writes a fresh quantizer/ dir.
+_QUANTIZER_FP_MEMO: dict[tuple[str, int], int] = {}
+
+
+def _quantizer_fingerprint(spark, index_dir: str) -> int:
+    """Identity hash of an index's persisted coarse quantizer — the
+    runtime half of `pq_topk_rerank`'s cross-index invariant (r17
+    ADVICE: the reachability guarantee lived only in the test suite; at
+    runtime a PQ/IVF index pair built with divergent quantizers would
+    make the rerank's inner join silently drop shortlist candidates).
+    The quantizer row is nlist·dim doubles — index geometry, never
+    corpus-proportional — so collecting it driver-side is the same tiny
+    job `_pq_index_is_residual` already pays, memoized the same way."""
+    import os
+
+    qdir = os.path.join(index_dir, "quantizer")
+    key = (os.path.realpath(qdir), os.stat(qdir).st_mtime_ns)
+    fp = _QUANTIZER_FP_MEMO.get(key)
+    if fp is None:
+        seeds = spark.read.parquet(qdir).collect()[0]["seeds"]
+        fp = hash(tuple((s["seed_id"], tuple(s["sv"])) for s in seeds))
+        _QUANTIZER_FP_MEMO[key] = fp
+    return fp
+
+
 def pq_topk_probe(
     spark,
     index_dir: str,
@@ -1787,15 +1815,19 @@ def pq_topk_rerank(
     shortlist (conditionally broadcast via the `_small_query_batch`
     budget proof, k_short rows per query).
 
-    Cross-index invariant (pinned by test): every shortlist candidate's
-    cell under the IVF index's quantizer must be among the query's
-    probed cells — guaranteed when both indexes were built at the same
-    nlist with the module's seed-quantizer convention (the shortlist
-    came from PQ codes of exactly those cells, and the two builds assign
-    identically). A rerank output smaller than the shortlist means the
-    quantizers diverged (e.g. one index rebuilt refined) — the
-    reachability test fails loudly rather than silently dropping
-    candidates.
+    Cross-index invariant (runtime-guarded AND pinned by test): every
+    shortlist candidate's cell under the IVF index's quantizer must be
+    among the query's probed cells — guaranteed when both indexes were
+    built against the SAME coarse quantizer (the shortlist came from PQ
+    codes of exactly those cells, and the two builds assign
+    identically). Divergent quantizers (e.g. one index rebuilt refined)
+    would make the inner join silently drop shortlist candidates, so
+    this function compares the two indexes' persisted quantizer
+    fingerprints up front (`_quantizer_fingerprint` — one memoized
+    1-row read per distinct build, the `_pq_index_is_residual` cost
+    contract) and raises rather than returning a wrong top-k (r17
+    ADVICE: the guard now lives at runtime, not only in the
+    reachability test).
 
     Scale shape: both stages are corpus-independent beyond the pruned
     cell files — stage 1 is the documented PQ probe plan, stage 2 reads
@@ -1806,6 +1838,17 @@ def pq_topk_rerank(
     ADC's rank-k precision does in k."""
     import os
 
+    pq_fp = _quantizer_fingerprint(spark, pq_index_dir)
+    ivf_fp = _quantizer_fingerprint(spark, ivf_index_dir)
+    if pq_fp != ivf_fp:
+        raise ValueError(
+            "pq_topk_rerank: the PQ index and the IVF raw-vector index "
+            "were built with divergent coarse quantizers "
+            f"({pq_index_dir!r} vs {ivf_index_dir!r}); re-ranking would "
+            "silently drop shortlist candidates whose cells the probe "
+            "cannot reach — rebuild both indexes from the same "
+            "quantizer (same coarse_centers or same seed convention)"
+        )
     shortlist = pq_topk_probe(
         spark, pq_index_dir, queries, k=k_short, nprobe=nprobe,
         query_id_col=query_id_col, vec_col=vec_col,

@@ -2518,29 +2518,16 @@ def q_manifest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _snap_base(docs)
 
     def manifest(skip_col: str, fp_col: str) -> DataFrame:
-        # multiset fingerprint over h2 = hash(doc_id | content-fp): any
-        # add/remove/CHANGE perturbs the (sum, xor, count) state
-        h2 = F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.col("doc_id"), F.col(fp_col))), 1, 8
-            ),
-            16, 10,
-        ).cast("bigint")
-        rows = base.filter(~F.col(skip_col)).select("shard", h2.alias("h2"))
-        agg = rows.groupBy("shard").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("h2").cast("decimal(38,0)")).alias("__sum"),
-            F.expr("bit_xor(h2)").alias("__xor"),
-        )
-        fp = F.md5(
-            F.concat_ws(
-                "|",
-                F.col("__sum").cast("string"),
-                F.col("__xor").cast("string"),
-                F.col("n_docs").cast("string"),
+        # ONE fold definition for both the recompute path here and the
+        # persisted-index build (`_ensure_manifest_index`): delegating to
+        # `_man_fold` keeps the probe-vs-recompute equality contract from
+        # drifting (r17 ADVICE — this local fold used to duplicate the
+        # helper line-for-line).
+        return _man_fold(
+            base.filter(~F.col(skip_col)).select(
+                "shard", "doc_id", F.col(fp_col).alias("fp")
             )
         )
-        return agg.select("shard", "n_docs", fp.alias("members_fp"))
 
     man_old = manifest("__skip_old", "fp_old")
     man_new = manifest("__skip_new", "fp_new")
@@ -2616,8 +2603,12 @@ def q_manifest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("status") == "changed", 1)).alias("n_changed"),
         )
     )
+    # explicit by-name tuples: createDataFrame maps Row objects to a DDL
+    # schema POSITIONALLY, so a reordering of the shards select upstream
+    # would silently mis-map columns (r17 ADVICE)
     shards_lit = spark.createDataFrame(
-        shard_rows, "shard bigint, n_docs_new bigint, status string"
+        [(int(r["shard"]), int(r["n_docs_new"]), r["status"]) for r in shard_rows],
+        "shard bigint, n_docs_new bigint, status string",
     )
     return (
         shards_lit.join(counts, "shard", "left")
@@ -2832,8 +2823,12 @@ def q_manifest_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("status") == "removed", 1)).alias("n_removed"),
         F.count(F.when(F.col("status") == "changed", 1)).alias("n_changed"),
     )
+    # explicit by-name tuples: createDataFrame maps Row objects to a DDL
+    # schema POSITIONALLY, so a reordering of the shards select upstream
+    # would silently mis-map columns (r17 ADVICE)
     shards_lit = spark.createDataFrame(
-        shard_rows, "shard bigint, n_docs_new bigint, status string"
+        [(int(r["shard"]), int(r["n_docs_new"]), r["status"]) for r in shard_rows],
+        "shard bigint, n_docs_new bigint, status string",
     )
     return (
         shards_lit.join(counts, "shard", "left")

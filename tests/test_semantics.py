@@ -1182,6 +1182,62 @@ def test_quality_classifier_recovers_heuristic(spark, sf_dir):
     assert (((out.score > 0.5) == out.predicted) | boundary).all()
 
 
+def test_pq_rerank_rejects_divergent_quantizers_at_runtime(spark, tmp_path):
+    """The cross-index invariant must hold at RUNTIME, not only in the
+    reachability test (r17 ADVICE): a PQ index and an IVF raw-vector
+    index built with DIVERGENT coarse quantizers would make the rerank's
+    inner join silently drop shortlist candidates — `pq_topk_rerank`
+    must compare the persisted quantizer fingerprints and raise before
+    returning a wrong top-k. Also pins the memo's cost contract: a
+    second fingerprint call on the same build does not re-read."""
+    import pytest
+
+    from multi_source_financial_data_pipeline_spark.operators import similarity
+
+    n, dim = 40, 8
+    rows = [
+        (i, [float((i * 7 + d * 3) % 19) - 9.0 + 0.125 * i for d in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    pq_dir = str(tmp_path / "pqidx")
+    ivf_seed_dir = str(tmp_path / "ivfseed")
+    ivf_refined_dir = str(tmp_path / "ivfref")
+    similarity.build_pq_index(
+        spark, emb, pq_dir, m=2, k_codebook=4, iters=1, dim=dim, nlist=4
+    )
+    similarity.build_ivf_index(spark, emb, ivf_seed_dir, nlist=4)
+    refined = similarity.kmeans_centroids(emb, k=4, iters=2).localCheckpoint()
+    similarity.build_ivf_index(
+        spark, emb, ivf_refined_dir, nlist=4, coarse_centers=refined
+    )
+    # same seed convention -> fingerprints agree, rerank answers
+    assert similarity._quantizer_fingerprint(
+        spark, pq_dir
+    ) == similarity._quantizer_fingerprint(spark, ivf_seed_dir)
+    ok = similarity.pq_topk_rerank(
+        spark, pq_dir, ivf_seed_dir, queries, k=3, k_short=6, nprobe=2
+    )
+    assert ok.count() > 0
+    # divergent quantizers -> loud, not a silently-smaller top-k
+    with pytest.raises(ValueError, match="divergent coarse quantizers"):
+        similarity.pq_topk_rerank(
+            spark, pq_dir, ivf_refined_dir, queries, k=3, k_short=6, nprobe=2
+        )
+    # memo contract: the fingerprint for an unchanged build is served
+    # from the memo, no second read job
+    import os
+
+    key = (
+        os.path.realpath(os.path.join(pq_dir, "quantizer")),
+        os.stat(os.path.join(pq_dir, "quantizer")).st_mtime_ns,
+    )
+    assert key in similarity._QUANTIZER_FP_MEMO
+
+
 def test_pq_rerank_reaches_every_shortlist_candidate_and_lifts_recall(
     spark, sf_dir
 ):
