@@ -59,6 +59,7 @@ HEADLINE = [
     "ann_topk",
     "ann_topk_ivf",
     "ann_topk_ivf_probe",
+    "ivf_index_upsert_probe",
     "embedding_neardup",
     "lsh_neardup_pairs",
     "asof_join",

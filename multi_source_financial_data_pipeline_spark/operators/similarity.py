@@ -1529,6 +1529,116 @@ def ivf_topk_probe(
     )
 
 
+def ivf_index_upsert(
+    spark,
+    index_dir: str,
+    delta: DataFrame,
+    deletes: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance for a materialized IVF index (r17 VERDICT
+    item 2 — the missing composition of the index family's build-once
+    discipline with the dedup family's delta discipline): upsert a
+    vector DELTA (new ids inserted, existing ids replaced) into
+    ``index_dir``'s cell partitions WITHOUT a rebuild. No Lloyd
+    iteration runs and `build_ivf_index` is never called (both pinned by
+    monkeypatch test): every delta vector is assigned against the
+    PERSISTED ``quantizer/`` row — the same centers that shaped the
+    existing cells, so the updated index is bit-identical to a full
+    rebuild of the updated corpus under that quantizer (pinned by an
+    exact-equality test).
+
+    Work ∝ delta, never ∝ corpus:
+    - assignment is one linear pass over the DELTA against the 1-row
+      broadcast quantizer (`ivf_assign`'s plan);
+    - the touched-cell set (≤ nlist, an index-geometry constant) is
+      collected and inlined as a LITERAL partition filter, so the
+      survivors scan reads ONLY the touched cells' files (partition
+      pruning on the ``cell`` directory column) — untouched cells'
+      files are never opened, read, or rewritten;
+    - the write uses dynamic partition overwrite (only partitions
+      present in the merged frame are replaced), after a
+      `localCheckpoint` lineage cut — the merged frame READS the same
+      cell partitions the write REPLACES, so the cut materializes the
+      survivors before the overwrite can clobber their source files
+      (the read-overwrite hazard every compaction job has).
+
+    ``deletes`` (optional) removes ids from the index. Each delete row
+    must carry the vector (``id_col``, ``vec_col``) — the CDC shape
+    where the old row is in hand — because the id's cell is a pure
+    function of its VECTOR under the quantizer: re-deriving it keeps
+    deletion work ∝ delta too (an id-only delete would have to scan
+    every cell to find its rows). Quantizer drift is impossible by
+    construction: this function never writes ``quantizer/``, so
+    `_quantizer_fingerprint` (and `pq_topk_rerank`'s cross-index guard)
+    remain valid across upserts.
+
+    Caller's note: `_ensure_index`-style identity markers describe a
+    pure build of one source; a caller composing build+upsert should
+    write a marker describing the whole recipe (see
+    `plans.llmdata._ensure_ivf_upsert_index`)."""
+    import os
+
+    cells_dir = os.path.join(index_dir, "cells")
+    seed_row = spark.read.parquet(os.path.join(index_dir, "quantizer"))
+    assigned = ivf_assign(
+        delta, id_col=id_col, vec_col=vec_col, centers_row=seed_row
+    ).select(
+        F.col(id_col).alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("vn").alias("cn"),
+        "cell",
+    )
+    gone = None
+    if deletes is not None:
+        gone = ivf_assign(
+            deletes, id_col=id_col, vec_col=vec_col, centers_row=seed_row
+        ).select(F.col(id_col).alias("cand_id"), "cell")
+    # touched cells: ≤ nlist rows (index geometry, never corpus size) —
+    # a literal, so the survivors scan below partition-prunes to them
+    touched_df = assigned.select("cell")
+    if gone is not None:
+        touched_df = touched_df.unionByName(gone.select("cell"))
+    touched = [r["cell"] for r in touched_df.distinct().collect()]
+    if not touched:
+        return
+    replaced_ids = assigned.select("cand_id")
+    if gone is not None:
+        replaced_ids = replaced_ids.unionByName(gone.select("cand_id"))
+    survivors = (
+        spark.read.parquet(cells_dir)
+        .filter(F.col("cell").isin(touched))
+        .join(replaced_ids.distinct(), "cand_id", "left_anti")
+    )
+    merged = survivors.unionByName(
+        assigned.select("cand_id", "cv", "cn", "cell")
+    )
+    # materialize BEFORE overwriting the partitions this plan reads
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.partitionBy("cell")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(cells_dir)
+    )
+    # a touched cell DRAINED by deletions has no rows in `merged`, so
+    # dynamic overwrite never visits its partition and the stale files
+    # would survive — drop those partition dirs explicitly (≤ nlist
+    # dirs; on an object store this is the same per-partition delete a
+    # compaction commit issues)
+    if gone is not None:
+        import shutil
+
+        survived = {
+            r["cell"] for r in merged.select("cell").distinct().collect()
+        }
+        for cell in set(touched) - survived:
+            shutil.rmtree(
+                os.path.join(cells_dir, f"cell={cell}"), ignore_errors=True
+            )
+
+
 def build_pq_index(
     spark,
     embeddings: DataFrame,

@@ -1476,18 +1476,21 @@ _SQL_IVF_RANK = (
     " coalesce(round({cos}, 6), -2.0) DESC, s.seed_id ASC)"
 )
 
-def _sql_ivf_common() -> str:
+def _sql_ivf_common(ew_cte: str | None = None) -> str:
     """The shared fixed-nlist (ew, seeds, assign) CTE chain for the ANN
     family, in the scalar-column/hoisted-norm execution shape (see
     `_sql_ew_cte`): the assignment rank windows over (vec_id, cell,
     cell_sim) scalars only, and `assign` re-joins the coordinates by id
     for consumers that score candidates. The SemDeDup oracles do NOT use
     it — their corpus-adaptive two-level quantizer has its own
-    self-contained CTE chain (`_sql_semdedup`)."""
+    self-contained CTE chain (`_sql_semdedup`). ``ew_cte`` substitutes a
+    different corpus definition (same ``ew`` shape) — the seam the
+    upserted-index oracle uses to run the identical chain over the
+    UPDATED corpus."""
     cos_es = _sql_scalar_cos("e.x", "s.s", "e.nrm", "s.snrm")
     xcols = ", ".join(f"e.x{i}" for i in range(1, EMB_DIM + 1))
     return f"""
-WITH {_sql_ew_cte()},
+WITH {ew_cte or _sql_ew_cte()},
 seeds AS (SELECT vec_id AS seed_id, nrm AS snrm, {_sql_x_as("s")}
           FROM ew WHERE vec_id < {IVF_NLIST}),
 assign0 AS (
@@ -1510,8 +1513,13 @@ SQL_IVF_ASSIGN = f"""
 SELECT vec_id, cell, cell_sim FROM assign0
 """
 
-SQL_ANN_TOPK_IVF = f"""
-{_sql_ivf_common()},
+def _sql_ann_topk_ivf(ew_cte: str | None = None) -> str:
+    """The full IVF top-k oracle over whatever corpus ``ew_cte`` defines
+    (default: the raw embeddings table) — one chain serves both
+    `ann_topk_ivf`'s family and the upserted-index probe, so the two
+    oracles can never drift."""
+    return f"""
+{_sql_ivf_common(ew_cte)},
 probes AS (
   SELECT p.query_id, e.nrm AS qnrm, {_sql_x_as("q")}, p.cell
   FROM (
@@ -1533,6 +1541,119 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
   FROM scored
 ) WHERE rank <= {TOPK}
 """
+
+
+SQL_ANN_TOPK_IVF = _sql_ann_topk_ivf()
+
+
+# --- incremental ANN index maintenance (r17 VERDICT item 2) -------------------
+
+#: the CDC split driving the upsert harness: docs with vec_id >= IVF_NLIST
+#: matching CHG are EDITED (vector perturbed by +0.5 per coordinate — an
+#: exact IEEE op both engines replay identically), docs matching NEW are
+#: ADDED (held out of the base build, arrive only via upsert). Both
+#: selectors exclude vec_id < IVF_NLIST so the seed quantizer — the first
+#: nlist vectors — is identical for the base corpus, the updated corpus,
+#: and a full rebuild: the exact-equality contract needs one fixed
+#: quantizer, and `ivf_index_upsert` never retrains it anyway.
+UPS_CHG_MOD, UPS_CHG_SEL = 7, 3
+UPS_NEW_MOD, UPS_NEW_SEL = 11, 5
+
+
+def _upsert_frames(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(base, delta) for the upsert harness: ``base`` is the corpus the
+    index was built on (new docs absent, edited docs at their ORIGINAL
+    vectors), ``delta`` the CDC batch (new + edited docs at their UPDATED
+    vectors) — so the upsert exercises both insert and replace."""
+    vid = F.col("vec_id")
+    is_new = (vid >= IVF_NLIST) & (vid % UPS_NEW_MOD == UPS_NEW_SEL)
+    is_chg = (vid >= IVF_NLIST) & (vid % UPS_CHG_MOD == UPS_CHG_SEL)
+    v = F.col("embedding").cast("array<double>")
+    upd = F.when(is_chg, F.transform(v, lambda x: x + F.lit(0.5))).otherwise(v)
+    base = emb.filter(~is_new).select("vec_id", "embedding")
+    delta = emb.filter(is_new | is_chg).select(
+        "vec_id", upd.alias("embedding")
+    )
+    return base, delta
+
+
+def _ensure_ivf_upsert_index(spark: SparkSession, sf_dir: str) -> str:
+    """Base-build + delta-upsert under one identity marker: the marker
+    describes the whole recipe (base split + CDC constants), so neither
+    half can be served stale. The build function is the only place
+    `build_ivf_index` runs; the upsert itself is Lloyd-free and
+    rebuild-free (monkeypatch-pinned in tests)."""
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    ident = {
+        "src": src, "mtime_ns": st.st_mtime_ns, "size": st.st_size,
+        "kind": "ivf_upsert", "nlist": IVF_NLIST,
+        "chg": [UPS_CHG_MOD, UPS_CHG_SEL],
+        "new": [UPS_NEW_MOD, UPS_NEW_SEL],
+    }
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_dir = os.path.join(
+        _ivf_cache_root(), f"{tag}_upsert_nlist{IVF_NLIST}"
+    )
+
+    def _build(build_dir: str) -> None:
+        base, delta = _upsert_frames(_t(spark, sf_dir, "embeddings"))
+        similarity.build_ivf_index(spark, base, build_dir, nlist=IVF_NLIST)
+        similarity.ivf_index_upsert(spark, build_dir, delta)
+
+    return _ensure_index(index_dir, ident, _build)
+
+
+def q_ivf_index_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_topk_ivf_probe` against an index maintained INCREMENTALLY
+    (r17 VERDICT item 2 — the serving wall at 100 TB was the full
+    rebuild on any corpus change): the index was built once on the base
+    corpus, then a CDC delta (added + edited vectors) was upserted via
+    `similarity.ivf_index_upsert` — delta vectors assigned against the
+    PERSISTED quantizer, appended/replaced in their cell partitions,
+    touched cells only; no Lloyd iteration, no rebuild (both
+    monkeypatch-pinned). The oracle runs the full IVF top-k chain over
+    the UPDATED corpus — i.e. exactly what a full rebuild would serve —
+    so a green row certifies upsert ≡ rebuild; the probe plan itself is
+    the unchanged `ivf_topk_probe` (1-row quantizer broadcast + dynamic
+    partition pruning).
+
+    Scale shape (measured, PERF.md r18): upsert work ∝ delta — one
+    linear assign pass over the delta + a survivors read of ONLY the
+    touched cells' files — vs the rebuild's full corpus scan + full
+    rewrite; at day-local churn fractions the upsert is the difference
+    between rewriting ~delta-sized partitions and re-materializing the
+    corpus."""
+    index_dir = _ensure_ivf_upsert_index(spark, sf_dir)
+    queries = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_topk_probe(
+        spark, index_dir, queries, k=TOPK, nprobe=IVF_NPROBE
+    )
+
+
+def _sql_ew_upserted_cte() -> str:
+    """``ew`` over the UPDATED corpus: edited docs' vectors perturbed by
+    the exact IEEE op the Spark delta applies; added docs are simply
+    present (they are rows of the embeddings table the base build
+    filtered out)."""
+    xs = ", ".join(f"v[{i}] AS x{i}" for i in range(1, EMB_DIM + 1))
+    cols = ", ".join(f"x{i}" for i in range(1, EMB_DIM + 1))
+    return (
+        f"ew AS (\n  SELECT vec_id, {_sql_scalar_dot('x', 'x')} AS nrm, {cols}\n"
+        f"  FROM (SELECT vec_id, {xs} FROM (\n"
+        f"    SELECT vec_id,\n"
+        f"           CASE WHEN vec_id >= {IVF_NLIST}\n"
+        f"                     AND vec_id % {UPS_CHG_MOD} = {UPS_CHG_SEL}\n"
+        f"                THEN list_transform(v, x -> x + 0.5) ELSE v END AS v\n"
+        f"    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)))\n)"
+    )
+
+
+SQL_IVF_INDEX_UPSERT = _sql_ann_topk_ivf(_sql_ew_upserted_cte())
 
 
 # --- ANN quality evaluation: IVF recall@k vs the exact baseline --------------
@@ -5487,6 +5608,14 @@ SPECS = {
         SQL_ANN_TOPK_IVF,
         "IVF top-k against the materialized cell-partitioned index "
         "(build-once deployment mode; dynamic partition pruning on probe)",
+        ("similarity", "bench"),
+    ),
+    "ivf_index_upsert_probe": QuerySpec(
+        q_ivf_index_upsert_probe,
+        SQL_IVF_INDEX_UPSERT,
+        "IVF top-k against an INCREMENTALLY maintained index (CDC delta "
+        "upserted against the persisted quantizer — no Lloyd, no rebuild; "
+        "oracle = full rebuild of the updated corpus)",
         ("similarity", "bench"),
     ),
     "ann_recall_ivf": QuerySpec(

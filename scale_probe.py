@@ -1024,6 +1024,96 @@ def incremental_fixed_growth(ks: tuple[int, ...] = (10, 30)) -> dict:
     return out
 
 
+def ivf_upsert_crossover(ks: tuple[int, ...] = (10, 30)) -> dict:
+    """Upsert-vs-rebuild crossover for the materialized IVF index (r17
+    VERDICT item 2, the `manifest_delta` treatment applied to the index
+    family): at each corpus scale, time (a) `ivf_index_upsert` of a
+    FIXED CDC delta — the production shape: a day's embedding ingest is
+    ~constant while the index grows with the corpus — against a prebuilt
+    index, and (b) a FULL `build_ivf_index` rebuild of the updated
+    corpus. The claim under test is the upsert's 'work ∝ delta': its
+    10×→30× growth should be near-flat (assign pass over the fixed
+    delta + survivors read of only the touched cells' files — cell file
+    size grows with the corpus, so some sub-linear growth is honest),
+    while the rebuild tracks the 3× corpus. Reps: upsert is idempotent
+    (same ids re-replaced), so min-of-3; the rebuild leg is min-of-2
+    (it dominates wall time at 30×)."""
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("msfdp-ivf-upsert-crossover")
+    spark.sparkContext.setLogLevel("WARN")
+    from multi_source_financial_data_pipeline_spark.operators import similarity
+    from multi_source_financial_data_pipeline_spark.plans import llmdata as _ld
+
+    # the FIXED delta: the registered query's CDC selection over the BASE
+    # corpus (constant size at every scale)
+    base_emb = load_table(spark, src, "embeddings")
+    _, delta = _ld._upsert_frames(base_emb)
+    delta = delta.localCheckpoint()  # freeze: derivation is not the probe
+    n_delta = delta.count()
+
+    out: dict = {"metric": "ivf_upsert_crossover", "base_sf_dir": src,
+                 "n_delta_vecs": n_delta, "nlist": _ld.IVF_NLIST,
+                 "scales": {}, "unit": "sec"}
+    try:
+        for k in ks:
+            dst = tempfile.mkdtemp(prefix=f"msfdp_ivfups{k}_")
+            try:
+                replicate(spark, src, dst, k, tables=("embeddings",))
+                corpus = load_table(spark, dst, "embeddings")
+                n_corpus = corpus.count()
+                idx_dir = os.path.join(dst, "ivfidx")
+                similarity.build_ivf_index(
+                    spark, corpus, idx_dir, nlist=_ld.IVF_NLIST
+                )
+                ups = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    similarity.ivf_index_upsert(spark, idx_dir, delta)
+                    ups.append(time.perf_counter() - t0)
+                updated = (
+                    corpus.select(
+                        "vec_id",
+                        F.col("embedding").cast("array<double>").alias(
+                            "embedding"
+                        ),
+                    )
+                    .join(delta.select("vec_id"), "vec_id", "left_anti")
+                    .unionByName(
+                        delta.select(
+                            "vec_id",
+                            F.col("embedding").cast("array<double>").alias(
+                                "embedding"
+                            ),
+                        )
+                    )
+                )
+                reb = []
+                for i in range(2):
+                    rb_dir = os.path.join(dst, f"rebuild{i}")
+                    t0 = time.perf_counter()
+                    similarity.build_ivf_index(
+                        spark, updated, rb_dir, nlist=_ld.IVF_NLIST
+                    )
+                    reb.append(time.perf_counter() - t0)
+                out["scales"][str(k)] = {
+                    "n_corpus_vecs": n_corpus,
+                    "upsert_sec": round(min(ups), 3),
+                    "rebuild_sec": round(min(reb), 3),
+                    "rebuild_over_upsert": round(min(reb) / min(ups), 2),
+                }
+            finally:
+                shutil.rmtree(dst, ignore_errors=True)
+    finally:
+        spark.stop()
+    lo, hi = out["scales"][str(ks[0])], out["scales"][str(ks[-1])]
+    out["ratios_30_over_10"] = {
+        "upsert_sec": round(hi["upsert_sec"] / lo["upsert_sec"], 2),
+        "rebuild_sec": round(hi["rebuild_sec"] / lo["rebuild_sec"], 2),
+        "n_corpus_vecs": round(hi["n_corpus_vecs"] / lo["n_corpus_vecs"], 2),
+    }
+    return out
+
+
 def manifest_dirty_sweep(k: int = 10) -> dict:
     """Dirty-fraction sensitivity of the two-level manifest diff (r15
     VERDICT item 3). The r15 growth row (1.33× vs `snapshot_delta`'s
@@ -1473,6 +1563,9 @@ def _dispatch(argv: list[str]) -> int:
     if cmd == "incremental_fixed_growth":
         print(json.dumps(incremental_fixed_growth()))
         return 0
+    if cmd == "ivf_upsert_crossover":
+        print(json.dumps(ivf_upsert_crossover()))
+        return 0
     if cmd == "manifest_dirty_sweep":
         print(json.dumps(manifest_dirty_sweep()))
         return 0
@@ -1495,7 +1588,7 @@ def _dispatch(argv: list[str]) -> int:
     sys.stderr.write(
         f"unknown subcommand {cmd!r}; usage: scale_probe.py "
         "[dedup_growth | stream_media_growth | ann_serving_growth | residual_refined | incremental_fixed_growth | "
-        "manifest_dirty_sweep | incdedup_state_growth | lrc_bucket_sweep | growth <query[,query...]>]\n"
+        "ivf_upsert_crossover | manifest_dirty_sweep | incdedup_state_growth | lrc_bucket_sweep | growth <query[,query...]>]\n"
     )
     return 2
 

@@ -1182,6 +1182,159 @@ def test_quality_classifier_recovers_heuristic(spark, sf_dir):
     assert (((out.score > 0.5) == out.predicted) | boundary).all()
 
 
+def test_ivf_index_upsert_equals_full_rebuild_without_retraining(
+    spark, tmp_path
+):
+    """The incremental-maintenance contract (r17 VERDICT item 2), all
+    four pins in one harness on a small corpus:
+    (1) EQUALITY — after upserting a CDC delta (adds + edits) into a
+        base-built index, probing it returns exactly what a FULL REBUILD
+        of the updated corpus returns;
+    (2) NO RETRAINING — the upsert runs with `kmeans_centroids` AND
+        `build_ivf_index` monkeypatched to raise: maintenance never
+        trains or rebuilds;
+    (3) WORK ∝ DELTA — cell partitions the delta does not touch keep
+        their exact files (names + mtimes): untouched inverted lists are
+        never rewritten;
+    (4) DELETES — removing docs (CDC rows carrying the old vector)
+        equals a rebuild without them, including DRAINING a cell to
+        empty (its partition dir must disappear, not serve stale rows)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from multi_source_financial_data_pipeline_spark.operators import similarity
+
+    n, dim, nlist = 60, 8, 6
+    # clustered geometry: member i of group g = i % nlist points along
+    # axis g (dominant coord 10.0) with per-id noise in a coord no seed
+    # owns — so assignment lands in cell g and a CDC batch drawn from
+    # two groups touches exactly two cells (what pin 3 needs)
+    rows = []
+    for i in range(n):
+        v = [0.0] * dim
+        v[i % nlist] = 10.0
+        v[6] = 0.5 + 0.01 * i
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 4").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    # CDC split: ids ≡7 (mod 12) are NEW (group 1, absent from base),
+    # ids ≡8 (mod 12) are EDITED (group 2, +0.5 per coordinate) — seeds
+    # (vec_id < nlist) stay fixed so upsert and rebuild share one
+    # quantizer, and the delta touches cells {1, 2} only
+    vid = F.col("vec_id")
+    is_new = (vid >= nlist) & (vid % 12 == 7)
+    is_chg = (vid >= nlist) & (vid % 12 == 8)
+    upd = F.when(
+        is_chg, F.transform(F.col("embedding"), lambda x: x + F.lit(0.5))
+    ).otherwise(F.col("embedding"))
+    base = emb.filter(~is_new)
+    delta = emb.filter(is_new | is_chg).select("vec_id", upd.alias("embedding"))
+    updated = emb.select("vec_id", upd.alias("embedding"))
+
+    ups_dir = str(tmp_path / "ups")
+    similarity.build_ivf_index(spark, base, ups_dir, nlist=nlist)
+    pre_files = {
+        d: sorted(
+            (f, os.stat(os.path.join(ups_dir, "cells", d, f)).st_mtime_ns)
+            for f in os.listdir(os.path.join(ups_dir, "cells", d))
+            if not f.startswith(("_", "."))
+        )
+        for d in os.listdir(os.path.join(ups_dir, "cells"))
+        if d.startswith("cell=")
+    }
+    delta_cells = {
+        f"cell={r['cell']}"
+        for r in similarity.ivf_assign(
+            delta,
+            centers_row=spark.read.parquet(os.path.join(ups_dir, "quantizer")),
+        ).select("cell").distinct().collect()
+    }
+
+    def _boom(*a, **k):
+        raise AssertionError("maintenance must not train or rebuild")
+
+    real_kmeans = similarity.kmeans_centroids
+    real_build = similarity.build_ivf_index
+    similarity.kmeans_centroids = _boom
+    similarity.build_ivf_index = _boom
+    try:
+        similarity.ivf_index_upsert(spark, ups_dir, delta)
+        got = sorted(
+            tuple(r)
+            for r in similarity.ivf_topk_probe(
+                spark, ups_dir, queries, k=5, nprobe=2
+            ).collect()
+        )
+    finally:
+        similarity.kmeans_centroids = real_kmeans
+        similarity.build_ivf_index = real_build
+
+    full_dir = str(tmp_path / "full")
+    similarity.build_ivf_index(spark, updated, full_dir, nlist=nlist)
+    want = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk_probe(
+            spark, full_dir, queries, k=5, nprobe=2
+        ).collect()
+    )
+    assert got == want and len(got) > 0  # (1)
+
+    post_files = {
+        d: sorted(
+            (f, os.stat(os.path.join(ups_dir, "cells", d, f)).st_mtime_ns)
+            for f in os.listdir(os.path.join(ups_dir, "cells", d))
+            if not f.startswith(("_", "."))
+        )
+        for d in os.listdir(os.path.join(ups_dir, "cells"))
+        if d.startswith("cell=")
+    }
+    untouched = set(pre_files) - delta_cells
+    assert untouched, "harness must leave some cells untouched"
+    for d in untouched:
+        assert post_files[d] == pre_files[d]  # (3)
+
+    # (4) deletes: drain cell 5 entirely (every id ≡5 mod 6, seed
+    # included — corpus membership and quantizer are independent) and
+    # drop one non-query doc from cell 0; the reference rebuild pins the
+    # quantizer to the persisted one (reconstructed as a centers frame),
+    # because deleting id 5 would otherwise change the rebuild's seed set
+    del_ids = [i for i in range(n) if i % nlist == 5] + [54]
+    deletes = updated.filter(F.col("vec_id").isin(del_ids))
+    similarity.ivf_index_upsert(
+        spark, ups_dir, delta=deletes.limit(0), deletes=deletes
+    )
+    assert not os.path.isdir(os.path.join(ups_dir, "cells", "cell=5"))
+    centers = (
+        spark.read.parquet(os.path.join(ups_dir, "quantizer"))
+        .select(F.explode("seeds").alias("s"))
+        .select(F.col("s.seed_id").alias("cell"), F.col("s.sv").alias("cv"))
+    )
+    after_del_dir = str(tmp_path / "afterdel")
+    similarity.build_ivf_index(
+        spark,
+        updated.filter(~F.col("vec_id").isin(del_ids)),
+        after_del_dir,
+        nlist=nlist,
+        coarse_centers=centers,
+    )
+    got_del = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk_probe(
+            spark, ups_dir, queries, k=5, nprobe=2
+        ).collect()
+    )
+    want_del = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk_probe(
+            spark, after_del_dir, queries, k=5, nprobe=2
+        ).collect()
+    )
+    assert got_del == want_del and len(got_del) > 0
+
+
 def test_pq_rerank_rejects_divergent_quantizers_at_runtime(spark, tmp_path):
     """The cross-index invariant must hold at RUNTIME, not only in the
     reachability test (r17 ADVICE): a PQ index and an IVF raw-vector
