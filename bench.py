@@ -150,6 +150,13 @@ HEADLINE = [
     # steady-state deployment cost once the model is built; benched beside
     # the train-inline row so the training premium stays measured
     "quality_classifier_probe",
+    # round-18: the production-width point (lr_width_pick's 2048) served
+    # by the same width-independent sparse fold — benched beside the
+    # 64-bucket probe so the width-independence claim stays measured
+    "quality_classifier_wide",
+    # round-18: the width-selection rule itself — one token scan, |V|-row
+    # distinct, one hash agg across the candidate grid
+    "lr_width_pick",
     # round-17: two-stage search-then-refine serving — the ADC shortlist
     # plan plus an exact-cosine re-rank fetching raw vectors partition-
     # pruned from the IVF index; the refine premium over ann_topk_pq_probe

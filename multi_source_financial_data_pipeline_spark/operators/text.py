@@ -933,6 +933,88 @@ def _lr_gradient_descent(
     return w
 
 
+def stopword_bucket_injectivity(
+    docs: DataFrame,
+    widths: tuple[int, ...],
+    stopwords: tuple[str, ...] = EN_STOPWORDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """The r17 bucket-sweep's deployment rule, made an operator (r17
+    VERDICT item 3): before training a hashed-feature classifier whose
+    label signal lives in specific tokens (here the stopword list), check
+    the hash map's INJECTIVITY on those label-bearing tokens against the
+    whole corpus vocabulary at each candidate width, and pick the
+    smallest collision-free one. The sweep's finding: accuracy is
+    STEP-shaped in width because one md5-low-bit collision
+    (`the` ⨯ `join`) survives every power-of-two modulus up to 1024
+    (0.84 → 0.97/0.98 once separated; the sweep's coarse grid located
+    the step at its next point 4096 — this check on the full grid finds
+    the collision separates at 2048, with identical accuracy) — so the
+    right width is not a capacity knob to tune by loss, it is a
+    collision property to CHECK.
+
+    A stopword's bucket is CONTAMINATED at width W iff any other vocab
+    token (stopword or not) shares ``h % W`` with it — then the feature
+    the model must weight is a mixture and the label signal is diluted.
+    Emits one row per width: (width, n_stop_buckets, n_contaminated,
+    injective, picked) with ``picked`` true on the smallest injective
+    width (no width injective ⇒ no row picked — the caller must widen
+    the grid, not silently take the largest).
+
+    Scale shape: ONE token scan → vocab distinct (|V| rows — vocabulary,
+    not corpus, sized), the 32-bit token hash computed once, then a
+    |V|·|widths| explode into one map-side-combined hash agg to
+    ≤ |widths|·|stopwords| output rows. Nothing is pairwise: collisions
+    are counted per (width, bucket) group, never by joining tokens
+    against tokens."""
+    hash32 = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .distinct()
+        .select(
+            "tok", hash32.alias("h"), F.col("tok").isin(*stopwords).alias("is_stop")
+        )
+    )
+    per_width = vocab.select(
+        "h",
+        "is_stop",
+        F.explode(
+            F.array(*[F.lit(w) for w in widths]).cast("array<int>")
+        ).alias("width"),
+    )
+    buckets = per_width.groupBy("width", (F.col("h") % F.col("width")).alias("b")).agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum(F.col("is_stop").cast("int")).alias("n_stop"),
+    )
+    stats = (
+        buckets.filter(F.col("n_stop") >= 1)
+        .groupBy("width")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_stop_buckets"),
+            F.count(F.when(F.col("n_toks") > 1, 1))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .withColumn("injective", F.col("n_contaminated") == 0)
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    min_inj = F.min(
+        F.when(F.col("injective"), F.col("width"))
+    ).over(w_all)
+    return stats.select(
+        "width",
+        "n_stop_buckets",
+        "n_contaminated",
+        "injective",
+        # coalesce: no injective width ⇒ picked FALSE everywhere, not NULL
+        F.coalesce(F.col("width") == min_inj, F.lit(False)).alias("picked"),
+    )
+
+
 def token_lr_train(
     docs: DataFrame,
     label: Column,
@@ -972,6 +1054,7 @@ def token_lr_score(
     buckets: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    check_model: bool = True,
 ) -> DataFrame:
     """`token_lr_classifier`'s SERVING half: score ``docs`` under a
     model trained by `token_lr_train` — NO gradient step, no moment
@@ -991,12 +1074,18 @@ def token_lr_score(
     with `token_lr_classifier` and accuracy audits); it never influences
     the score. ``buckets`` must match the trained model — guarded by a
     row-count check on the (tiny) model frame, because a mismatched hash
-    modulus would silently score against the wrong feature space."""
-    n_model = model.count()  # tiny frame; guards silent feature-space skew
-    if n_model != buckets + 1:
-        raise ValueError(
-            f"model has {n_model} rows; expected buckets+1 = {buckets + 1}"
-        )
+    modulus would silently score against the wrong feature space.
+    ``check_model=False`` skips that guard — it is a per-call Spark job
+    in a serving path (r17 VERDICT), so callers whose ``buckets`` was
+    READ FROM the model artifact's own meta (`plans.llmdata.
+    _lr_model_buckets`) pass False: a value sourced from the artifact
+    cannot mismatch it."""
+    if check_model:
+        n_model = model.count()  # tiny frame; guards silent feature-space skew
+        if n_model != buckets + 1:
+            raise ValueError(
+                f"model has {n_model} rows; expected buckets+1 = {buckets + 1}"
+            )
     from pyspark.sql import Window
 
     bucket = (

@@ -4023,6 +4023,68 @@ LRC_BUCKETS = 64   #: hashed unigram feature space (+1 bias)
 LRC_STEPS = 4      #: unrolled full-batch gradient iterations
 LRC_ETA = 4.0      #: step size on standardized features
 LRC_TAU = 0.06     #: label threshold on the stopword-ratio heuristic
+#: the production width: `lr_width_pick`'s choice on this corpus — the
+#: smallest power-of-two width whose hash map is injective on the
+#: label-bearing (stopword) buckets. The r17 sweep located the step
+#: between its grid points 1024 and 4096 (64–1024 all carry the
+#: `the` ⨯ `join` md5-low-bit collision); the rule run on the full
+#: power-of-two grid finds the collision separates at 2048 already, at
+#: every SF, and accuracy at 2048 equals 4096's (0.956/0.97/0.983 at
+#: sf0.001/0.01/0.1) — the injectivity mechanism confirmed: width is a
+#: collision property, not a capacity knob, so the smaller injective
+#: width is strictly better (half the moments/weights for the same
+#: accuracy).
+LRC_BUCKETS_WIDE = 2048
+#: candidate width grid the injectivity check sweeps (powers of two —
+#: the hash modulus a production config would actually pick from)
+LRW_WIDTHS = (64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def q_lr_width_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`text.stopword_bucket_injectivity` over the corpus vocabulary —
+    the bucket-width selection rule as a registered operator (r17
+    VERDICT item 3): per candidate width, how many buckets carry a
+    stopword and how many of those are CONTAMINATED (shared with any
+    other vocab token); ``picked`` marks the smallest injective width.
+    One token scan → |V|-row distinct → one hash agg; never pairwise."""
+    return text.stopword_bucket_injectivity(
+        _t(spark, sf_dir, "documents"), LRW_WIDTHS
+    )
+
+
+SQL_LR_WIDTH_PICK = f"""
+WITH vocab AS (
+  SELECT DISTINCT tok
+  FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+),
+vh AS (
+  SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h,
+         tok IN ({_STOPLIST}) AS is_stop
+  FROM vocab
+),
+pw AS (
+  SELECT h, is_stop, CAST(w AS INTEGER) AS width
+  FROM vh CROSS JOIN (SELECT unnest([{", ".join(str(w) for w in LRW_WIDTHS)}]) AS w)
+),
+bk AS (
+  SELECT width, h % width AS b, count(*) AS n_toks,
+         sum(CASE WHEN is_stop THEN 1 ELSE 0 END) AS n_stop
+  FROM pw GROUP BY 1, 2
+),
+st AS (
+  SELECT width,
+         CAST(count(*) AS BIGINT) AS n_stop_buckets,
+         CAST(count(*) FILTER (WHERE n_toks > 1) AS BIGINT)
+           AS n_contaminated
+  FROM bk WHERE n_stop >= 1 GROUP BY width
+),
+si AS (SELECT *, n_contaminated = 0 AS injective FROM st)
+SELECT width, n_stop_buckets, n_contaminated, injective,
+       coalesce(
+         width = min(CASE WHEN injective THEN width END) OVER (), FALSE
+       ) AS picked
+FROM si
+"""
 
 
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4040,10 +4102,13 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanically by the r17 `lrc_bucket_sweep` (PERF.md): one specific
     pair (`the` ⨯ `join`) shares a bucket at every width 64-1024
     (md5-low-bit equality survives power-of-two moduli) and accuracy
-    steps 0.84 → 0.97-0.98 exactly when the map turns injective at
-    4096; steps/eta move it ≤ 0.004. LRC_BUCKETS stays 64: the
-    registered point measures the contaminated regime the attribution
-    describes, and the sweep documents the bucket-picking rule.
+    steps 0.84 → 0.97-0.98 exactly when the map turns injective
+    (the sweep's grid located the step at 4096; `lr_width_pick` on the
+    full grid finds it at 2048 — see LRC_BUCKETS_WIDE); steps/eta move
+    it ≤ 0.004. LRC_BUCKETS stays 64: the registered point measures the
+    contaminated regime the attribution describes; the rule is the
+    registered `lr_width_pick` and the picked-width point is
+    `quality_classifier_wide`.
 
     Plan + exactness: see `text.token_lr_classifier` — sparse dsir-shape
     feature build, decimal-exact bucket moments, IEEE-exact sqrt
@@ -4087,7 +4152,7 @@ def _sql_lr_step(i: int) -> str:
 )"""
 
 
-def _sql_quality_classifier() -> str:
+def _sql_quality_classifier(buckets: int = LRC_BUCKETS) -> str:
     steps = ",\n".join(_sql_lr_step(i) for i in range(1, LRC_STEPS + 1))
     fin = LRC_STEPS + 1
     return f"""
@@ -4100,7 +4165,7 @@ lab AS (
 ),
 pairs AS (
   SELECT doc_id,
-         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {LRC_BUCKETS} AS bucket
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {buckets} AS bucket
   FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
 ),
 counts AS (SELECT doc_id, bucket, count(*) AS c FROM pairs GROUP BY 1, 2),
@@ -4128,7 +4193,7 @@ stats AS (
 grid AS (
   SELECT l.doc_id, l.is_target, g.bucket
   FROM lab l CROSS JOIN
-       (SELECT unnest(generate_series(0, {LRC_BUCKETS - 1})) AS bucket) g
+       (SELECT unnest(generate_series(0, {buckets - 1})) AS bucket) g
 ),
 feat AS (
   SELECT g.doc_id, g.is_target, g.bucket,
@@ -4137,10 +4202,10 @@ feat AS (
   LEFT JOIN sparse s ON s.doc_id = g.doc_id AND s.bucket = g.bucket
   JOIN stats st ON st.bucket = g.bucket
   UNION ALL
-  SELECT doc_id, is_target, {LRC_BUCKETS}, 1.0 FROM lab
+  SELECT doc_id, is_target, {buckets}, 1.0 FROM lab
 ),
 w0 AS (
-  SELECT unnest(generate_series(0, {LRC_BUCKETS})) AS bucket, 0.0 AS w
+  SELECT unnest(generate_series(0, {buckets})) AS bucket, 0.0 AS w
 ),
 {steps},
 z{fin} AS (
@@ -4160,25 +4225,34 @@ FROM z{fin}
 SQL_QUALITY_CLASSIFIER = _sql_quality_classifier()
 
 
-def _ensure_lr_model(spark: SparkSession, sf_dir: str) -> str:
+def _ensure_lr_model(
+    spark: SparkSession, sf_dir: str, buckets: int = LRC_BUCKETS
+) -> str:
     """Train-once cache for the quality classifier's serving artifact
     (the `_ensure_pq_index` pattern): `text.token_lr_train`'s
     (buckets+1)-row (bucket, w, mu, sd) frame persisted as parquet under
-    an identity-markered dir, so `q_quality_classifier_probe` pays the
-    LRC_STEPS gradient iterations exactly once per (testdata tree,
-    hyperparameters) and the probe itself never runs a training step."""
+    an identity-markered dir, so the probes pay the LRC_STEPS gradient
+    iterations exactly once per (testdata tree, hyperparameters) and the
+    probe itself never runs a training step. ``meta/`` records the
+    bucket width IN the artifact (the `_pq_index_is_residual` pattern,
+    r17 VERDICT item 7) so serving derives its feature-space modulus
+    from the model it scores with — no second copy to desynchronize, no
+    per-call row-count guard job."""
     import os
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     ident = {
         "src": src, "mtime_ns": st.st_mtime_ns, "size": st.st_size,
-        "kind": "lr_model", "buckets": LRC_BUCKETS, "steps": LRC_STEPS,
+        "kind": "lr_model", "buckets": buckets, "steps": LRC_STEPS,
         "eta": LRC_ETA, "tau": LRC_TAU,
+        # artifact layout version: r18 added meta/ — caches built before
+        # it lack the width row and must rebuild, not 404 at serve time
+        "layout": "model+meta",
     }
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     index_dir = os.path.join(
-        _ivf_cache_root(), f"{tag}_lrc_b{LRC_BUCKETS}s{LRC_STEPS}"
+        _ivf_cache_root(), f"{tag}_lrc_b{buckets}s{LRC_STEPS}"
     )
 
     def _build(build_dir: str) -> None:
@@ -4186,12 +4260,37 @@ def _ensure_lr_model(spark: SparkSession, sf_dir: str) -> str:
         model = text.token_lr_train(
             docs,
             text.stopword_ratio(F.col("text")) >= LRC_TAU,
-            buckets=LRC_BUCKETS, steps=LRC_STEPS, eta=LRC_ETA,
+            buckets=buckets, steps=LRC_STEPS, eta=LRC_ETA,
         )
-        # 65 rows: one file, one footer to read at serve time
+        # buckets+1 rows: one file, one footer to read at serve time
         model.repartition(1).write.parquet(os.path.join(build_dir, "model"))
+        spark.createDataFrame(
+            [(int(buckets),)], "buckets int"
+        ).write.parquet(os.path.join(build_dir, "meta"))
 
     return _ensure_index(index_dir, ident, _build)
+
+
+#: (realpath, meta mtime_ns) -> buckets: the `_PQ_META_MEMO` cost
+#: contract — one tiny read per DISTINCT trained model, never per call
+_LR_META_MEMO: dict[tuple[str, int], int] = {}
+
+
+def _lr_model_buckets(spark: SparkSession, model_dir: str) -> int:
+    """Bucket width read from the model artifact's own ``meta/`` —
+    serving's feature-space modulus comes from the artifact it scores
+    with (r17 VERDICT item 7: the previous per-call `model.count()`
+    guard was a Spark job in a serving path; this is one memoized 1-row
+    read per distinct model build)."""
+    import os
+
+    meta_dir = os.path.join(model_dir, "meta")
+    key = (os.path.realpath(meta_dir), os.stat(meta_dir).st_mtime_ns)
+    buckets = _LR_META_MEMO.get(key)
+    if buckets is None:
+        buckets = int(spark.read.parquet(meta_dir).collect()[0]["buckets"])
+        _LR_META_MEMO[key] = buckets
+    return buckets
 
 
 def q_quality_classifier_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4214,7 +4313,45 @@ def q_quality_classifier_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         model,
         text.stopword_ratio(F.col("text")) >= LRC_TAU,
-        buckets=LRC_BUCKETS,
+        # width from the artifact's own meta (memoized 1-row read) —
+        # cannot mismatch the model, so the per-call count guard is off
+        buckets=_lr_model_buckets(spark, model_dir),
+        check_model=False,
+    )
+
+
+def q_quality_classifier_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-WIDTH classifier point (r17 VERDICT item 3): the
+    r17 bucket sweep proved accuracy is step-shaped in width — one
+    md5-low-bit collision (`the` ⨯ `join`) contaminates the stopword
+    buckets at every power-of-two width up to 1024, lifting accuracy
+    0.84 → 0.97/0.98 once it separates — and its deployment rule is now
+    the registered `lr_width_pick` operator: check injectivity of the
+    hash map on the label-bearing vocabulary, take the smallest
+    collision-free width. LRC_BUCKETS_WIDE = 2048 is that pick on this
+    corpus (lr_width_pick's `picked` row at every SF — the sweep's own
+    grid skipped 2048 and located the step at its next point, 4096;
+    accuracy at 2048 equals 4096's, 0.956/0.97/0.983 at
+    sf0.001/0.01/0.1, because width is a collision property, not a
+    capacity knob — see LRC_BUCKETS_WIDE; accuracy ≥ 0.95 and
+    picked == LRC_BUCKETS_WIDE both pinned by test).
+    Train-once / serve-sparse exactly like
+    `quality_classifier_probe`: training is cached by `_ensure_lr_model`
+    (the dense corpus × (buckets+1) standardized grid exists only in the
+    build), and serving is `token_lr_score`'s exact SPARSE fold —
+    O(corpus tokens), WIDTH-INDEPENDENT serving cost (the sweep's
+    measurement), width read from the artifact's meta."""
+    model_dir = _ensure_lr_model(spark, sf_dir, buckets=LRC_BUCKETS_WIDE)
+    import os
+
+    model = spark.read.parquet(os.path.join(model_dir, "model"))
+    docs = _t(spark, sf_dir, "documents")
+    return text.token_lr_score(
+        docs,
+        model,
+        text.stopword_ratio(F.col("text")) >= LRC_TAU,
+        buckets=_lr_model_buckets(spark, model_dir),
+        check_model=False,
     )
 
 
@@ -5864,6 +6001,22 @@ SPECS = {
         "quality classifier served from the build-once persisted model: "
         "one corpus scan + one broadcast join + one quantized fold, no "
         "gradient steps — byte-identical scores to the train-inline form",
+        ("text", "model"),
+    ),
+    "lr_width_pick": QuerySpec(
+        q_lr_width_pick,
+        SQL_LR_WIDTH_PICK,
+        "hashed-feature width selection by label-bearing-vocab "
+        "injectivity: per candidate width, stopword-bucket contamination "
+        "counts; picked = smallest collision-free width",
+        ("text", "model", "eval"),
+    ),
+    "quality_classifier_wide": QuerySpec(
+        q_quality_classifier_wide,
+        _sql_quality_classifier(LRC_BUCKETS_WIDE),
+        "quality classifier at the lr_width_pick production width (2048, "
+        "smallest injective on the stopword vocab): accuracy 0.84 -> 0.96+, "
+        "served from the cached model by the width-independent sparse fold",
         ("text", "model"),
     ),
 }

@@ -1391,6 +1391,46 @@ def test_pq_rerank_rejects_divergent_quantizers_at_runtime(spark, tmp_path):
     assert key in similarity._QUANTIZER_FP_MEMO
 
 
+def test_lr_width_pick_rule_and_wide_accuracy(spark, sf_dir):
+    """The production-width story (r17 VERDICT item 3), both halves:
+    (1) the RULE — `lr_width_pick` emits one row per candidate width,
+        `picked` marks exactly the smallest injective one, every
+        narrower width is non-injective, and the pick equals
+        LRC_BUCKETS_WIDE (the registered production point follows its
+        own rule — on this corpus the `the` ⨯ `join` md5-low-bit
+        collision separates at 2048, one grid point below where the r17
+        sweep's coarser grid located it);
+    (2) the PAYOFF — the classifier trained/served at the picked width
+        clears 0.95 accuracy against its training labels (vs ~0.84 in
+        the contaminated 64-bucket regime), and strictly beats the
+        narrow registered point on the same corpus. Accuracy floor
+        holds at every SF (measured 0.956/0.97/0.983)."""
+    from multi_source_financial_data_pipeline_spark.plans import llmdata
+    from multi_source_financial_data_pipeline_spark.plans.registry import QUERIES
+
+    pick = (
+        QUERIES["lr_width_pick"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("width")
+        .reset_index(drop=True)
+    )
+    assert list(pick.width) == sorted(llmdata.LRW_WIDTHS)
+    assert (pick.injective == (pick.n_contaminated == 0)).all()
+    picked = pick[pick.picked]
+    assert len(picked) == 1
+    picked_width = int(picked.width.iloc[0])
+    assert bool(picked.injective.iloc[0])
+    assert (~pick[pick.width < picked_width].injective).all()
+    assert picked_width == llmdata.LRC_BUCKETS_WIDE
+
+    wide = QUERIES["quality_classifier_wide"].fn(spark, sf_dir).toPandas()
+    narrow = QUERIES["quality_classifier_probe"].fn(spark, sf_dir).toPandas()
+    acc_wide = (wide.predicted == wide.is_target).mean()
+    acc_narrow = (narrow.predicted == narrow.is_target).mean()
+    assert acc_wide >= 0.95, acc_wide
+    assert acc_wide > acc_narrow, (acc_wide, acc_narrow)
+
+
 def test_pq_rerank_reaches_every_shortlist_candidate_and_lifts_recall(
     spark, sf_dir
 ):
