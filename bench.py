@@ -190,6 +190,10 @@ HEADLINE = [
     # filter + codegen bit-test membership — a map-only shape no other
     # sketch row has) and the full-outer CDC snapshot diff
     "bloom_decontaminate",
+    # round-18: the filter's build/probe split — membership served from the
+    # persisted 4 KB artifact with no eval-set re-shingle; the gap to the
+    # bloom_decontaminate row is the build+audit premium
+    "bloom_decontaminate_probe",
     "snapshot_delta",
     # round-14: the delta-run dedup composition (existing-index fp probe
     # + within-delta min-canonical, both hash joins on digests)

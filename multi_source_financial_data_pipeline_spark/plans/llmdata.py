@@ -2338,6 +2338,129 @@ WHERE f.n_bloom_pos > 0
 """
 
 
+def _ensure_bloom_filter(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache for the decontamination Bloom filter (r17 VERDICT
+    item 4: `bloom_build`'s 4 KB one-row filter was rebuilt per
+    invocation although it is exactly the persist-and-broadcast artifact
+    class of `_ensure_index`). The eval suite changes when benchmarks are
+    added — i.e. rarely — while decontamination runs per ingest batch,
+    so the filter build (a shingle scan of the PROBE docs + one bit_or
+    fold) belongs in the artifact tier with the PQ codebooks and the LR
+    model. ``filter/`` holds the single (bloom_words) row; geometry
+    constants ride in the ident so a (m, k, n-gram, probe-split) change
+    rebuilds."""
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    ident = {
+        "src": src, "mtime_ns": st.st_mtime_ns, "size": st.st_size,
+        "kind": "bloom", "m": BLOOM_M_BITS, "k": BLOOM_K,
+        "ngram": DECON_NGRAM,
+        "probe": [DECON_PROBE_MOD, DECON_PROBE_CAP],
+    }
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_dir = os.path.join(
+        _ivf_cache_root(), f"{tag}_bloom_m{BLOOM_M_BITS}k{BLOOM_K}"
+    )
+
+    def _build(build_dir: str) -> None:
+        docs = _t(spark, sf_dir, "documents")
+        is_probe = (F.col("doc_id") % DECON_PROBE_MOD == 0) & (
+            F.col("doc_id") < DECON_PROBE_CAP
+        )
+        probe_grams = (
+            dedup.shingle_rows(
+                docs.filter(is_probe), "doc_id", "text", DECON_NGRAM
+            )
+            .select("s")
+            .distinct()
+        )
+        dedup.bloom_build(
+            probe_grams, "s", BLOOM_M_BITS, BLOOM_K
+        ).write.parquet(os.path.join(build_dir, "filter"))
+
+    return _ensure_index(index_dir, ident, _build)
+
+
+def q_bloom_decontaminate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination served from the PERSISTED Bloom filter — the
+    deployment shape (r17 VERDICT item 4), `pq_topk_probe`'s pattern
+    applied to the eval-set summary: the 4 KB (bloom_words) row is read
+    back from `_ensure_bloom_filter`'s cache and broadcast; the probe
+    never re-shingles the eval docs, never re-folds the filter (build
+    monkeypatched-to-raise pin), and the eval docs' text is not in the
+    plan at all — corpus-side membership is PURE MAP WORK (2 md5s +
+    BLOOM_K codegen'd bit tests per gram) followed by one
+    map-side-combined per-doc rollup. Emits the serving report only —
+    (doc_id, n_grams, n_bloom_pos) for bloom-flagged docs; the
+    false-positive audit against the exact join stays in
+    `bloom_decontaminate`, which is the measurement harness, not the
+    serving path."""
+    import os
+
+    filter_dir = _ensure_bloom_filter(spark, sf_dir)
+    bloom = spark.read.parquet(os.path.join(filter_dir, "filter"))
+    docs = _t(spark, sf_dir, "documents")
+    is_probe = (F.col("doc_id") % DECON_PROBE_MOD == 0) & (
+        F.col("doc_id") < DECON_PROBE_CAP
+    )
+    corpus_grams = dedup.shingle_rows(
+        docs.filter(~is_probe), "doc_id", "text", DECON_NGRAM
+    ).distinct()
+    probed = corpus_grams.crossJoin(F.broadcast(bloom)).select(
+        "doc_id",
+        dedup.bloom_member(
+            F.col("s"), F.col("bloom_words"), BLOOM_M_BITS, BLOOM_K
+        ).alias("hit"),
+    )
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("hit").cast("long")).alias("n_bloom_pos"),
+        )
+        .filter(F.col("n_bloom_pos") > 0)
+    )
+
+
+SQL_BLOOM_DECONTAMINATE_PROBE = f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(toks) - {DECON_NGRAM - 1}),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS s
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+), probe AS (
+  SELECT DISTINCT s FROM g
+  WHERE doc_id % {DECON_PROBE_MOD} = 0 AND doc_id < {DECON_PROBE_CAP}
+), corpus AS (
+  SELECT doc_id, s FROM g
+  WHERE NOT (doc_id % {DECON_PROBE_MOD} = 0 AND doc_id < {DECON_PROBE_CAP})
+), bpos AS (
+  SELECT ({_sql_bloom_h('s', 1)} + j * {_sql_bloom_h('s', 2)}) % {BLOOM_M_BITS} AS p
+  FROM probe, unnest(generate_series(0, {BLOOM_K - 1})) t(j)
+), words AS (
+  SELECT p // 32 AS widx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS word
+  FROM bpos GROUP BY 1
+), hits AS (
+  SELECT doc_id,
+         bool_and((coalesce(w.word, 0)
+                   & (CAST(1 AS BIGINT) << CAST(c.p % 32 AS INTEGER))) <> 0) AS hit
+  FROM (
+    SELECT doc_id, s,
+           ({_sql_bloom_h('s', 1)} + j * {_sql_bloom_h('s', 2)}) % {BLOOM_M_BITS} AS p
+    FROM corpus, unnest(generate_series(0, {BLOOM_K - 1})) t(j)
+  ) c LEFT JOIN words w ON w.widx = c.p // 32
+  GROUP BY doc_id, s
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_bloom_pos
+FROM hits GROUP BY doc_id
+HAVING count(*) FILTER (WHERE hit) > 0
+"""
+
+
 # --- snapshot delta: incremental-ingest corpus diff ---------------------------
 
 #: deterministic two-snapshot derivation from the one documents table: the
@@ -5661,6 +5784,14 @@ SPECS = {
         "Bloom-prefiltered decontamination: 4KB broadcast filter, map-only "
         "membership, measured false-positive price vs the exact join",
         ("text", "sketch", "bench"),
+    ),
+    "bloom_decontaminate_probe": QuerySpec(
+        q_bloom_decontaminate_probe,
+        SQL_BLOOM_DECONTAMINATE_PROBE,
+        "decontamination served from the PERSISTED Bloom filter: no "
+        "eval-set re-shingle, no filter re-fold — broadcast artifact + "
+        "pure map-work membership + one per-doc rollup",
+        ("text", "sketch"),
     ),
     "snapshot_delta": QuerySpec(
         q_snapshot_delta,

@@ -1601,6 +1601,38 @@ def test_wide_classifier_serves_without_training_or_count_guard(
     assert plan.count("BroadcastNestedLoopJoin") == 1
 
 
+def test_bloom_probe_serves_from_persisted_filter(spark, sf_dir, monkeypatch):
+    """The Bloom filter's build/probe split (r17 VERDICT item 4) runs the
+    same artifact contract as the PQ probes: with `bloom_build`
+    monkeypatched to raise, the probe must answer from the persisted
+    4 KB filter — and its rows must equal the measurement harness's
+    (doc_id, n_grams, n_bloom_pos) projection exactly (same filter, same
+    membership arithmetic). The eval docs' text must not be in the probe
+    plan: the only Generate (shingle explode) input is the corpus split."""
+    from multi_source_financial_data_pipeline_spark.operators import dedup
+    from multi_source_financial_data_pipeline_spark.plans import llmdata
+
+    want = sorted(
+        (r["doc_id"], r["n_grams"], r["n_bloom_pos"])
+        for r in QUERIES["bloom_decontaminate"].fn(spark, sf_dir).collect()
+    )
+
+    llmdata._ensure_bloom_filter(spark, sf_dir)  # build before the patch
+
+    def _no_build(*a, **k):
+        raise AssertionError("bloom_build invoked in the serving path")
+
+    monkeypatch.setattr(dedup, "bloom_build", _no_build)
+    df = QUERIES["bloom_decontaminate_probe"].fn(spark, sf_dir)
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == want and len(got) > 0
+    # exactly one shingle explode (the corpus side); a second Generate
+    # means the eval-set re-shingle leaked back into serving
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Generate") == 1, "eval-set re-shingle leaked into probe"
+
+
 def test_manifest_probe_never_scans_the_old_corpus(spark, sf_dir):
     """The persisted-manifest probe's whole point: the old snapshot exists
     in the plan ONLY as materialized CDC state. The final plan must carry
