@@ -167,6 +167,10 @@ HEADLINE = [
     # drain + batch rank); wall is drain-dominated but bounded, and the
     # row keeps the only streaming-ANN composition measured
     "stream_ann_topk",
+    # round-18: the production streaming-retrieval sink — per-micro-batch
+    # top-k in foreachBatch to files; the gap to stream_ann_topk is the
+    # price of NOT draining raw scored pairs to the driver
+    "stream_ann_topk_sink",
     # round-16: residual serving from the materialized refined-quantizer
     # index (VERDICT r15 item 2) — the per-cell LUT probe join shape
     # (probes ⋈ center-dot LUT ⋈ residual LUT ⋈ per-cell norm LUT) that

@@ -1793,11 +1793,11 @@ def _embedding_stream(spark: SparkSession, sf_dir: str):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def q_stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING RETRIEVAL — live query vectors served against the
-    build-once materialized IVF index, the real-time half of the ANN
-    serving story (every other serving point is batch): the query stream
-    probes its best cells against the index's coarse quantizer inlined
+def _stream_ann_scored(spark: SparkSession, sf_dir: str, stream) -> DataFrame:
+    """The shared streaming-retrieval probe chain (one definition for the
+    memory-sink harness and the `foreachBatch` production sink — the
+    `_man_fold` anti-drift discipline): live query vectors probe their
+    best cells against the materialized index's coarse quantizer inlined
     as a LITERAL (the persisted 1-row quantizer collected at plan build
     — bounded index metadata, nlist × dim doubles, the same class as the
     PQ probes' geometry collect; a literal because a stream-static CROSS
@@ -1805,14 +1805,8 @@ def q_stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-static INNER equi join on ``cell`` fetches candidates from
     the cell-partitioned ``cells/`` — per micro-batch, each query
     touches ~nprobe/nlist of the corpus, and the scoring is pure
-    row-local expression work (append-safe, NO state). The drained
-    scored pairs are ranked top-k in batch post-processing (per-key
-    windows are not available inside an append stream; ranking the
-    memory sink is the established rollup-after-drain pattern).
-    Results are EXACTLY `ann_topk_ivf`'s — same oracle
-    (`SQL_ANN_TOPK_IVF`): double literals round-trip via repr, the index
-    holds the same seed quantizer the oracle replays, and the cosine is
-    the shared fold."""
+    row-local expression work (append-safe, NO state). Returns the
+    streaming (query_id, cand_id, cos_sim) scored-pair frame."""
     from multi_source_financial_data_pipeline_spark.plans import llmdata
 
     ivf_dir = llmdata._ensure_ivf_index(spark, sf_dir)
@@ -1828,41 +1822,72 @@ def q_stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for s in seeds
     ) + ")"
+    q = (
+        stream.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        .withColumn("qn", similarity.sq_norm(F.col("qv")))
+        .withColumn("seeds", F.expr(seeds_lit))
+    )
+    probes = (
+        q.select(
+            "query_id", "qv", "qn",
+            F.explode(
+                F.slice(
+                    similarity._best_cells(F.col("qv"), F.col("qn")),
+                    1, IVF_NPROBE,
+                )
+            ).alias("p"),
+        )
+        .select(
+            "query_id", "qv", "qn", F.col("p")["cell"].alias("cell")
+        )
+    )
+    cos = similarity.dot(F.col("qv"), F.col("cv")) / F.nullif(
+        F.sqrt(F.col("qn") * F.col("cn")), F.lit(0.0)
+    )
+    return (
+        probes.join(cells, ["cell"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id", F.round(cos, 6).alias("cos_sim")
+        )
+    )
+
+
+#: top-k ranking shared by both streaming-retrieval sinks
+def _ann_rank_topk(df: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def q_stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING RETRIEVAL — live query vectors served against the
+    build-once materialized IVF index, the real-time half of the ANN
+    serving story (every other serving point is batch). Probe chain:
+    `_stream_ann_scored`. This registration is the MEASUREMENT HARNESS
+    shape: the scored pairs are drained to a memory sink and ranked
+    top-k in batch post-processing — fine at the harness's bounded
+    N_QUERIES, but the raw |q|·nprobe·|cell| pair drain is not the
+    production story; `stream_ann_topk_sink` is (per-micro-batch top-k
+    in `foreachBatch`, only k rows per query ever leave the batch).
+    Results are EXACTLY `ann_topk_ivf`'s — same oracle
+    (`SQL_ANN_TOPK_IVF`): double literals round-trip via repr, the index
+    holds the same seed quantizer the oracle replays, and the cosine is
+    the shared fold."""
     name = f"stream_ann_{next(_qname)}"
     with _embedding_stream(spark, sf_dir) as stream:
-        q = (
-            stream.filter(F.col("vec_id") < N_QUERIES)
-            .select(
-                F.col("vec_id").alias("query_id"),
-                F.col("embedding").cast("array<double>").alias("qv"),
-            )
-            .withColumn("qn", similarity.sq_norm(F.col("qv")))
-            .withColumn("seeds", F.expr(seeds_lit))
-        )
-        probes = (
-            q.select(
-                "query_id", "qv", "qn",
-                F.explode(
-                    F.slice(
-                        similarity._best_cells(F.col("qv"), F.col("qn")),
-                        1, IVF_NPROBE,
-                    )
-                ).alias("p"),
-            )
-            .select(
-                "query_id", "qv", "qn", F.col("p")["cell"].alias("cell")
-            )
-        )
-        cos = similarity.dot(F.col("qv"), F.col("cv")) / F.nullif(
-            F.sqrt(F.col("qn") * F.col("cn")), F.lit(0.0)
-        )
-        scored = (
-            probes.join(cells, ["cell"])
-            .filter(F.col("cand_id") != F.col("query_id"))
-            .select(
-                "query_id", "cand_id", F.round(cos, 6).alias("cos_sim")
-            )
-        )
+        scored = _stream_ann_scored(spark, sf_dir, stream)
         query = (
             scored.writeStream.format("memory")
             .queryName(name)
@@ -1871,16 +1896,40 @@ def q_stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         query.awaitTermination()
-    from pyspark.sql import Window
+    return _ann_rank_topk(spark.table(name))
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_id").asc()
-    )
-    return (
-        spark.table(name)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= TOPK)
-        .select("query_id", "cand_id", "cos_sim", "rank")
+
+def q_stream_ann_topk_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`stream_ann_topk`'s PRODUCTION SINK (r17 VERDICT item 5): the
+    scored candidate pairs never leave their micro-batch — `foreachBatch`
+    ranks top-k per query INSIDE the batch (each query vector is one
+    stream row, so all its scored pairs are batch-local and the per-batch
+    rank is exact) and writes only those k rows per query to a parquet
+    FILE sink. The driver never holds the |q|·nprobe·|cell| raw pair
+    stream (the memory-sink harness's documented non-production shape);
+    at real query rates the sink receives k·|batch queries| rows per
+    batch — pinned by a test that counts rows per query in the sink
+    files. Same results, same oracle as `ann_topk_ivf`."""
+    out_dir = tempfile.mkdtemp(prefix="msfdp_stream_annsink_")
+    sink_dir = os.path.join(out_dir, "topk")
+    with _embedding_stream(spark, sf_dir) as stream:
+        scored = _stream_ann_scored(spark, sf_dir, stream)
+
+        def _rank_and_write(batch_df: DataFrame, _batch_id: int) -> None:
+            _ann_rank_topk(batch_df).write.mode("append").parquet(sink_dir)
+
+        query = (
+            scored.writeStream.foreachBatch(_rank_and_write)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", os.path.join(out_dir, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.read.parquet(sink_dir).select(
+        "query_id", "cand_id", "cos_sim", "rank"
     )
 
 
@@ -2104,6 +2153,14 @@ SPECS = {
         "materialized IVF index via literal-quantizer cell probing + a "
         "stream-static equi join; batch-ranked after the drain, exactly "
         "ann_topk_ivf's results",
+        ("streaming", "similarity", "topk"),
+    ),
+    "stream_ann_topk_sink": QuerySpec(
+        q_stream_ann_topk_sink,
+        SQL_ANN_TOPK_IVF,
+        "streaming retrieval, production sink: per-micro-batch top-k in "
+        "foreachBatch to a parquet file sink — only k rows per query "
+        "leave the batch, no raw scored-pair drain to the driver",
         ("streaming", "similarity", "topk"),
     ),
 }

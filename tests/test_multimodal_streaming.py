@@ -1126,3 +1126,25 @@ def test_stream_ann_topk_equals_batch_ivf_probe(spark, sf_dir):
         tuple(r) for r in QUERIES["ann_topk_ivf"].fn(spark, sf_dir).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_ann_topk_sink_writes_only_k_rows_per_query(spark, sf_dir):
+    """The production sink's contract (r17 VERDICT item 5): same rows as
+    the batch IVF query AND the sink files hold ONLY the ranked top-k —
+    at most TOPK rows per query, every rank in [1, TOPK] — never the raw
+    |q|·nprobe·|cell| scored-pair stream the memory-sink harness drains
+    to the driver."""
+    from collections import Counter
+
+    from multi_source_financial_data_pipeline_spark.plans import mmstream
+    from multi_source_financial_data_pipeline_spark.plans.registry import QUERIES
+
+    rows = QUERIES["stream_ann_topk_sink"].fn(spark, sf_dir).collect()
+    got = sorted(tuple(r) for r in rows)
+    want = sorted(
+        tuple(r) for r in QUERIES["ann_topk_ivf"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+    per_query = Counter(r["query_id"] for r in rows)
+    assert all(n <= mmstream.TOPK for n in per_query.values()), per_query
+    assert all(1 <= r["rank"] <= mmstream.TOPK for r in rows)
