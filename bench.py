@@ -202,6 +202,10 @@ HEADLINE = [
     # round-14: the delta-run dedup composition (existing-index fp probe
     # + within-delta min-canonical, both hash joins on digests)
     "incremental_dedup",
+    # round-18: deletion-aware repair — touched components' survivors
+    # re-clustered with the full chain, scoped by the delete set; benched
+    # beside incremental_dedup so both delta directions stay measured
+    "dedup_after_delete",
     # round-14: distributed BPE merge training — 8 unrolled vocab-scale
     # pair-agg + argmax + greedy-merge iterations, a chained-lineage
     # shape (ReusedExchange across steps) nothing else exercises

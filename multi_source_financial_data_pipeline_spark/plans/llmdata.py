@@ -1002,16 +1002,12 @@ GROUP BY label, i - 1
 
 # --- end-to-end near-dup pipeline: LSH candidates → verify → canonicalize ----
 
-def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full dedup decision in one dataflow: MinHash+LSH candidate pairs,
-    exact n-gram Jaccard verification on candidates only, then per-doc
-    canonical assignment as a TRUE connected-component representative —
-    min-label propagation iterated to a fixpoint, so for a verified chain
-    A–B, B–C all three map to A even with no direct A–C edge (the output is
-    a fixpoint: canonical_id(canonical_id(x)) = canonical_id(x), safe for
-    downstream "keep canonical only" dedup). Pair work is bounded by the
-    LSH banding; the component loop runs only over edge endpoints."""
-    docs = _t(spark, sf_dir, "documents")
+def _neardup_canon(docs: DataFrame) -> DataFrame:
+    """The verified near-dup canonical chain over an arbitrary documents
+    frame (ONE definition for the full-corpus query and the
+    component-local recluster in `q_dedup_after_delete` — the `_man_fold`
+    anti-drift discipline): MinHash+LSH candidates, exact n-gram Jaccard
+    verification, min-label components. Returns (doc_id, canonical_id)."""
     sig = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES, keep_all_docs=False)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
     sh = docs.select("doc_id", dedup.shingles(F.col("text")).alias("s"))
@@ -1027,7 +1023,7 @@ def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).select(F.col("id_a").alias("id"), F.col("id_b").alias("nb"))
     comp = dedup.min_label_components(edges)
-    canon = (
+    return (
         docs.select("doc_id")
         .join(comp, docs["doc_id"] == comp["id"], "left")
         .select(
@@ -1035,6 +1031,18 @@ def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("lbl"), F.col("doc_id")).alias("canonical_id"),
         )
     )
+
+
+def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup decision in one dataflow: MinHash+LSH candidate pairs,
+    exact n-gram Jaccard verification on candidates only, then per-doc
+    canonical assignment as a TRUE connected-component representative —
+    min-label propagation iterated to a fixpoint, so for a verified chain
+    A–B, B–C all three map to A even with no direct A–C edge (the output is
+    a fixpoint: canonical_id(canonical_id(x)) = canonical_id(x), safe for
+    downstream "keep canonical only" dedup). Pair work is bounded by the
+    LSH banding; the component loop runs only over edge endpoints."""
+    canon = _neardup_canon(_t(spark, sf_dir, "documents"))
     return canon.withColumn("is_dup", F.col("canonical_id") != F.col("doc_id"))
 
 
@@ -2632,6 +2640,186 @@ FROM delta d
 LEFT JOIN existing e ON e.fp = d.fp
 JOIN canon c ON c.fp = d.fp
 GROUP BY 1, 2
+"""
+
+
+def q_dedup_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-aware incremental dedup (r17 VERDICT item 6) — the case
+    `incremental_dedup`'s three-way classifier does not cover: when docs
+    are REMOVED (takedowns, licence expiry, retention), the carried
+    near-dup state is wrong wherever a deleted doc was a component's
+    CANONICAL — or, worse, a BRIDGE: deleting the middle of a verified
+    A–B–C chain splits one component into two. Recomputing the corpus
+    would defeat the delta discipline, so the repair is scoped to the
+    TOUCHED components only (those containing a deleted doc): their
+    SURVIVORS are re-clustered with the exact full chain
+    (`_neardup_canon` — MinHash → LSH → Jaccard verify → min-label
+    components, one shared definition) and each resulting sub-component
+    is re-canonicalized. This component-local recompute provably equals
+    the global recompute restricted to those docs: verified-duplicate
+    edges never cross old component boundaries (components are the
+    transitive closure), so deletion only ever REFINES components — the
+    theorem that makes work-∝-delta CORRECT rather than approximate,
+    and the oracle checks it (full from-scratch recompute on the
+    post-delete corpus).
+
+    Emits one row per outcome: ``retired`` (every member deleted — the
+    old component leaves the index; new_canonical NULL, n_members 0),
+    else one row per post-delete sub-component — ``canon_kept`` if its
+    new canonical IS the old one, ``reelected`` otherwise (covers both
+    a deleted canonical and a split's minted sub-labels).
+
+    Scale shape: deletions are the snapshot diff's 'removed' class; the
+    member fetch is one LEFT-SEMI join of the carried (doc_id, label)
+    state — persisted at deployment, like the incremental family's fp
+    index — against the ≤|deleted| touched-label set; the recluster runs
+    over |touched members| docs only (bounded by |delta| × max component
+    size, never the corpus), and its pair work is LSH-banded within
+    that slice."""
+    docs = _t(spark, sf_dir, "documents")
+    state = _neardup_canon(docs).select(
+        "doc_id", F.col("canonical_id").alias("old_canonical")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    flagged = state.withColumn(
+        "__removed", h % SNAP_NEW_MOD == SNAP_NEW_DROP
+    )
+    touched = (
+        flagged.filter(F.col("__removed"))
+        .select("old_canonical")
+        .distinct()
+    )
+    members = flagged.join(touched, "old_canonical", "left_semi")
+    survivors = members.filter(~F.col("__removed")).select(
+        "doc_id", "old_canonical"
+    )
+    # component-local recompute: the exact full chain over the touched
+    # survivors only (lineage-cut: the recluster references the doc slice
+    # through the whole LSH chain; the slice is small by construction)
+    surv_docs = docs.join(
+        survivors.select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint(eager=False)
+    relabeled = _neardup_canon(surv_docs).select(
+        "doc_id", F.col("canonical_id").alias("new_canonical")
+    )
+    subs = (
+        survivors.join(relabeled, "doc_id")
+        .groupBy("old_canonical", "new_canonical")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    live = subs.select(
+        "old_canonical",
+        "new_canonical",
+        "n_members",
+        F.when(
+            F.col("new_canonical") == F.col("old_canonical"),
+            F.lit("canon_kept"),
+        )
+        .otherwise(F.lit("reelected"))
+        .alias("action"),
+    )
+    retired = (
+        members.groupBy("old_canonical")
+        .agg(F.count(F.when(~F.col("__removed"), 1)).alias("__n_live"))
+        .filter(F.col("__n_live") == 0)
+        .select(
+            "old_canonical",
+            F.lit(None).cast("long").alias("new_canonical"),
+            F.lit(0).cast("long").alias("n_members"),
+            F.lit("retired").alias("action"),
+        )
+    )
+    return live.unionByName(retired)
+
+
+def _sql_neardup_chain(sfx: str, doc_where: str = "") -> str:
+    """CTE block (no WITH keyword) ending in ``comp{sfx}(id, lbl)`` — the
+    verified near-dup components over ``documents`` optionally filtered
+    by ``doc_where``. All CTE names are suffixed so two chains (old
+    corpus / post-delete corpus) can coexist in one query; the chain body
+    mirrors SQL_NEARDUP_VERIFIED exactly."""
+    where = f" WHERE {doc_where}" if doc_where else ""
+    mh = ", ".join(f"{_sql_minhash(j)} AS mh{j}" for j in range(NUM_HASHES))
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('|', mh{2 * b}, mh{2 * b + 1}) AS bk"
+        f" FROM sig{sfx} WHERE concat_ws('|', mh{2 * b}, mh{2 * b + 1}) != ''"
+        for b in range(NUM_HASHES // BAND_SIZE)
+    )
+    return f"""d{sfx} AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents{where}),
+sh{sfx} AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM d{sfx}),
+sig{sfx} AS (SELECT doc_id, {mh} FROM sh{sfx}),
+bands{sfx} AS (
+{bands}
+),
+cand{sfx} AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands{sfx} a JOIN bands{sfx} b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+v{sfx} AS (
+  SELECT c.id_a, c.id_b
+  FROM cand{sfx} c
+  JOIN sh{sfx} a ON a.doc_id = c.id_a
+  JOIN sh{sfx} b ON b.doc_id = c.id_b
+  WHERE len(list_intersect(a.s, b.s))
+        / nullif(len(list_distinct(a.s || b.s)), 0) >= {JACCARD_THRESHOLD}
+),
+e{sfx} AS (
+  SELECT id_a AS id, id_b AS nb FROM v{sfx}
+  UNION ALL
+  SELECT id_b, id_a FROM v{sfx}
+),
+nodes{sfx} AS (SELECT DISTINCT id FROM e{sfx}),
+reach{sfx}(id, r) AS (
+  SELECT id, id FROM nodes{sfx}
+  UNION
+  SELECT reach{sfx}.id, e{sfx}.nb FROM reach{sfx} JOIN e{sfx} ON e{sfx}.id = reach{sfx}.r
+),
+comp{sfx} AS (SELECT id, min(r) AS lbl FROM reach{sfx} GROUP BY id)"""
+
+
+_SQL_REMOVED = (
+    f"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    f" % {SNAP_NEW_MOD} = {SNAP_NEW_DROP}"
+)
+
+SQL_DEDUP_AFTER_DELETE = f"""
+WITH RECURSIVE
+{_sql_neardup_chain("_o")},
+state AS (
+  SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS old_canonical,
+         {_SQL_REMOVED.replace("doc_id", "d.doc_id")} AS removed
+  FROM documents d LEFT JOIN comp_o c ON c.id = d.doc_id
+),
+touched AS (SELECT DISTINCT old_canonical FROM state WHERE removed),
+members AS (
+  SELECT s.* FROM state s JOIN touched t USING (old_canonical)
+),
+{_sql_neardup_chain("_n", f"NOT ({_SQL_REMOVED})")},
+new_lbl AS (
+  SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS new_canonical
+  FROM (SELECT doc_id FROM documents WHERE NOT ({_SQL_REMOVED})) d
+  LEFT JOIN comp_n c ON c.id = d.doc_id
+),
+subs AS (
+  SELECT m.old_canonical, n.new_canonical,
+         CAST(count(*) AS BIGINT) AS n_members
+  FROM members m JOIN new_lbl n USING (doc_id)
+  WHERE NOT m.removed
+  GROUP BY 1, 2
+),
+retired AS (
+  SELECT old_canonical FROM members GROUP BY old_canonical
+  HAVING count(*) FILTER (WHERE NOT removed) = 0
+)
+SELECT old_canonical, new_canonical, n_members,
+       CASE WHEN new_canonical = old_canonical THEN 'canon_kept'
+            ELSE 'reelected' END AS action
+FROM subs
+UNION ALL
+SELECT old_canonical, NULL, CAST(0 AS BIGINT), 'retired' FROM retired
 """
 
 
@@ -5792,6 +5980,14 @@ SPECS = {
         "eval-set re-shingle, no filter re-fold — broadcast artifact + "
         "pure map-work membership + one per-doc rollup",
         ("text", "sketch"),
+    ),
+    "dedup_after_delete": QuerySpec(
+        q_dedup_after_delete,
+        SQL_DEDUP_AFTER_DELETE,
+        "deletion-aware incremental dedup: canonical re-election scoped "
+        "to the deleted docs' fingerprints only (retired / reelected / "
+        "canon_kept), oracle = full recompute on the post-delete corpus",
+        ("dedup", "incremental"),
     ),
     "snapshot_delta": QuerySpec(
         q_snapshot_delta,

@@ -1391,6 +1391,77 @@ def test_pq_rerank_rejects_divergent_quantizers_at_runtime(spark, tmp_path):
     assert key in similarity._QUANTIZER_FP_MEMO
 
 
+def test_dedup_after_delete_equals_global_recompute(spark, sf_dir):
+    """The deletion-repair theorem (r17 VERDICT item 6): verified
+    near-dup edges never cross component boundaries, so deleting docs
+    only REFINES components — and therefore the query's component-LOCAL
+    recluster of touched survivors must equal a GLOBAL from-scratch
+    recompute on the post-delete corpus, restricted to the same docs.
+    This test runs that global recompute with the Spark chain itself
+    (the oracle checks it against DuckDB's recursive CTE; this pins the
+    Spark-vs-Spark half) plus the audit identities: every touched
+    member is accounted for (Σ n_members = surviving touched docs;
+    retired rows carry NULL canonical and zero members), and every
+    emitted action is consistent with its row."""
+    from pyspark.sql import functions as F
+
+    from multi_source_financial_data_pipeline_spark.plans import llmdata
+    from multi_source_financial_data_pipeline_spark.plans.registry import QUERIES
+    from multi_source_financial_data_pipeline_spark.sources import load_table
+
+    out = QUERIES["dedup_after_delete"].fn(spark, sf_dir).toPandas()
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    removed = h % llmdata.SNAP_NEW_MOD == llmdata.SNAP_NEW_DROP
+    old_state = llmdata._neardup_canon(docs).select(
+        "doc_id", F.col("canonical_id").alias("old_canonical")
+    ).withColumn("__removed", removed).toPandas()
+    # GLOBAL recompute over the whole post-delete corpus
+    new_state = llmdata._neardup_canon(
+        docs.filter(~removed)
+    ).select("doc_id", F.col("canonical_id").alias("new_canonical")).toPandas()
+
+    touched = set(
+        old_state[old_state.__removed].old_canonical
+    )
+    members = old_state[old_state.old_canonical.isin(touched)]
+    surv = members[~members.__removed].merge(new_state, on="doc_id")
+    want_live = (
+        surv.groupby(["old_canonical", "new_canonical"])
+        .size()
+        .reset_index(name="n_members")
+    )
+    want_live["action"] = want_live.apply(
+        lambda r: "canon_kept"
+        if r.new_canonical == r.old_canonical
+        else "reelected",
+        axis=1,
+    )
+    gone = members.groupby("old_canonical").__removed.all()
+    want_retired = sorted(gone[gone].index)
+
+    got_live = out[out.action != "retired"]
+    got = sorted(
+        map(tuple, got_live[
+            ["old_canonical", "new_canonical", "n_members", "action"]
+        ].itertuples(index=False))
+    )
+    want = sorted(
+        map(tuple, want_live[
+            ["old_canonical", "new_canonical", "n_members", "action"]
+        ].itertuples(index=False))
+    )
+    assert got == want and len(out) > 0
+    got_retired = out[out.action == "retired"]
+    assert sorted(got_retired.old_canonical) == want_retired
+    assert got_retired.new_canonical.isna().all()
+    assert (got_retired.n_members == 0).all()
+    assert got_live.n_members.sum() == len(surv)
+
+
 def test_lr_width_pick_rule_and_wide_accuracy(spark, sf_dir):
     """The production-width story (r17 VERDICT item 3), both halves:
     (1) the RULE — `lr_width_pick` emits one row per candidate width,
