@@ -134,6 +134,10 @@ HEADLINE = [
     # IVF-PQ index (broadcast codebook LUTs + partition-pruned code scan,
     # training amortized into the one-time build, not this row)
     "ann_topk_pq_probe",
+    # round-18: the PQ half of incremental index maintenance — probe cost
+    # of an index whose delta arrived coded-with-frozen-codebooks; should
+    # track ann_topk_pq_probe (same probe plan, same geometry)
+    "ann_topk_pq_upsert_probe",
     # round-15: the production-budget serving point (m=16 × 8-bit codes,
     # the first frontier budget with recall@10 ≥ 0.8) — the row that
     # proves serving stays ~1 s when the code budget is the useful one

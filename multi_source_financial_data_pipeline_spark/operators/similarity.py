@@ -167,6 +167,79 @@ def kmeans_refine(
     )
 
 
+def _pq_subvectors(
+    embeddings: DataFrame, m: int, sub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vec_id, s, sv): each vector split into its m contiguous
+    subvectors — the shared explode for PQ training and encode-only."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
+    )
+    return e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> slice(v, s * {sub} + 1, {sub}))"
+            )
+        ).alias("s", "sv"),
+    )
+
+
+def _pq_assign_codes(subs: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """Per-(vector, subspace) nearest sub-centroid — ONE definition for
+    the training loop and encode-only serving (`pq_encode`). The
+    per-subspace codebook folds to ONE broadcast array row, argmin is a
+    map-only array_sort over (d, cell) structs — the `ivf_assign`
+    pattern. The r13 formulation exploded to n·m·k rows and ranked
+    them with a row_number window (a full sort-shuffle, ×3 per run);
+    at the 8-bit budget (k=256) that was 4.1M shuffled rows per
+    assign and made codebook cost grow with k, not just n. Same
+    rounded distance, same (d asc, cell asc) tiebreak, so the
+    SELECTED cells — hence centroids, codes, and the DuckDB oracle
+    replay — are identical; only the shuffle is gone."""
+    percell = cents_df.groupBy("s").agg(
+        F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cs")
+    )
+    best = F.array_sort(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                F.round(sq_dist(F.col("sv"), c["cv"]), 6).alias("d"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )[0]
+    return subs.join(F.broadcast(percell), "s").select(
+        "vec_id",
+        "s",
+        "sv",
+        best["cell"].alias("cell"),
+        best["d"].alias("d"),
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ENCODE-ONLY against an existing codebook frame ``(s, cell, cv)``
+    — the serving-time half of `pq_train_encode`, split out for
+    incremental index maintenance (`pq_index_upsert`): new vectors are
+    coded with the codebooks the index was TRAINED with (FAISS `add`
+    semantics — adding never retrains), so no Lloyd iteration runs here
+    (monkeypatch-pinned). One map-only argmin per (vector, subspace)
+    against the broadcast codebook; returns (vec_id, s, cell)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    subs = _pq_subvectors(embeddings, m, dim // m, id_col, vec_col)
+    return _pq_assign_codes(subs, cents).select("vec_id", "s", "cell")
+
+
 def pq_train_encode(
     embeddings: DataFrame,
     m: int = 8,
@@ -202,51 +275,13 @@ def pq_train_encode(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
-    )
-    subs = e.select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {m - 1}),"
-                f" s -> slice(v, s * {sub} + 1, {sub}))"
-            )
-        ).alias("s", "sv"),
-    )
+    subs = _pq_subvectors(embeddings, m, sub, id_col, vec_col)
     cents = subs.filter(F.col("vec_id") < k).select(
         "s", F.col("vec_id").cast("int").alias("cell"), F.col("sv").alias("cv")
     )
 
     def assign(cents_df: DataFrame) -> DataFrame:
-        # per-subspace codebook as ONE broadcast array row, argmin as a
-        # map-only array_sort over (d, cell) structs — the `ivf_assign`
-        # pattern. The r13 formulation exploded to n·m·k rows and ranked
-        # them with a row_number window (a full sort-shuffle, ×3 per run);
-        # at the 8-bit budget (k=256) that was 4.1M shuffled rows per
-        # assign and made codebook cost grow with k, not just n. Same
-        # rounded distance, same (d asc, cell asc) tiebreak, so the
-        # SELECTED cells — hence centroids, codes, and the DuckDB oracle
-        # replay — are identical; only the shuffle is gone.
-        percell = cents_df.groupBy("s").agg(
-            F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cs")
-        )
-        best = F.array_sort(
-            F.transform(
-                F.col("cs"),
-                lambda c: F.struct(
-                    F.round(sq_dist(F.col("sv"), c["cv"]), 6).alias("d"),
-                    c["cell"].alias("cell"),
-                ),
-            )
-        )[0]
-        return subs.join(F.broadcast(percell), "s").select(
-            "vec_id",
-            "s",
-            "sv",
-            best["cell"].alias("cell"),
-            best["d"].alias("d"),
-        )
+        return _pq_assign_codes(subs, cents_df)
 
     for _ in range(iters):
         assigned = assign(cents)
@@ -1636,6 +1671,120 @@ def ivf_index_upsert(
         for cell in set(touched) - survived:
             shutil.rmtree(
                 os.path.join(cells_dir, f"cell={cell}"), ignore_errors=True
+            )
+
+
+def pq_index_upsert(
+    spark,
+    index_dir: str,
+    delta: DataFrame,
+    deletes: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """`ivf_index_upsert`'s PQ twin (r17 VERDICT item 2's second half):
+    upsert a vector delta into a materialized IVF-PQ index WITHOUT
+    retraining — FAISS `add` semantics: the index is DEFINED by its
+    trained codebooks, and additions are coded with them. No Lloyd
+    iteration and no `pq_train_encode`/`build_pq_index` call happens
+    here (monkeypatch-pinned): delta vectors are coarse-assigned against
+    the persisted ``quantizer/`` (residual-subtracted against those same
+    centers when ``meta/`` says ``by_residual``), encoded by `pq_encode`
+    against the persisted ``codebooks/``, and merged into ONLY the
+    touched ``codes/`` cell partitions — the same literal-partition-
+    filter + lineage-cut + dynamic-overwrite mechanics as the IVF
+    upsert, at m code rows per vector instead of one raw-vector row.
+    ``deletes`` rows must carry the vector (cell is a function of it);
+    a drained cell's partition dir is dropped explicitly.
+    The quantizer and codebooks are never written, so
+    `_quantizer_fingerprint` (and `pq_topk_rerank`'s cross-index guard)
+    and the probe-side geometry collect remain valid across upserts."""
+    import os
+
+    codes_dir = os.path.join(index_dir, "codes")
+    seed_row = spark.read.parquet(os.path.join(index_dir, "quantizer"))
+    cents = spark.read.parquet(
+        os.path.join(index_dir, "codebooks")
+    ).withColumnRenamed("code", "cell")
+    by_residual = _pq_index_is_residual(spark, index_dir)
+    # subspace geometry off the codebooks (index metadata, tiny collect —
+    # the pq_topk_probe discipline: the caller can't desynchronize it)
+    geo = cents.agg(
+        (F.max("s") + 1).alias("m"),
+        F.max(F.size("cv")).alias("sub"),
+    ).collect()[0]
+    m, dim = int(geo["m"]), int(geo["m"]) * int(geo["sub"])
+
+    def _coded(vectors: DataFrame) -> DataFrame:
+        assigned = ivf_assign(
+            vectors, id_col=id_col, vec_col=vec_col, centers_row=seed_row
+        ).select(
+            F.col(id_col).alias("vec_id"),
+            F.col("v"),
+            F.col("cell").alias("ivf_cell"),
+        )
+        if by_residual:
+            ctrs = seed_row.select(
+                F.explode("seeds").alias("sd")
+            ).select(
+                F.col("sd.seed_id").alias("ivf_cell"),
+                F.col("sd.sv").alias("ctr"),
+            )
+            src = assigned.join(F.broadcast(ctrs), "ivf_cell").select(
+                "vec_id",
+                "ivf_cell",
+                F.zip_with("v", "ctr", lambda x, y: x - y).alias("ev"),
+            )
+        else:
+            src = assigned.select("vec_id", "ivf_cell", F.col("v").alias("ev"))
+        codes = pq_encode(
+            src.select("vec_id", "ev"), cents, m=m, dim=dim,
+            id_col="vec_id", vec_col="ev",
+        ).withColumnRenamed("cell", "code")
+        return codes.join(src.select("vec_id", "ivf_cell"), "vec_id")
+
+    new_codes = _coded(delta)
+    gone = None
+    if deletes is not None:
+        gone = ivf_assign(
+            deletes, id_col=id_col, vec_col=vec_col, centers_row=seed_row
+        ).select(
+            F.col(id_col).alias("vec_id"), F.col("cell").alias("ivf_cell")
+        )
+    touched_df = new_codes.select("ivf_cell")
+    if gone is not None:
+        touched_df = touched_df.unionByName(gone.select("ivf_cell"))
+    touched = [r["ivf_cell"] for r in touched_df.distinct().collect()]
+    if not touched:
+        return
+    replaced_ids = new_codes.select("vec_id")
+    if gone is not None:
+        replaced_ids = replaced_ids.unionByName(gone.select("vec_id"))
+    survivors = (
+        spark.read.parquet(codes_dir)
+        .filter(F.col("ivf_cell").isin(touched))
+        .join(replaced_ids.distinct(), "vec_id", "left_anti")
+    )
+    merged = survivors.unionByName(
+        new_codes.select("vec_id", "s", "code", "ivf_cell")
+    ).localCheckpoint(eager=True)
+    (
+        merged.write.partitionBy("ivf_cell")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(codes_dir)
+    )
+    if gone is not None:
+        import shutil
+
+        survived = {
+            r["ivf_cell"]
+            for r in merged.select("ivf_cell").distinct().collect()
+        }
+        for cell in set(touched) - survived:
+            shutil.rmtree(
+                os.path.join(codes_dir, f"ivf_cell={cell}"),
+                ignore_errors=True,
             )
 
 

@@ -4976,17 +4976,22 @@ def _pq_recall_df(spark: SparkSession, sf_dir: str, k_codebook: int) -> DataFram
     )
 
 
-def _sql_pq_assign(name: str, cents: str, sub: int = _PQ_SUB) -> str:
+def _sql_pq_assign(
+    name: str, cents: str, sub: int = _PQ_SUB, src: str = "es"
+) -> str:
     """Per-(vector, subspace) nearest sub-centroid — `_sql_km_assign`
-    generalized to the (s)-partitioned codebook and sub-width distance."""
+    generalized to the (s)-partitioned codebook and sub-width distance.
+    ``src`` selects the subvector relation: the training iterations and
+    the final encode can run over DIFFERENT corpora (the upserted-index
+    oracle trains on the base corpus and encodes the updated one)."""
     return f"""{name} AS (
   SELECT vec_id, s, sv, cell FROM (
     SELECT vec_id, s, sv, cell,
            row_number() OVER (PARTITION BY vec_id, s
                               ORDER BY d ASC, cell ASC) AS rn
-    FROM (SELECT es.vec_id, es.s, es.sv, c.cell,
-                 round({_sql_sqd('es.sv', 'c.cv', sub)}, 6) AS d
-          FROM es JOIN {cents} c ON es.s = c.s)
+    FROM (SELECT {src}.vec_id, {src}.s, {src}.sv, c.cell,
+                 round({_sql_sqd(f'{src}.sv', 'c.cv', sub)}, 6) AS d
+          FROM {src} JOIN {cents} c ON {src}.s = c.s)
   ) WHERE rn = 1
 )"""
 
@@ -5210,21 +5215,43 @@ def q_ann_topk_pq_refined_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: serving point (m=16, k=256) replays the same training at a different
 #: subspace geometry — only the slice width, subspace count and seed
 #: cutoff move (r14 VERDICT item 2).
-def _sql_ivfpq_adc(m: int = PQ_M, k_codebook: int = PQ_K) -> str:
+def _sql_ivfpq_adc(
+    m: int = PQ_M,
+    k_codebook: int = PQ_K,
+    ew_cte: str | None = None,
+    e_sql: str | None = None,
+    train_e_sql: str | None = None,
+) -> str:
+    """``ew_cte`` / ``e_sql`` substitute a different corpus for the
+    coarse-IVF chain and the encode/query corpus; ``train_e_sql``
+    additionally splits the TRAINING corpus from the encode corpus —
+    the upserted-index oracle trains the sub-codebooks on the BASE
+    corpus (FAISS `add` never retrains) and encodes the UPDATED one."""
     sub = EMB_DIM // m
+    e_body = e_sql or "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+    train_ctes, tr = "", "es"
+    if train_e_sql is not None:
+        tr = "ets"
+        train_ctes = f"""et AS ({train_e_sql}),
+ets AS (
+  SELECT vec_id, s,
+         list_slice(v, s * {sub} + 1, s * {sub} + {sub}) AS sv
+  FROM et, generate_series(0, {m - 1}) t(s)
+),
+"""
     return f"""
-{_sql_ivf_common()},
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_sql_ivf_common(ew_cte)},
+e AS ({e_body}),
 es AS (
   SELECT vec_id, s,
          list_slice(v, s * {sub} + 1, s * {sub} + {sub}) AS sv
   FROM e, generate_series(0, {m - 1}) t(s)
 ),
-c0 AS (SELECT s, CAST(vec_id AS INTEGER) AS cell, sv AS cv FROM es
+{train_ctes}c0 AS (SELECT s, CAST(vec_id AS INTEGER) AS cell, sv AS cv FROM {tr}
        WHERE vec_id < {k_codebook}),
-{_sql_pq_assign('pa1', 'c0', sub)},
+{_sql_pq_assign('pa1', 'c0', sub, src=tr)},
 {_sql_pq_update('pc1', 'pa1', sub)},
-{_sql_pq_assign('pa2', 'pc1', sub)},
+{_sql_pq_assign('pa2', 'pc1', sub, src=tr)},
 {_sql_pq_update('pc2', 'pa2', sub)},
 {_sql_pq_assign('pa3', 'pc2', sub)},
 probes AS (
@@ -5309,6 +5336,89 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
 """
 
 #: the production-budget serving oracle: the SAME chain at m=16, k=256.
+def _ensure_pq_upsert_index(spark: SparkSession, sf_dir: str) -> str:
+    """`_ensure_ivf_upsert_index`'s PQ twin: build the IVF-PQ index on
+    the BASE corpus (training runs here, once), then upsert the CDC
+    delta via `similarity.pq_index_upsert` — delta vectors coded with
+    the PERSISTED codebooks, appended/replaced in their code cell
+    partitions; no Lloyd, no retrain (monkeypatch-pinned). One identity
+    marker describes the whole recipe."""
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    ident = {
+        "src": src, "mtime_ns": st.st_mtime_ns, "size": st.st_size,
+        "kind": "pq_upsert", "m": PQ_M, "k": PQ_K, "iters": PQ_ITERS,
+        "nlist": IVF_NLIST,
+        "chg": [UPS_CHG_MOD, UPS_CHG_SEL],
+        "new": [UPS_NEW_MOD, UPS_NEW_SEL],
+    }
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_dir = os.path.join(
+        _ivf_cache_root(),
+        f"{tag}_pqups_m{PQ_M}k{PQ_K}i{PQ_ITERS}nlist{IVF_NLIST}",
+    )
+
+    def _build(build_dir: str) -> None:
+        base, delta = _upsert_frames(_t(spark, sf_dir, "embeddings"))
+        similarity.build_pq_index(
+            spark, base, build_dir, m=PQ_M, k_codebook=PQ_K,
+            iters=PQ_ITERS, dim=EMB_DIM, nlist=IVF_NLIST,
+        )
+        similarity.pq_index_upsert(spark, build_dir, delta)
+
+    return _ensure_index(index_dir, ident, _build)
+
+
+def q_ann_topk_pq_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_topk_pq_probe` against an IVF-PQ index maintained
+    INCREMENTALLY (the PQ half of r17 VERDICT item 2): codebooks and
+    coarse quantizer were trained ONCE on the base corpus; the CDC delta
+    (added + edited vectors) arrived via `similarity.pq_index_upsert` —
+    coarse-assigned against the persisted quantizer, coded by
+    `pq_encode` against the persisted codebooks (FAISS `add` semantics:
+    additions never retrain), merged into touched code-cell partitions
+    only. The oracle trains the sub-codebooks on the BASE corpus and
+    encodes/probes the UPDATED one (`_sql_ivfpq_adc(train_e_sql=...)`)
+    — exactly what a rebuild-with-frozen-codebooks would serve, so a
+    green row certifies upsert ≡ re-encode. The probe plan is the
+    unchanged `pq_topk_probe` (broadcast LUTs + partition-pruned code
+    scan, Lloyd-free)."""
+    index_dir = _ensure_pq_upsert_index(spark, sf_dir)
+    queries = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.pq_topk_probe(
+        spark, index_dir, queries, k=TOPK, nprobe=IVF_NPROBE
+    )
+
+
+_SQL_E_UPDATED = (
+    f"SELECT vec_id, CASE WHEN vec_id >= {IVF_NLIST}"
+    f" AND vec_id % {UPS_CHG_MOD} = {UPS_CHG_SEL}"
+    f" THEN list_transform(v, x -> x + 0.5) ELSE v END AS v"
+    f" FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+)
+_SQL_E_BASE = (
+    f"SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+    f" WHERE NOT (vec_id >= {IVF_NLIST}"
+    f" AND vec_id % {UPS_NEW_MOD} = {UPS_NEW_SEL})"
+)
+
+SQL_ANN_TOPK_PQ_UPSERT = f"""{_sql_ivfpq_adc(
+    ew_cte=_sql_ew_upserted_cte(),
+    e_sql=_SQL_E_UPDATED,
+    train_e_sql=_SQL_E_BASE,
+)}
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, cand_id ASC) AS INTEGER) AS rank
+  FROM adc
+) WHERE rank <= {TOPK}
+"""
+
+
 SQL_ANN_TOPK_PQ256_PROBE = f"""{_sql_ivfpq_adc(PQ256_M, PQ256_K)}
 SELECT query_id, cand_id, cos_sim, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
@@ -6285,6 +6395,14 @@ SPECS = {
         "IVF-PQ serving probe against the build-once materialized index: "
         "broadcast codebook LUTs + dynamic-partition-pruned ADC code scan, "
         "no inline training",
+        ("similarity", "topk"),
+    ),
+    "ann_topk_pq_upsert_probe": QuerySpec(
+        q_ann_topk_pq_upsert_probe,
+        SQL_ANN_TOPK_PQ_UPSERT,
+        "IVF-PQ probe against an INCREMENTALLY maintained index: CDC "
+        "delta coded with the persisted codebooks (FAISS add semantics, "
+        "no retrain); oracle trains on base, encodes the updated corpus",
         ("similarity", "topk"),
     ),
     "ann_topk_pq256_probe": QuerySpec(

@@ -52,14 +52,18 @@ from multi_source_financial_data_pipeline_spark.plans.spec import QuerySpec
 #: never-checked-first rule — ivf_index_upsert_probe (incremental ANN
 #: index maintenance: delta vectors classified against the persisted
 #: quantizer, appended to cell partitions, no Lloyd/no rebuild),
-#: lr_width_pick (injectivity-driven bucket-width selection over the
-#: label-bearing vocabulary), quality_classifier_wide (train/serve at
-#: the picked collision-free width), bloom_decontaminate_probe (bloom
-#: membership served map-only from the persisted filter artifact),
+#: ann_topk_pq_upsert_probe (the PQ twin: delta coded with the frozen
+#: persisted codebooks, FAISS `add` semantics), lr_width_pick
+#: (injectivity-driven bucket-width selection over the label-bearing
+#: vocabulary), quality_classifier_wide (train/serve at the picked
+#: collision-free width), bloom_decontaminate_probe (bloom membership
+#: served map-only from the persisted filter artifact),
 #: stream_ann_topk_sink (per-micro-batch foreachBatch top-k ranking to
 #: a file sink), dedup_after_delete (deletion-aware incremental dedup:
-#: canonical re-election scoped to touched components); then the
-#: remaining 49-name r15-latest staleness backlog.
+#: canonical re-election scoped to touched components) — 7 names; then
+#: the remaining 49-name r15-latest staleness backlog, under capacity
+#: at 56 total minus the 50-row window ⇒ drop the 6 cheapest-to-carry
+#: r15 names to the r20 tail.
 _GATE_PRIORITY = (
     # -- 1. never driver-checked: the r17 post-sizing registrations --------
     "quality_classifier_probe",

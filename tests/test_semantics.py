@@ -1335,6 +1335,126 @@ def test_ivf_index_upsert_equals_full_rebuild_without_retraining(
     assert got_del == want_del and len(got_del) > 0
 
 
+def test_pq_index_upsert_equals_frozen_codebook_reencode(spark, tmp_path):
+    """The PQ half of the incremental-maintenance contract (r17 VERDICT
+    item 2): after upserting a CDC delta into a base-built IVF-PQ index,
+    (1) the on-disk codes equal a full re-encode of the updated corpus
+        with the FROZEN base-trained codebooks (FAISS `add` semantics);
+    (2) no training runs during the upsert (`pq_train_encode`,
+        `kmeans_centroids` and `build_pq_index` all monkeypatched to
+        raise);
+    (3) code partitions of untouched cells keep their exact files;
+    (4) deletes drain code rows (and a fully-drained cell's partition
+        dir disappears)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from multi_source_financial_data_pipeline_spark.operators import similarity
+
+    n, dim, nlist, m, kc = 60, 8, 6, 2, 4
+    rows = []
+    for i in range(n):
+        v = [0.0] * dim
+        v[i % nlist] = 10.0
+        v[6] = 0.5 + 0.01 * i
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vid = F.col("vec_id")
+    is_new = (vid >= nlist) & (vid % 12 == 7)
+    is_chg = (vid >= nlist) & (vid % 12 == 8)
+    upd = F.when(
+        is_chg, F.transform(F.col("embedding"), lambda x: x + F.lit(0.5))
+    ).otherwise(F.col("embedding"))
+    base = emb.filter(~is_new)
+    delta = emb.filter(is_new | is_chg).select("vec_id", upd.alias("embedding"))
+    updated = emb.select("vec_id", upd.alias("embedding"))
+
+    idx = str(tmp_path / "pqups")
+    similarity.build_pq_index(
+        spark, base, idx, m=m, k_codebook=kc, iters=1, dim=dim, nlist=nlist
+    )
+    pre_files = {
+        d: sorted(
+            (f, os.stat(os.path.join(idx, "codes", d, f)).st_mtime_ns)
+            for f in os.listdir(os.path.join(idx, "codes", d))
+            if not f.startswith(("_", "."))
+        )
+        for d in os.listdir(os.path.join(idx, "codes"))
+        if d.startswith("ivf_cell=")
+    }
+    seed_row = spark.read.parquet(os.path.join(idx, "quantizer"))
+    delta_cells = {
+        f"ivf_cell={r['cell']}"
+        for r in similarity.ivf_assign(delta, centers_row=seed_row)
+        .select("cell").distinct().collect()
+    }
+
+    def _boom(*a, **k):
+        raise AssertionError("training invoked during PQ upsert")
+
+    saved = (
+        similarity.pq_train_encode,
+        similarity.kmeans_centroids,
+        similarity.build_pq_index,
+    )
+    similarity.pq_train_encode = _boom
+    similarity.kmeans_centroids = _boom
+    similarity.build_pq_index = _boom
+    try:
+        similarity.pq_index_upsert(spark, idx, delta)
+    finally:
+        (
+            similarity.pq_train_encode,
+            similarity.kmeans_centroids,
+            similarity.build_pq_index,
+        ) = saved
+
+    # (1) frozen-codebook re-encode reference, built directly
+    cents = spark.read.parquet(
+        os.path.join(idx, "codebooks")
+    ).withColumnRenamed("code", "cell")
+    want_codes = similarity.pq_encode(
+        updated, cents, m=m, dim=dim
+    ).withColumnRenamed("cell", "code")
+    want = sorted(
+        (r["vec_id"], r["s"], r["code"]) for r in want_codes.collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["s"], r["code"])
+        for r in spark.read.parquet(os.path.join(idx, "codes")).collect()
+    )
+    assert got == want and len(got) == n * m
+
+    # (3) untouched code cells keep their exact files
+    post_files = {
+        d: sorted(
+            (f, os.stat(os.path.join(idx, "codes", d, f)).st_mtime_ns)
+            for f in os.listdir(os.path.join(idx, "codes", d))
+            if not f.startswith(("_", "."))
+        )
+        for d in os.listdir(os.path.join(idx, "codes"))
+        if d.startswith("ivf_cell=")
+    }
+    untouched = set(pre_files) - delta_cells
+    assert untouched
+    for d in untouched:
+        assert post_files[d] == pre_files[d]
+
+    # (4) deletes: drain cell 5 (all ids ≡5 mod 6) + one doc from cell 0
+    del_ids = [i for i in range(n) if i % nlist == 5] + [54]
+    deletes = updated.filter(F.col("vec_id").isin(del_ids))
+    similarity.pq_index_upsert(
+        spark, idx, delta=deletes.limit(0), deletes=deletes
+    )
+    assert not os.path.isdir(os.path.join(idx, "codes", "ivf_cell=5"))
+    left = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(idx, "codes")).collect()
+    }
+    assert left == set(range(n)) - set(del_ids)
+
+
 def test_pq_rerank_rejects_divergent_quantizers_at_runtime(spark, tmp_path):
     """The cross-index invariant must hold at RUNTIME, not only in the
     reachability test (r17 ADVICE): a PQ index and an IVF raw-vector
