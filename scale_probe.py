@@ -1095,11 +1095,39 @@ def ivf_upsert_crossover(ks: tuple[int, ...] = (10, 30)) -> dict:
                         spark, updated, rb_dir, nlist=_ld.IVF_NLIST
                     )
                     reb.append(time.perf_counter() - t0)
+                # PQ legs: the rebuild re-runs Lloyd sub-codebook training
+                # (the index-build cost the upsert's frozen-codebook
+                # encode skips entirely), so the gap is wider than IVF's
+                pq_dir = os.path.join(dst, "pqidx")
+                similarity.build_pq_index(
+                    spark, corpus, pq_dir, m=_ld.PQ_M, k_codebook=_ld.PQ_K,
+                    iters=_ld.PQ_ITERS, dim=_ld.EMB_DIM, nlist=_ld.IVF_NLIST,
+                )
+                pq_ups = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    similarity.pq_index_upsert(spark, pq_dir, delta)
+                    pq_ups.append(time.perf_counter() - t0)
+                pq_reb = []
+                for i in range(2):
+                    rb_dir = os.path.join(dst, f"pqrebuild{i}")
+                    t0 = time.perf_counter()
+                    similarity.build_pq_index(
+                        spark, updated, rb_dir, m=_ld.PQ_M,
+                        k_codebook=_ld.PQ_K, iters=_ld.PQ_ITERS,
+                        dim=_ld.EMB_DIM, nlist=_ld.IVF_NLIST,
+                    )
+                    pq_reb.append(time.perf_counter() - t0)
                 out["scales"][str(k)] = {
                     "n_corpus_vecs": n_corpus,
                     "upsert_sec": round(min(ups), 3),
                     "rebuild_sec": round(min(reb), 3),
                     "rebuild_over_upsert": round(min(reb) / min(ups), 2),
+                    "pq_upsert_sec": round(min(pq_ups), 3),
+                    "pq_rebuild_sec": round(min(pq_reb), 3),
+                    "pq_rebuild_over_upsert": round(
+                        min(pq_reb) / min(pq_ups), 2
+                    ),
                 }
             finally:
                 shutil.rmtree(dst, ignore_errors=True)
@@ -1109,6 +1137,10 @@ def ivf_upsert_crossover(ks: tuple[int, ...] = (10, 30)) -> dict:
     out["ratios_30_over_10"] = {
         "upsert_sec": round(hi["upsert_sec"] / lo["upsert_sec"], 2),
         "rebuild_sec": round(hi["rebuild_sec"] / lo["rebuild_sec"], 2),
+        "pq_upsert_sec": round(hi["pq_upsert_sec"] / lo["pq_upsert_sec"], 2),
+        "pq_rebuild_sec": round(
+            hi["pq_rebuild_sec"] / lo["pq_rebuild_sec"], 2
+        ),
         "n_corpus_vecs": round(hi["n_corpus_vecs"] / lo["n_corpus_vecs"], 2),
     }
     return out
