@@ -164,6 +164,10 @@ def test_no_whole_frame_window_over_unbounded_rows(spark, sf_dir):
         # cutoff windows run over the log-prob-grid histogram (≤
         # PPLX_LOG_SCALE·ln(corpus tokens) rows — logarithmic in corpus)
         "perplexity_buckets",
+        # picked-width min window runs over the |LRW_WIDTHS|-row (=7)
+        # per-width aggregate — bounded by the candidate grid, not the
+        # corpus or the vocabulary
+        "lr_width_pick",
     }
     import re
 
@@ -1147,6 +1151,13 @@ def test_window_max_group_share_audit(spark, sf_dir):
             "DPP-subquery limitation and the same measured coverage "
             "apply; refined cells change WHICH ~nprobe/nlist slice each "
             "query scans, not its size class",
+        ("ivf_index_upsert_probe", ("query_id",)):
+            "byte-identical probe plan to ann_topk_ivf_probe (only the "
+            "index CONTENTS differ — maintained by upsert instead of "
+            "full build), so the same DPP-subquery limitation and the "
+            "same measured coverage apply; the upsert changes which "
+            "rows sit in each cell, not the ~nprobe/nlist per-query "
+            "slice size class",
         ("ann_topk_pq_rerank", ("query_id",)):
             "same DPP-subquery limitation (the raw-vector fetch is the "
             "pruned cells join), but here the window input is bounded "
