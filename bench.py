@@ -1,10 +1,13 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec | null, "unit": "sec",
-"queries": {name: median_sec}, "min": {name: min_sec}, "reps": N,
+"queries": {name: median_sec}, "reps": N,
 "errors": {name: msg}, "sf": ..., "window": {...} | null} — "window" is
 the record's own noise context: the median/quartile per-query ratio vs the
-pinned BENCH_COMPARISON.json (see window_vs_comparison).
+pinned BENCH_COMPARISON.json (see window_vs_comparison). The per-query
+"min" floor (machine-noise forensics) rides only in BENCH_LOCAL.json so
+the printed line stays inside the driver's output-tail capture (r18
+VERDICT item 7).
 
 Noise defense (r05 lesson: a busy shared host made a 1.3x round-over-round
 delta unattributable): each query is timed REPS times AFTER an untimed warm
@@ -481,7 +484,6 @@ def main() -> None:
         "value": total if not errors else None,
         "unit": "sec",
         "queries": medians,
-        "min": mins,
         "reps": reps,
         "errors": errors,
         "sf": sf,
@@ -491,6 +493,12 @@ def main() -> None:
         "loadavg_before": load_before,
         "loadavg_after": _loadavg_now(),
     }
+    # the PRINTED line stays lean (r18 VERDICT item 7: the r17 record's
+    # one-line JSON outgrew the driver's output-tail capture and the
+    # round-over-round table was lost) — the per-query "min" floor is a
+    # local-forensics field, so it rides only in BENCH_LOCAL.json; the
+    # printed contract fields (metric/value/unit/queries/sf) and every
+    # previously-printed queries entry are unchanged
     print(json.dumps(payload, separators=(",", ":")))
     # the driver archives only the TAIL of this process's output (r06's
     # BENCH record has parsed=None because the one-line JSON outgrew that
@@ -498,7 +506,7 @@ def main() -> None:
     # per round, it is the durable full-resolution record
     try:
         with open(os.path.join(_REPO_DIR, "BENCH_LOCAL.json"), "w") as fh:
-            json.dump(payload, fh, indent=1, sort_keys=True)
+            json.dump({**payload, "min": mins}, fh, indent=1, sort_keys=True)
             fh.write("\n")
     except OSError:
         pass

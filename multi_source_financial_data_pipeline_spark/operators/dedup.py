@@ -359,16 +359,18 @@ def min_label_components(
     lineage so the plan doesn't grow exponentially with rounds."""
     # materialize the edge list once — every round joins against it, and
     # without this the whole upstream pipeline (LSH banding + Jaccard
-    # verification) would be re-executed per iteration
+    # verification) would be re-executed per iteration. Non-eager (r19):
+    # both persist on first use inside round 1's convergence job instead
+    # of burning two standalone jobs before the loop starts.
     e = edges.select(
         F.col(id_col).alias("src"), F.col(nb_col).alias("dst")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         nb_min = (
@@ -392,10 +394,14 @@ def min_label_components(
         jump = stepped.select(
             F.col("id").alias("jid"), F.col("lbl").alias("jlbl")
         )
+        # non-eager: the convergence count below materializes the
+        # checkpoint in the SAME job — eager burned two jobs per round
+        # (checkpoint count() + convergence count(); guide §1.2: fixed
+        # per-job cost dominates these label-table rounds)
         new_labels = (
             stepped.join(jump, stepped["lbl"] == jump["jid"])
             .select("id", F.col("jlbl").alias("lbl"), "old_lbl")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("lbl") < F.col("old_lbl")).count()
         labels = new_labels.select("id", "lbl")

@@ -53,6 +53,25 @@ from multi_source_financial_data_pipeline_spark.operators.jpegcodec import jpeg_
 if TYPE_CHECKING:
     import pandas as pd
 
+#: Target rows per generator TASK (guide §4/§5): the synthetic-corpus
+#: `mapInPandas` generators below otherwise inherit `spark.range`'s
+#: default split (defaultParallelism), which on local[32] fans a
+#: 200-row corpus into 32 Python workers of ~6 rows each — worker
+#: spawn/import dominates and concurrent heavy queries thrash (r18:
+#: media_real_resize 5.1s@32c vs 0.76s@8c). Partitioning derives from
+#: DATA VOLUME, capped at the session's parallelism, so a big corpus
+#: still uses every core while a small one pays only the workers its
+#: row count justifies — the same executor-core budgeting a cluster
+#: applies.
+GEN_ROWS_PER_TASK = 64
+
+
+def _gen_range(spark: SparkSession, n: int) -> DataFrame:
+    par = max(int(spark.sparkContext.defaultParallelism), 1)
+    slices = max(1, min(-(-n // GEN_ROWS_PER_TASK), par))
+    return spark.range(0, n, 1, slices)
+
+
 #: Opaque media rows: payload + typed metadata.
 MEDIA_SCHEMA = T.StructType(
     [
@@ -726,7 +745,7 @@ def synthetic_real_media(spark: SparkSession, n: int = 100, seed: int = 7) -> Da
                 )
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _gen_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthetic_rgb_media(spark: SparkSession, n: int = 100, seed: int = 7) -> DataFrame:
@@ -773,7 +792,7 @@ def synthetic_rgb_media(spark: SparkSession, n: int = 100, seed: int = 7) -> Dat
                 )
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _gen_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthetic_png_media(spark: SparkSession, n: int = 100, seed: int = 7) -> DataFrame:
@@ -812,7 +831,7 @@ def synthetic_png_media(spark: SparkSession, n: int = 100, seed: int = 7) -> Dat
                 )
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _gen_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthetic_jpeg_media(spark: SparkSession, n: int = 100, seed: int = 7) -> DataFrame:
@@ -852,7 +871,7 @@ def synthetic_jpeg_media(spark: SparkSession, n: int = 100, seed: int = 7) -> Da
                 )
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _gen_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthetic_mp4_media(spark: SparkSession, n: int = 100, seed: int = 7) -> DataFrame:
@@ -881,7 +900,7 @@ def synthetic_mp4_media(spark: SparkSession, n: int = 100, seed: int = 7) -> Dat
                 )
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _gen_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthetic_ogg_media(spark: SparkSession, n: int = 100, seed: int = 7) -> DataFrame:
@@ -913,7 +932,7 @@ def synthetic_ogg_media(spark: SparkSession, n: int = 100, seed: int = 7) -> Dat
                 )
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _gen_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthetic_aac_media(
@@ -951,7 +970,7 @@ def synthetic_aac_media(
                 )
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _gen_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthetic_h264_media(
@@ -988,7 +1007,7 @@ def synthetic_h264_media(
                 )
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _gen_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthetic_opus_media(
@@ -1031,7 +1050,7 @@ def synthetic_opus_media(
                 )
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _gen_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthetic_vorbis_media(
@@ -1074,7 +1093,7 @@ def synthetic_vorbis_media(
                 )
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _gen_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 #: per-channel image means + audio energy, one row per media payload
@@ -1244,7 +1263,7 @@ def synthetic_real_video(spark: SparkSession, n: int = 60, seed: int = 7) -> Dat
                 )
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _gen_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def decode_media_features(

@@ -56,6 +56,25 @@ def sq_dist(a: Column, b: Column) -> Column:
 KMEANS_Q = 1_000_000
 
 
+def _rematerialize_local(df: DataFrame) -> DataFrame:
+    """Collect a BOUNDED frame (centroid/codebook scale: k·dim cells, never
+    corpus-proportional) and re-create it as a local relation — the
+    per-iteration lineage cut for the Lloyd loops (guide §5). Each
+    iteration's tiny centroid frame otherwise EMBEDS the full previous
+    chain, and every downstream reference (next assign, final encode, LUT
+    assembly) re-plans and re-executes it — the r18 plan audit counted 180
+    Exchanges in one recall-harness plan from exactly this growth. A
+    `localCheckpoint` also cuts the lineage but leaves an opaque RDD scan
+    that costs ~1.3 s of Catalyst re-planning per reference chain
+    (measured, r19); a local relation plans in microseconds and broadcasts
+    straight from the driver. This is the same shape MLlib's own KMeans
+    uses: centers come back to the driver every Lloyd iteration. Values
+    are computed once and round-trip bit-exactly (collected IEEE doubles),
+    so selections and the oracle replay are unaffected."""
+    spark = df.sparkSession
+    return spark.createDataFrame(df.collect(), schema=df.schema)
+
+
 def _km_assign(e: DataFrame, cents_df: DataFrame) -> DataFrame:
     """One Lloyd assignment of ``e`` (vec_id, v) against ``cents_df``
     (cell, cv): centroids as ONE broadcast array row, argmin as a map-only
@@ -305,6 +324,18 @@ def pq_train_encode(
                 lambda st: st.mn,
             ).alias("cv")
         )
+    # ONE lineage cut after the loop (guide §5): the trained m·k-row
+    # codebook is referenced 3+ times downstream (final encode, dot LUT,
+    # norm LUT — and in the residual variant also the per-cell norm LUT),
+    # and without the cut every reference embeds and re-plans the whole
+    # unrolled training chain — the r18 plan audit counted 180 Exchanges
+    # in one recall-harness plan from exactly this growth. The training
+    # itself stays ONE lazy fused job (per-iteration cuts measured slower
+    # at bench scale: one job beats iters round-trips). Collected doubles
+    # round-trip bit-exactly, so codes, LUTs and the oracle replay are
+    # unaffected — same shape as MLlib KMeans' per-iteration driver-side
+    # centers, applied once at the train/serve boundary.
+    cents = _rematerialize_local(cents)
     codes = assign(cents).select("vec_id", "s", "cell")
     return cents, codes
 

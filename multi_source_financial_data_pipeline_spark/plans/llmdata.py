@@ -1002,12 +1002,17 @@ GROUP BY label, i - 1
 
 # --- end-to-end near-dup pipeline: LSH candidates → verify → canonicalize ----
 
-def _neardup_canon(docs: DataFrame) -> DataFrame:
-    """The verified near-dup canonical chain over an arbitrary documents
-    frame (ONE definition for the full-corpus query and the
-    component-local recluster in `q_dedup_after_delete` — the `_man_fold`
-    anti-drift discipline): MinHash+LSH candidates, exact n-gram Jaccard
-    verification, min-label components. Returns (doc_id, canonical_id)."""
+def _neardup_edges(docs: DataFrame) -> DataFrame:
+    """Verified near-duplicate pairs ``(id_a < id_b)`` over an arbitrary
+    documents frame: MinHash+LSH candidates, exact n-gram Jaccard
+    verification. Split out of `_neardup_canon` (r18 VERDICT item 3) so
+    `q_dedup_after_delete` can compute the chain ONCE and derive the
+    post-delete edge set by endpoint restriction instead of re-running
+    MinHash/LSH/verify over the survivor slice — exact, not approximate:
+    shingles, signatures and band keys are per-doc functions, so the
+    candidate pairs (same-bucket co-membership) and the per-pair Jaccard
+    over any doc SUBSET are precisely the full corpus' values restricted
+    to pairs with both endpoints in the subset."""
     sig = dedup.minhash_signatures(docs, num_hashes=NUM_HASHES, keep_all_docs=False)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
     sh = docs.select("doc_id", dedup.shingles(F.col("text")).alias("s"))
@@ -1018,7 +1023,13 @@ def _neardup_canon(docs: DataFrame) -> DataFrame:
     jacc = F.size(F.array_intersect("sa", "sb")) / F.nullif(
         F.size(F.array_union("sa", "sb")), F.lit(0)
     )
-    v = j.filter(jacc >= JACCARD_THRESHOLD).select("id_a", "id_b")
+    return j.filter(jacc >= JACCARD_THRESHOLD).select("id_a", "id_b")
+
+
+def _canon_from_edges(docs: DataFrame, v: DataFrame) -> DataFrame:
+    """Min-label components over the verified pair set ``v``, joined back
+    onto ``docs`` (isolated docs canonicalize to themselves). The tail of
+    `_neardup_canon`, shared with the deletion repair's edge-reuse path."""
     edges = v.unionByName(
         v.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).select(F.col("id_a").alias("id"), F.col("id_b").alias("nb"))
@@ -1031,6 +1042,15 @@ def _neardup_canon(docs: DataFrame) -> DataFrame:
             F.coalesce(F.col("lbl"), F.col("doc_id")).alias("canonical_id"),
         )
     )
+
+
+def _neardup_canon(docs: DataFrame) -> DataFrame:
+    """The verified near-dup canonical chain over an arbitrary documents
+    frame (ONE definition for the full-corpus query and the
+    component-local recluster in `q_dedup_after_delete` — the `_man_fold`
+    anti-drift discipline): MinHash+LSH candidates, exact n-gram Jaccard
+    verification, min-label components. Returns (doc_id, canonical_id)."""
+    return _canon_from_edges(docs, _neardup_edges(docs))
 
 
 def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1675,7 +1695,11 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer until two final divisions (engine-exact)."""
     brute = q_ann_topk(spark, sf_dir).select("query_id", "cand_id")
     approx = q_ann_topk_ivf(spark, sf_dir).select("query_id", "cand_id")
-    hits = brute.join(approx, ["query_id", "cand_id"], "left_semi")
+    # approx is |queries|·k rows (bounded by the query batch, never the
+    # corpus) — broadcast it so the hit semi-join and the per-query count
+    # stay on the brute side's existing query_id partitioning instead
+    # of paying two sort-merge exchanges (guide §3.1; r19)
+    hits = brute.join(F.broadcast(approx), ["query_id", "cand_id"], "left_semi")
     # the query-id set comes straight from the source table — deriving it
     # from `brute` would reference that subtree twice and execute the whole
     # exact pipeline twice (the mixture_weights double-scan bug, again)
@@ -1686,7 +1710,11 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_q = (
         qset.join(
-            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+            # ≤|queries| rows after the count — broadcast keeps the
+            # left-outer attach exchange-free (guide §3.1; r19)
+            F.broadcast(
+                hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+            ),
             "query_id",
             "left",
         )
@@ -2677,7 +2705,16 @@ def q_dedup_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, never the corpus), and its pair work is LSH-banded within
     that slice."""
     docs = _t(spark, sf_dir, "documents")
-    state = _neardup_canon(docs).select(
+    # ONE MinHash→LSH→verify pass (r18 VERDICT item 3; was two): the
+    # verified edge list is computed once, lineage-cut (both component
+    # passes and the endpoint restriction reference it), and the
+    # post-delete edge set is derived by RESTRICTION — shingles,
+    # signatures and band keys are per-doc functions, so candidates and
+    # Jaccard over the survivor subset equal the full-corpus values
+    # filtered to surviving endpoints (see `_neardup_edges`); exactness
+    # is pinned by test_dedup_after_delete_equals_global_recompute.
+    v = _neardup_edges(docs).localCheckpoint(eager=False)
+    state = _canon_from_edges(docs, v).select(
         "doc_id", F.col("canonical_id").alias("old_canonical")
     )
     h = F.conv(
@@ -2695,13 +2732,16 @@ def q_dedup_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = members.filter(~F.col("__removed")).select(
         "doc_id", "old_canonical"
     )
-    # component-local recompute: the exact full chain over the touched
-    # survivors only (lineage-cut: the recluster references the doc slice
-    # through the whole LSH chain; the slice is small by construction)
-    surv_docs = docs.join(
-        survivors.select("doc_id"), "doc_id", "left_semi"
-    ).localCheckpoint(eager=False)
-    relabeled = _neardup_canon(surv_docs).select(
+    # component-local recompute scoped to touched survivors, over the
+    # REUSED edges: both endpoints must survive (deleting docs only ever
+    # removes edges, never adds them)
+    surv_ids = survivors.select("doc_id")
+    v_surv = v.join(
+        surv_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+    ).join(
+        surv_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi"
+    )
+    relabeled = _canon_from_edges(surv_ids, v_surv).select(
         "doc_id", F.col("canonical_id").alias("new_canonical")
     )
     subs = (
@@ -4838,14 +4878,22 @@ def q_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "cand_id"
     )
     brute = q_ann_topk(spark, sf_dir).select("query_id", "cand_id")
-    hits = brute.join(approx, ["query_id", "cand_id"], "left_semi")
+    # approx is |queries|·k rows (bounded by the query batch, never the
+    # corpus) — broadcast it so the hit semi-join and the per-query count
+    # stay on the brute side's existing query_id partitioning instead
+    # of paying two sort-merge exchanges (guide §3.1; r19)
+    hits = brute.join(F.broadcast(approx), ["query_id", "cand_id"], "left_semi")
     qset = (
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"))
     )
     per_q = qset.join(
-        hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+        # ≤|queries| rows after the count — broadcast keeps the left-outer
+        # attach exchange-free (guide §3.1; r19)
+        F.broadcast(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+        ),
         "query_id",
         "left",
     ).select("query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
@@ -4955,14 +5003,22 @@ def _pq_recall_df(spark: SparkSession, sf_dir: str, k_codebook: int) -> DataFram
         dim=EMB_DIM, k=TOPK,
     ).select("query_id", "cand_id")
     brute = q_ann_topk(spark, sf_dir).select("query_id", "cand_id")
-    hits = brute.join(approx, ["query_id", "cand_id"], "left_semi")
+    # approx is |queries|·k rows (bounded by the query batch, never the
+    # corpus) — broadcast it so the hit semi-join and the per-query count
+    # stay on the brute side's existing query_id partitioning instead
+    # of paying two sort-merge exchanges (guide §3.1; r19)
+    hits = brute.join(F.broadcast(approx), ["query_id", "cand_id"], "left_semi")
     qset = (
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"))
     )
     per_q = qset.join(
-        hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+        # ≤|queries| rows after the count — broadcast keeps the left-outer
+        # attach exchange-free (guide §3.1; r19)
+        F.broadcast(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+        ),
         "query_id",
         "left",
     ).select("query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
@@ -5114,14 +5170,22 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=EMB_DIM, nlist=IVF_NLIST, nprobe=IVF_NPROBE, k=TOPK,
     ).select("query_id", "cand_id")
     brute = q_ann_topk(spark, sf_dir).select("query_id", "cand_id")
-    hits = brute.join(approx, ["query_id", "cand_id"], "left_semi")
+    # approx is |queries|·k rows (bounded by the query batch, never the
+    # corpus) — broadcast it so the hit semi-join and the per-query count
+    # stay on the brute side's existing query_id partitioning instead
+    # of paying two sort-merge exchanges (guide §3.1; r19)
+    hits = brute.join(F.broadcast(approx), ["query_id", "cand_id"], "left_semi")
     qset = (
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"))
     )
     per_q = qset.join(
-        hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+        # ≤|queries| rows after the count — broadcast keeps the left-outer
+        # attach exchange-free (guide §3.1; r19)
+        F.broadcast(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+        ),
         "query_id",
         "left",
     ).select("query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
@@ -5499,14 +5563,22 @@ def q_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=EMB_DIM, nlist=IVF_NLIST, nprobe=IVF_NPROBE, k=TOPK,
     ).select("query_id", "cand_id")
     brute = q_ann_topk(spark, sf_dir).select("query_id", "cand_id")
-    hits = brute.join(approx, ["query_id", "cand_id"], "left_semi")
+    # approx is |queries|·k rows (bounded by the query batch, never the
+    # corpus) — broadcast it so the hit semi-join and the per-query count
+    # stay on the brute side's existing query_id partitioning instead
+    # of paying two sort-merge exchanges (guide §3.1; r19)
+    hits = brute.join(F.broadcast(approx), ["query_id", "cand_id"], "left_semi")
     qset = (
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"))
     )
     per_q = qset.join(
-        hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+        # ≤|queries| rows after the count — broadcast keeps the left-outer
+        # attach exchange-free (guide §3.1; r19)
+        F.broadcast(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+        ),
         "query_id",
         "left",
     ).select("query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
@@ -5544,14 +5616,22 @@ def q_ivfpq_residual_refined_recall(spark: SparkSession, sf_dir: str) -> DataFra
         coarse_centers=refined,
     ).select("query_id", "cand_id")
     brute = q_ann_topk(spark, sf_dir).select("query_id", "cand_id")
-    hits = brute.join(approx, ["query_id", "cand_id"], "left_semi")
+    # approx is |queries|·k rows (bounded by the query batch, never the
+    # corpus) — broadcast it so the hit semi-join and the per-query count
+    # stay on the brute side's existing query_id partitioning instead
+    # of paying two sort-merge exchanges (guide §3.1; r19)
+    hits = brute.join(F.broadcast(approx), ["query_id", "cand_id"], "left_semi")
     qset = (
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"))
     )
     per_q = qset.join(
-        hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+        # ≤|queries| rows after the count — broadcast keeps the left-outer
+        # attach exchange-free (guide §3.1; r19)
+        F.broadcast(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+        ),
         "query_id",
         "left",
     ).select("query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
