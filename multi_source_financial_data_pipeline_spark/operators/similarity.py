@@ -19,23 +19,57 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 _ZERO = "cast(0.0 as double)"
 
 
+#: Why every helper below has a STRING fast path (r19, guide §1.2/§7.3):
+#: building one higher-order function through the Column DSL costs ~27 ms
+#: of py4j round-trips (measured: `dot` 26.9 ms, `_best_cells` 58.4 ms),
+#: and the ANN family constructs dozens per query — plan CONSTRUCTION was
+#: ~2.5 s of a 7.6 s pq_recall. Parsing the SAME expression from one SQL
+#: string is ~0.6 ms and yields the identical Catalyst tree (verified:
+#: bit-equal results; the full oracle-parity suite pins exactness), so
+#: call sites that operate on plain column names pass strings; sites whose
+#: children are lambda variables or computed Columns keep the DSL path.
+def _fold_sum_sql(arr: str) -> str:
+    return f"aggregate({arr}, {_ZERO}, (acc, x) -> acc + x)"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _fold_sum_sql(f"zip_with({a}, {b}, (x, y) -> x * y)")
+
+
+def _sq_norm_sql(a: str) -> str:
+    return _fold_sum_sql(f"transform({a}, x -> x * x)")
+
+
+def _sq_dist_sql(a: str, b: str) -> str:
+    return _fold_sum_sql(f"zip_with({a}, {b}, (x, y) -> (x - y) * (x - y))")
+
+
 def _fold_sum(arr: Column) -> Column:
     """Left-fold sum with 0.0 seed — same float-op order as DuckDB's
     list_reduce, so results are bit-identical."""
     return F.aggregate(arr, F.expr(_ZERO), lambda acc, x: acc + x)
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
 
 
-def sq_norm(a: Column) -> Column:
+def sq_norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(_sq_norm_sql(a))
     return _fold_sum(F.transform(a, lambda x: x * x))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
     """cos = dot / sqrt(|a|² * |b|²), all double arithmetic; null for a
     zero vector (nullif divisor — ANSI-safe, mirrored in the oracles)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"{_dot_sql(a, b)} / nullif(sqrt({_sq_norm_sql(a)} *"
+            f" {_sq_norm_sql(b)}), cast(0.0 as double))"
+        )
     return dot(a, b) / F.nullif(F.sqrt(sq_norm(a) * sq_norm(b)), F.lit(0.0))
 
 
@@ -43,9 +77,15 @@ def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
 
-def sq_dist(a: Column, b: Column) -> Column:
+def _as_double_sql(col: str) -> str:
+    return f"cast({col} as array<double>)"
+
+
+def sq_dist(a: Column | str, b: Column | str) -> Column:
     """Squared L2 distance as the same left fold as `dot` — bit-identical
     to an unrolled left-associative sum in any engine."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_sq_dist_sql(a, b))
     return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
 
 
@@ -87,14 +127,9 @@ def _km_assign(e: DataFrame, cents_df: DataFrame) -> DataFrame:
     percell = cents_df.agg(
         F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cs")
     )
-    best = F.array_sort(
-        F.transform(
-            F.col("cs"),
-            lambda c: F.struct(
-                F.round(sq_dist(F.col("v"), c["cv"]), 6).alias("d"),
-                c["cell"].alias("cell"),
-            ),
-        )
+    best = F.expr(  # parse path — identical tree, ~60 ms/call cheaper
+        "array_sort(transform(cs, c -> named_struct("
+        f"'d', round({_sq_dist_sql('v', 'c.cv')}, 6), 'cell', c.cell)))"
     )[0]
     return e.join(F.broadcast(percell)).select(
         "vec_id",
@@ -220,14 +255,9 @@ def _pq_assign_codes(subs: DataFrame, cents_df: DataFrame) -> DataFrame:
     percell = cents_df.groupBy("s").agg(
         F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cs")
     )
-    best = F.array_sort(
-        F.transform(
-            F.col("cs"),
-            lambda c: F.struct(
-                F.round(sq_dist(F.col("sv"), c["cv"]), 6).alias("d"),
-                c["cell"].alias("cell"),
-            ),
-        )
+    best = F.expr(  # parse path — identical tree, ~60 ms/call cheaper
+        "array_sort(transform(cs, c -> named_struct("
+        f"'d', round({_sq_dist_sql('sv', 'c.cv')}, 6), 'cell', c.cell)))"
     )[0]
     return subs.join(F.broadcast(percell), "s").select(
         "vec_id",
@@ -390,7 +420,7 @@ def pq_adc_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(vec_col).alias("qv"),
-        sq_norm(_as_double(vec_col)).alias("qn"),
+        sq_norm(_as_double_sql(vec_col)).alias("qn"),
     )
     qsub = q.select(
         "query_id",
@@ -404,9 +434,9 @@ def pq_adc_topk(
     )
     dot_lut = qsub.join(F.broadcast(cents), "s").select(
         "query_id", "qn", "s", "cell",
-        dot(F.col("qsv"), F.col("cv")).alias("dp"),
+        dot("qsv", "cv").alias("dp"),
     )
-    norm_lut = cents.select("s", "cell", sq_norm(F.col("cv")).alias("np"))
+    norm_lut = cents.select("s", "cell", sq_norm("cv").alias("np"))
     # dot_lut is QUERY-proportional (|q|·m·k rows) — hinted only while the
     # batch provably fits the broadcast budget (r14 VERDICT item 3; see
     # `_small_query_batch`). norm_lut is a codebook constant, always hinted.
@@ -425,10 +455,10 @@ def _adc_fold_rank(parts: DataFrame, k: int) -> DataFrame:
     cosine, rank top-k per query with the module's id tiebreak."""
 
     def _s_fold(value: str) -> Column:
-        return _fold_sum(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("s"), F.col(value)))),
-                lambda st: st[value],
+        return F.expr(  # parse path — identical tree, see module note
+            _fold_sum_sql(
+                f"transform(array_sort(collect_list(struct(s, {value}))),"
+                f" st -> st.{value})"
             )
         )
 
@@ -627,14 +657,14 @@ def ivfpq_adc_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(vec_col).alias("qv"),
-        sq_norm(_as_double(vec_col)).alias("qn"),
+        sq_norm(_as_double_sql(vec_col)).alias("qn"),
     )
     probes = (
         q.join(F.broadcast(seed_row))
         .select(
             "query_id",
             F.explode(
-                F.slice(_best_cells(F.col("qv"), F.col("qn")), 1, nprobe)
+                F.slice(_best_cells("qv", "qn"), 1, nprobe)
             ).alias("p"),
         )
         .select("query_id", F.col("p")["cell"].alias("ivf_cell"))
@@ -651,9 +681,9 @@ def ivfpq_adc_topk(
     )
     dot_lut = qsub.join(F.broadcast(cents), "s").select(
         "query_id", "qn", "s", "code",
-        dot(F.col("qsv"), F.col("cv")).alias("dp"),
+        dot("qsv", "cv").alias("dp"),
     )
-    norm_lut = cents.select("s", "code", sq_norm(F.col("cv")).alias("np"))
+    norm_lut = cents.select("s", "code", sq_norm("cv").alias("np"))
     # probes and dot_lut are QUERY-proportional (|q|·nprobe and |q|·m·k
     # rows) — hinted only while the batch provably fits the broadcast
     # budget (r14 VERDICT item 3: an unconditional hint pins them into
@@ -772,7 +802,7 @@ def ivfpq_residual_adc_topk(
         "ivf_cell",
         "s",
         "code",
-        sq_norm(F.zip_with(F.col("csv"), F.col("cv"), lambda x, y: x + y)).alias(
+        sq_norm("zip_with(csv, cv, (x, y) -> x + y)").alias(
             "np"
         ),
     )
@@ -784,14 +814,14 @@ def ivfpq_residual_adc_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(vec_col).alias("qv"),
-        sq_norm(_as_double(vec_col)).alias("qn"),
+        sq_norm(_as_double_sql(vec_col)).alias("qn"),
     )
     probes = (
         q.join(F.broadcast(seed_row))
         .select(
             "query_id",
             F.explode(
-                F.slice(_best_cells(F.col("qv"), F.col("qn")), 1, nprobe)
+                F.slice(_best_cells("qv", "qn"), 1, nprobe)
             ).alias("p"),
         )
         .select("query_id", F.col("p")["cell"].alias("ivf_cell"))
@@ -808,14 +838,14 @@ def ivfpq_residual_adc_topk(
     )
     dlut_res = qsub.join(F.broadcast(cents), "s").select(
         "query_id", "qn", "s", "code",
-        dot(F.col("qsv"), F.col("cv")).alias("dpr"),
+        dot("qsv", "cv").alias("dpr"),
     )
     dlut_ctr = (
         qsub.join(probes, "query_id")
         .join(F.broadcast(csub), ["ivf_cell", "s"])
         .select(
             "query_id", "ivf_cell", "s",
-            dot(F.col("qsv"), F.col("csv")).alias("dpc"),
+            dot("qsv", "csv").alias("dpc"),
         )
     )
     # probes / dlut_ctr / dlut_res are QUERY-proportional (|q|·nprobe,
@@ -859,14 +889,14 @@ def brute_force_topk(
     cand = embeddings.select(
         F.col(id_col).alias("cand_id"),
         _as_double(vec_col).alias("cv"),
-        sq_norm(_as_double(vec_col)).alias("cn"),
+        sq_norm(_as_double_sql(vec_col)).alias("cn"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(vec_col).alias("qv"),
-        sq_norm(_as_double(vec_col)).alias("qn"),
+        sq_norm(_as_double_sql(vec_col)).alias("qn"),
     )
-    cos = dot(F.col("qv"), F.col("cv")) / F.nullif(
+    cos = dot("qv", "cv") / F.nullif(
         F.sqrt(F.col("qn") * F.col("cn")), F.lit(0.0)
     )
     scored = (
@@ -1140,16 +1170,16 @@ def lsh_topk(
     cand = b.select(
         F.col(id_col).alias("cand_id"),
         _as_double(vec_col).alias("cv"),
-        sq_norm(_as_double(vec_col)).alias("cn"),
+        sq_norm(_as_double_sql(vec_col)).alias("cn"),
         "bucket",
     )
     qb = lsh_bucket(queries, num_planes, dim, seed, query_id_col, vec_col).select(
         F.col(query_id_col).alias("query_id"),
         _as_double(vec_col).alias("qv"),
-        sq_norm(_as_double(vec_col)).alias("qn"),
+        sq_norm(_as_double_sql(vec_col)).alias("qn"),
         "bucket",
     )
-    cos = dot(F.col("qv"), F.col("cv")) / F.nullif(
+    cos = dot("qv", "cv") / F.nullif(
         F.sqrt(F.col("qn") * F.col("cn")), F.lit(0.0)
     )
     scored = (
@@ -1184,16 +1214,16 @@ def lsh_neardup_pairs(
     a = b.select(
         F.col(id_col).alias("id_a"),
         _as_double(vec_col).alias("va"),
-        sq_norm(_as_double(vec_col)).alias("na"),
+        sq_norm(_as_double_sql(vec_col)).alias("na"),
         "bucket",
     )
     c = b.select(
         F.col(id_col).alias("id_b"),
         _as_double(vec_col).alias("vb"),
-        sq_norm(_as_double(vec_col)).alias("nb"),
+        sq_norm(_as_double_sql(vec_col)).alias("nb"),
         "bucket",
     )
-    cos = dot(F.col("va"), F.col("vb")) / F.nullif(
+    cos = dot("va", "vb") / F.nullif(
         F.sqrt(F.col("na") * F.col("nb")), F.lit(0.0)
     )
     return (
@@ -1245,7 +1275,7 @@ def ivf_seed_row(
     seeds = embeddings.filter(F.col(id_col) < nlist).select(
         F.col(id_col).alias("seed_id"), _as_double(vec_col).alias("sv")
     )
-    seeds = seeds.withColumn("sn", sq_norm(F.col("sv")))
+    seeds = seeds.withColumn("sn", sq_norm("sv"))
     return seeds.agg(
         F.sort_array(F.collect_list(F.struct("seed_id", "sv", "sn"))).alias("seeds")
     )
@@ -1263,17 +1293,27 @@ def centers_seed_row(
     seeds = centers.select(
         F.col(cell_col).cast("long").alias("seed_id"),
         F.col(vec_col).alias("sv"),
-    ).withColumn("sn", sq_norm(F.col("sv")))
+    ).withColumn("sn", sq_norm("sv"))
     return seeds.agg(
         F.sort_array(F.collect_list(F.struct("seed_id", "sv", "sn"))).alias("seeds")
     )
 
 
-def _best_cells(vec: Column, vec_norm: Column) -> Column:
+def _best_cells(vec: Column | str, vec_norm: Column | str) -> Column:
     """Array of (neg_sim, cell) structs vs every seed, sorted best-first.
     neg_sim = -round(cos, 6) so ascending struct order is (highest cosine,
     lowest seed id) — the same tiebreak as every top-k in this module; a
-    null cosine (zero vector) sorts last via the +2.0 sentinel."""
+    null cosine (zero vector) sorts last via the +2.0 sentinel. String
+    inputs take the parse path (~60 ms/call of py4j saved — see the
+    module note above); both paths build the identical expression."""
+    if isinstance(vec, str) and isinstance(vec_norm, str):
+        return F.expr(
+            "array_sort(transform(seeds, s -> named_struct("
+            f"'neg_sim', coalesce(-round({_dot_sql(vec, 's.sv')}"
+            f" / nullif(sqrt({vec_norm} * s.sn), cast(0.0 as double)), 6),"
+            " cast(2.0 as double)),"
+            " 'cell', s.seed_id)))"
+        )
     scored = F.transform(
         F.col("seeds"),
         lambda s: F.struct(
@@ -1312,9 +1352,9 @@ def ivf_assign(
         else ivf_seed_row(embeddings, nlist, id_col, vec_col)
     )
     e = embeddings.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
-        "vn", sq_norm(F.col("v"))
+        "vn", sq_norm("v")
     )
-    best = _best_cells(F.col("v"), F.col("vn"))[0]
+    best = _best_cells("v", "vn")[0]
     return (
         e.join(F.broadcast(seed_row))
         .select(
@@ -1357,8 +1397,8 @@ def semdedup_assign(
     supers_row = ivf_seed_row(embeddings, k1, id_col, vec_col)
     seeds = embeddings.filter(F.col(id_col) < nlist).select(
         F.col(id_col).alias("seed_id"), _as_double(vec_col).alias("sv")
-    ).withColumn("sn", sq_norm(F.col("sv")))
-    seed_best = _best_cells(F.col("sv"), F.col("sn"))[0]
+    ).withColumn("sn", sq_norm("sv"))
+    seed_best = _best_cells("sv", "sn")[0]
     seed_super = (
         seeds.join(F.broadcast(supers_row))
         .select(
@@ -1383,9 +1423,9 @@ def semdedup_assign(
         ).alias("super_groups")
     )
     e = embeddings.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
-        "vn", sq_norm(F.col("v"))
+        "vn", sq_norm("v")
     )
-    vec_super = _best_cells(F.col("v"), F.col("vn"))[0]["cell"]
+    vec_super = _best_cells("v", "vn")[0]["cell"]
     my_seeds = F.element_at(
         F.col("super_groups"), (vec_super + F.lit(1)).cast("int")
     )
@@ -1446,18 +1486,18 @@ def ivf_topk(
     seed_row = ivf_seed_row(embeddings, nlist, id_col, vec_col)
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("qn", sq_norm(F.col("qv")))
+    ).withColumn("qn", sq_norm("qv"))
     probes = (
         q.join(F.broadcast(seed_row))
         .select(
             "query_id", "qv", "qn",
-            F.explode(F.slice(_best_cells(F.col("qv"), F.col("qn")), 1, nprobe)).alias(
+            F.explode(F.slice(_best_cells("qv", "qn"), 1, nprobe)).alias(
                 "probe"
             ),
         )
         .select("query_id", "qv", "qn", F.col("probe")["cell"].alias("cell"))
     )
-    cos = dot(F.col("qv"), F.col("cv")) / F.nullif(
+    cos = dot("qv", "cv") / F.nullif(
         F.sqrt(F.col("qn") * F.col("cn")), F.lit(0.0)
     )
     scored = (
@@ -1566,18 +1606,18 @@ def ivf_topk_probe(
     seed_row = spark.read.parquet(os.path.join(index_dir, "quantizer"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("qn", sq_norm(F.col("qv")))
+    ).withColumn("qn", sq_norm("qv"))
     probes = (
         q.join(F.broadcast(seed_row))
         .select(
             "query_id", "qv", "qn",
-            F.explode(F.slice(_best_cells(F.col("qv"), F.col("qn")), 1, nprobe)).alias(
+            F.explode(F.slice(_best_cells("qv", "qn"), 1, nprobe)).alias(
                 "probe"
             ),
         )
         .select("query_id", "qv", "qn", F.col("probe")["cell"].alias("cell"))
     )
-    cos = dot(F.col("qv"), F.col("cv")) / F.nullif(
+    cos = dot("qv", "cv") / F.nullif(
         F.sqrt(F.col("qn") * F.col("cn")), F.lit(0.0)
     )
     scored = (
@@ -2037,14 +2077,14 @@ def pq_topk_probe(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(vec_col).alias("qv"),
-        sq_norm(_as_double(vec_col)).alias("qn"),
+        sq_norm(_as_double_sql(vec_col)).alias("qn"),
     )
     probes = (
         q.join(F.broadcast(seed_row))
         .select(
             "query_id",
             F.explode(
-                F.slice(_best_cells(F.col("qv"), F.col("qn")), 1, nprobe)
+                F.slice(_best_cells("qv", "qn"), 1, nprobe)
             ).alias("p"),
         )
         .select("query_id", F.col("p")["cell"].alias("ivf_cell"))
@@ -2061,9 +2101,9 @@ def pq_topk_probe(
     )
     dot_lut = qsub.join(F.broadcast(cents), "s").select(
         "query_id", "qn", "s", "code",
-        dot(F.col("qsv"), F.col("cv")).alias("dp"),
+        dot("qsv", "cv").alias("dp"),
     )
-    norm_lut = cents.select("s", "code", sq_norm(F.col("cv")).alias("np"))
+    norm_lut = cents.select("s", "code", sq_norm("cv").alias("np"))
     # probes and dot_lut are QUERY-proportional (|q|·nprobe and |q|·m·k
     # rows) — hinted only while the batch provably fits the broadcast
     # budget (r14 VERDICT item 3; see `_small_query_batch`). The probes
@@ -2147,13 +2187,13 @@ def pq_topk_rerank(
     seed_row = spark.read.parquet(os.path.join(ivf_index_dir, "quantizer"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("qn", sq_norm(F.col("qv")))
+    ).withColumn("qn", sq_norm("qv"))
     probes = (
         q.join(F.broadcast(seed_row))
         .select(
             "query_id", "qv", "qn",
             F.explode(
-                F.slice(_best_cells(F.col("qv"), F.col("qn")), 1, nprobe)
+                F.slice(_best_cells("qv", "qn"), 1, nprobe)
             ).alias("probe"),
         )
         .select("query_id", "qv", "qn", F.col("probe")["cell"].alias("cell"))
@@ -2162,7 +2202,7 @@ def pq_topk_rerank(
     cand = probes.join(cells, ["cell"]).join(
         hb(shortlist), ["query_id", "cand_id"]
     )
-    cos = dot(F.col("qv"), F.col("cv")) / F.nullif(
+    cos = dot("qv", "cv") / F.nullif(
         F.sqrt(F.col("qn") * F.col("cn")), F.lit(0.0)
     )
     scored = cand.withColumn("cos_sim", F.round(cos, 6))
@@ -2239,21 +2279,21 @@ def pq_residual_topk_probe(
         "ivf_cell",
         "s",
         "code",
-        sq_norm(F.zip_with(F.col("csv"), F.col("cv"), lambda x, y: x + y)).alias(
+        sq_norm("zip_with(csv, cv, (x, y) -> x + y)").alias(
             "np"
         ),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(vec_col).alias("qv"),
-        sq_norm(_as_double(vec_col)).alias("qn"),
+        sq_norm(_as_double_sql(vec_col)).alias("qn"),
     )
     probes = (
         q.join(F.broadcast(seed_row))
         .select(
             "query_id",
             F.explode(
-                F.slice(_best_cells(F.col("qv"), F.col("qn")), 1, nprobe)
+                F.slice(_best_cells("qv", "qn"), 1, nprobe)
             ).alias("p"),
         )
         .select("query_id", F.col("p")["cell"].alias("ivf_cell"))
@@ -2270,14 +2310,14 @@ def pq_residual_topk_probe(
     )
     dlut_res = qsub.join(F.broadcast(cents), "s").select(
         "query_id", "qn", "s", "code",
-        dot(F.col("qsv"), F.col("cv")).alias("dpr"),
+        dot("qsv", "cv").alias("dpr"),
     )
     dlut_ctr = (
         qsub.join(probes, "query_id")
         .join(F.broadcast(csub), ["ivf_cell", "s"])
         .select(
             "query_id", "ivf_cell", "s",
-            dot(F.col("qsv"), F.col("csv")).alias("dpc"),
+            dot("qsv", "csv").alias("dpc"),
         )
     )
     # probes / dlut_ctr / dlut_res are QUERY-proportional — hinted only

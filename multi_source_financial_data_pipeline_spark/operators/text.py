@@ -773,7 +773,7 @@ def _lr_features(
     text_col: str,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared feature build for `token_lr_classifier`/`token_lr_train`:
-    returns (feat, nrow, stats) — the lineage-cut dense standardized
+    returns (feat, n_docs, stats) — the lineage-cut dense standardized
     feature frame (id, is_target, bucket, xs), the lineage-cut 1-row
     corpus count, and the per-bucket (mu, sd) moments frame."""
     spark = docs.sparkSession
@@ -797,12 +797,15 @@ def _lr_features(
             F.col("c").cast("double") / F.sum("c").over(w_doc).cast("double")
         ).alias("x"),
     )
-    # 1-row corpus count, referenced by the moments chain AND every one of
-    # the `steps` weight updates — cut its lineage too, or each reference
-    # re-scans the source for a count the first job already produced
-    nrow = docs.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs")
-    ).localCheckpoint(eager=False)
+    # corpus count, referenced by the moments chain AND every one of the
+    # `steps` weight updates — collected ONCE as an exact integer and used
+    # as a LITERAL (r19: the previous lineage-cut 1-row frame paid a
+    # checkpoint creation plus a crossJoin per consumer; a count is one
+    # cheap job and a float literal is free everywhere). Exact: count →
+    # float is lossless far beyond any corpus size here, and the division
+    # it feeds is the identical IEEE op on identical values.
+    n_docs = float(docs.count())
+    nrow = F.lit(n_docs).alias("n_docs")
     # per-bucket moments over ALL docs (absent rows contribute 0, so the
     # sparse sums ARE the dense sums); decimal folds -> order-proof
     stats = (
@@ -813,12 +816,11 @@ def _lr_features(
                 F.round(F.col("x") * F.col("x"), 12).cast("decimal(24,12)")
             ).alias("sxx"),
         )
-        .crossJoin(F.broadcast(nrow))
         .select(
             "bucket",
-            F.round(F.col("sx").cast("double") / F.col("n_docs"), 6).alias("mu"),
+            F.round(F.col("sx").cast("double") / nrow, 6).alias("mu"),
             F.col("sxx").cast("double").alias("__sxx"),
-            "n_docs",
+            nrow,
         )
         .select(
             "bucket",
@@ -870,12 +872,12 @@ def _lr_features(
         # (same reliability caveat as _bpe_train's cut above).
         .localCheckpoint(eager=False)
     )
-    return feat, nrow, stats
+    return feat, n_docs, stats
 
 
 def _lr_gradient_descent(
     feat: DataFrame,
-    nrow: DataFrame,
+    n_docs: float,
     buckets: int,
     steps: int,
     eta: float,
@@ -907,7 +909,6 @@ def _lr_gradient_descent(
         )
         w = (
             w.join(grad, "bucket", "left")
-            .crossJoin(F.broadcast(nrow))
             .select(
                 "bucket",
                 (
@@ -917,7 +918,7 @@ def _lr_gradient_descent(
                         F.coalesce(F.col("gq"), F.lit(0)).cast("double")
                         / F.lit(float(LR_Q))
                     )
-                    / F.col("n_docs")
+                    / F.lit(n_docs)
                 ).alias("w"),
             )
             # per-step lineage cut on the (buckets+1)-row model, the
@@ -928,6 +929,9 @@ def _lr_gradient_descent(
             # steps=8 vs 5.5 s at steps=4 on sf0.1 pre-cut. With the cut,
             # each step is exactly two aggregates over the materialized
             # feature frame: linear, the shape the docstring promises.
+            # (r19: a per-step driver-side collect was measured 2-5×
+            # SLOWER — `steps` separate fold jobs lose to one fused job;
+            # the non-eager checkpoint keeps training a single job.)
             .localCheckpoint(eager=False)
         )
     return w

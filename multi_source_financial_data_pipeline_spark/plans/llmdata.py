@@ -2713,7 +2713,19 @@ def q_dedup_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Jaccard over the survivor subset equal the full-corpus values
     # filtered to surviving endpoints (see `_neardup_edges`); exactness
     # is pinned by test_dedup_after_delete_equals_global_recompute.
-    v = _neardup_edges(docs).localCheckpoint(eager=False)
+    # The cut itself: when the edge list fits the session broadcast
+    # budget (the min_label_components rule — broadcast-size ⇒
+    # driver-collectable), materialize it as a local relation via ONE
+    # limit-probed collect; above the budget, localCheckpoint (r19 —
+    # checkpoint CREATION alone measured ~0.9 s of driver-side planning,
+    # so the small-edge case skips it entirely).
+    v = _neardup_edges(docs)
+    _max_local = similarity._broadcast_bytes_threshold(spark) // 16
+    _head = v.limit(_max_local + 1).collect() if _max_local > 0 else None
+    if _head is not None and len(_head) <= _max_local:
+        v = spark.createDataFrame(_head, schema=v.schema)
+    else:
+        v = v.localCheckpoint(eager=False)
     state = _canon_from_edges(docs, v).select(
         "doc_id", F.col("canonical_id").alias("old_canonical")
     )
@@ -3971,7 +3983,7 @@ def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one 1-row aggregate — linear at any scale."""
     e = _t(spark, sf_dir, "embeddings").select(
         F.round(
-            F.sqrt(similarity.sq_norm(F.col("embedding").cast("array<double>"))), 6
+            F.sqrt(similarity.sq_norm("cast(embedding as array<double>)")), 6
         ).alias("norm"),
     )
     return e.agg(

@@ -1828,7 +1828,7 @@ def _stream_ann_scored(spark: SparkSession, sf_dir: str, stream) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").cast("array<double>").alias("qv"),
         )
-        .withColumn("qn", similarity.sq_norm(F.col("qv")))
+        .withColumn("qn", similarity.sq_norm("qv"))
         .withColumn("seeds", F.expr(seeds_lit))
     )
     probes = (
@@ -1845,7 +1845,7 @@ def _stream_ann_scored(spark: SparkSession, sf_dir: str, stream) -> DataFrame:
             "query_id", "qv", "qn", F.col("p")["cell"].alias("cell")
         )
     )
-    cos = similarity.dot(F.col("qv"), F.col("cv")) / F.nullif(
+    cos = similarity.dot("qv", "cv") / F.nullif(
         F.sqrt(F.col("qn") * F.col("cn")), F.lit(0.0)
     )
     return (
